@@ -1,0 +1,20 @@
+"""tnmf_tpu — TPU-native Transform-Invariant Non-Negative Matrix Factorization.
+
+A from-scratch JAX/XLA rebuild of the capabilities of the ``tnmf`` package
+(shift-invariant NMF via multiplicative updates), designed TPU-first:
+
+* one jit-compiled engine with FFT and MXU direct-convolution strategies in
+  place of five interchangeable CPU backends,
+* fused on-device fit loops,
+* optional data parallelism over a ``jax.sharding.Mesh``.
+
+Public API::
+
+    from tnmf_tpu import TransformInvariantNMF, MiniBatchAlgorithm
+"""
+
+from .models.tnmf import MiniBatchAlgorithm, TransformInvariantNMF
+
+__all__ = ['TransformInvariantNMF', 'MiniBatchAlgorithm']
+
+__version__ = '0.1.0'

@@ -1,0 +1,210 @@
+"""Jit-compiled execution engine for the multiplicative-update algorithm.
+
+This module owns every jitted function of the framework.  The algorithm layer
+(:mod:`tnmf_tpu.models.tnmf`) is a thin stateful wrapper that calls into
+these pure functions, mirroring the algorithm/backend split of the reference
+(``/root/reference/tnmf/TransformInvariantNMF.py`` vs ``tnmf/backends/``) —
+except that the five interchangeable CPU backends collapse into two XLA
+strategies ('fft' and 'conv') behind one functional interface.
+
+Design notes (TPU):
+
+* The whole MU iteration is one jitted graph: XLA fuses the elementwise
+  ratio update into the gradient contractions and deduplicates shared
+  subexpressions (e.g. ``F(W)`` between reconstruction and grad_H), which
+  subsumes the reference's ``NumPy_CachingFFT`` cache machinery.
+* The transform/extension of V is loop-invariant and computed once per fit
+  (:func:`prepare_data`).
+* The no-callback fit path runs the full iteration loop on device inside a
+  single ``lax.fori_loop`` with donated W/H buffers — zero host round-trips
+  per iteration.  With a Python ``progress_callback`` the same step function
+  is dispatched iteration-by-iteration, so both paths produce identical
+  trajectories (reference callback contract:
+  ``TransformInvariantNMF.py:318-324``).
+* Scalars (sparsity, inhibition strengths, sag_lambda) are traced values, so
+  changing them does not retrigger compilation; graph *structure* (mode,
+  strategy, which regularizers are active, update_H/update_W) is static.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops import conv as conv_ops
+from .ops import fft as fft_ops
+from .ops.inhibition import inhibition_positive_term
+from .ops.modes import ConvPlan
+
+EPS = 1.0e-9  # reference: TransformInvariantNMF.py:166
+
+
+def get_ops(strategy: str):
+    if strategy == 'fft':
+        return fft_ops
+    if strategy == 'conv':
+        return conv_ops
+    raise ValueError(f'unknown strategy {strategy!r}; choose "fft" or "conv"')
+
+
+def choose_strategy(plan: ConvPlan, n_atoms: int, n_channels: int) -> str:
+    """Heuristic strategy choice for ``strategy='auto'``.
+
+    Direct convolution keeps the contraction on the MXU and avoids FFT
+    padding, which wins for small atoms; the FFT path wins once the atom
+    (and with it the direct-conv arithmetic intensity) grows.  The crossover
+    constant was calibrated on a v5e chip (see benchmarks/strategies.py).
+    """
+    if plan.ndim > 3:
+        return 'fft'
+    import math
+    atom_elems = math.prod(plan.atom_shape)
+    return 'conv' if atom_elems <= 256 else 'fft'
+
+
+# ---------------------------------------------------------------------------
+# jitted kernels
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=('plan', 'strategy'))
+def prepare_data(V, *, plan: ConvPlan, strategy: str):
+    """Loop-invariant preprocessing of the data tensor (FFT or extension)."""
+    return get_ops(strategy).prepare_data(V, plan)
+
+
+@partial(jax.jit, static_argnames=('plan', 'strategy'))
+def reconstruct(W, H, *, plan: ConvPlan, strategy: str):
+    return get_ops(strategy).reconstruct(W, H, plan)
+
+
+@partial(jax.jit, static_argnames=('plan', 'strategy', 'i_atom'))
+def partial_reconstruct(W, H, *, plan: ConvPlan, strategy: str, i_atom: int):
+    """Reconstruction restricted to one atom (reference ``_Backend.py:124``)."""
+    return get_ops(strategy).reconstruct(
+        W[i_atom:i_atom + 1], H[:, i_atom:i_atom + 1], plan)
+
+
+@partial(jax.jit, static_argnames=('plan', 'strategy'))
+def energy(V, W, H, *, plan: ConvPlan, strategy: str):
+    """0.5 * sum((V - R)^2)  (reference ``_Backend.py:127-130``)."""
+    R = get_ops(strategy).reconstruct(W, H, plan)
+    d = V - R
+    return 0.5 * jnp.sum(d * d)
+
+
+def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
+          plan, use_inhibition, use_cross):
+    """One multiplicative H update (reference ``_update_H``,
+    ``TransformInvariantNMF.py:246-271``)."""
+    R = ops.reconstruct(W, H, plan)
+    neg, pos = ops.grad_H_pair(Vp, R, W, plan)
+    if use_inhibition or use_cross:
+        pos = pos + inhibition_positive_term(
+            H, kernels, plan.ndim, inhibition, cross_inhibition,
+            n_atoms=H.shape[1],
+            with_same_atom=use_inhibition, with_cross_atom=use_cross)
+    return H * neg / (pos + (EPS + sparsity))
+
+
+def _mu_W(ops, Vp, W, H, *, plan):
+    """One multiplicative W update with atom-wise sum normalization
+    (reference ``_update_W`` + ``normalize``, ``TransformInvariantNMF.py:240-244``)."""
+    R = ops.reconstruct(W, H, plan)
+    neg, pos = ops.grad_W_pair(Vp, R, H, plan)
+    W = W * neg / (pos + EPS)
+    return W / jnp.sum(W, axis=tuple(range(-plan.ndim, 0)), keepdims=True)
+
+
+_STEP_STATICS = ('plan', 'strategy', 'update_H', 'update_W', 'use_inhibition', 'use_cross')
+
+
+@partial(jax.jit, static_argnames=_STEP_STATICS)
+def update_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
+                plan: ConvPlan, strategy: str,
+                update_H: bool = True, update_W: bool = True,
+                use_inhibition: bool = False, use_cross: bool = False):
+    """One full MU iteration: H update then W update (reference
+    ``fit_batch`` loop body, ``TransformInvariantNMF.py:334-340``)."""
+    ops = get_ops(strategy)
+    if update_H:
+        H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
+                  kernels, plan=plan, use_inhibition=use_inhibition, use_cross=use_cross)
+    if update_W:
+        W = _mu_W(ops, Vp, W, H, plan=plan)
+    return W, H
+
+
+@partial(jax.jit, static_argnames=_STEP_STATICS, donate_argnums=(1, 2))
+def fit_loop(Vp, W, H, n_iterations, sparsity, inhibition, cross_inhibition, kernels, *,
+             plan: ConvPlan, strategy: str,
+             update_H: bool = True, update_W: bool = True,
+             use_inhibition: bool = False, use_cross: bool = False):
+    """The no-callback fast path: the whole fit as one on-device loop with
+    donated W/H buffers.  ``n_iterations`` is traced, so varying it does not
+    recompile."""
+    ops = get_ops(strategy)
+
+    def body(_, WH):
+        W, H = WH
+        if update_H:
+            H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
+                      kernels, plan=plan, use_inhibition=use_inhibition, use_cross=use_cross)
+        if update_W:
+            W = _mu_W(ops, Vp, W, H, plan=plan)
+        return W, H
+
+    return jax.lax.fori_loop(0, n_iterations, body, (W, H))
+
+
+@partial(jax.jit, static_argnames=('plan', 'strategy', 'use_inhibition', 'use_cross'))
+def update_H_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
+                  plan: ConvPlan, strategy: str,
+                  use_inhibition: bool = False, use_cross: bool = False):
+    """H-only update on a (mini)batch slice."""
+    ops = get_ops(strategy)
+    return _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
+                 kernels, plan=plan, use_inhibition=use_inhibition, use_cross=use_cross)
+
+
+@partial(jax.jit, static_argnames=('plan', 'strategy'))
+def update_W_step(Vp, W, H, *, plan: ConvPlan, strategy: str):
+    """W-only update on a (mini)batch slice."""
+    return _mu_W(get_ops(strategy), Vp, W, H, plan=plan)
+
+
+@partial(jax.jit, static_argnames=('plan', 'strategy'))
+def grad_W_stats(Vp, W, H, *, plan: ConvPlan, strategy: str):
+    """(neg, pos) sufficient statistics of the W gradient for the minibatch
+    accumulators (reference ``_accumulate_gradient_W``,
+    ``TransformInvariantNMF.py:444-455``)."""
+    ops = get_ops(strategy)
+    R = ops.reconstruct(W, H, plan)
+    return ops.grad_W_pair(Vp, R, H, plan)
+
+
+@jax.jit
+def accumulate_gradient(acc_neg, acc_pos, neg, pos, sag_lambda):
+    """Exponentially-averaged (or, for sag_lambda == 1, plain-summed)
+    gradient accumulation.  The branch is resolved with ``jnp.where`` so one
+    compiled graph serves both cases."""
+    is_sum = sag_lambda == 1.0
+    keep = jnp.where(is_sum, 1.0, 1.0 - sag_lambda)
+    add = jnp.where(is_sum, 1.0, sag_lambda)
+    return keep * acc_neg + add * neg, keep * acc_pos + add * pos
+
+
+@partial(jax.jit, static_argnames=('n_shift_axes',))
+def apply_W_update(W, neg, pos, *, n_shift_axes: int):
+    """W <- normalize(W * neg / (pos + eps)) from precomputed statistics."""
+    W = W * neg / (pos + EPS)
+    return W / jnp.sum(W, axis=tuple(range(-n_shift_axes, 0)), keepdims=True)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def set_H_slice(H, Hb, start):
+    """H[start:start+len(Hb)] <- Hb without a host round-trip.
+    ``start`` is traced, so every batch offset shares one compilation."""
+    return jax.lax.dynamic_update_slice_in_dim(H, Hb, start, axis=0)

@@ -1,0 +1,481 @@
+"""Transform-Invariant Non-Negative Matrix Factorization — TPU-native.
+
+Public API compatible with the reference implementation
+(``/root/reference/tnmf/TransformInvariantNMF.py``): the
+:class:`TransformInvariantNMF` class keeps the constructor signature, the
+``fit`` / ``fit_batch`` / ``fit_minibatches`` / ``fit_stream`` entry points,
+the ``W`` / ``H`` / ``V`` / ``R`` accessors, ``R_partial``, the
+``(model, iteration) -> bool`` progress-callback abort protocol and the
+multiplicative-update semantics (Lee-Seung MU with sparsity, same-atom and
+cross-atom lateral inhibition; minibatch algorithms 4-8 of Serizel, Essid &
+Richard 2016).
+
+What changed relative to the reference:
+
+* The five interchangeable single-process backends (NumPy, NumPy_FFT,
+  NumPy_CachingFFT, PyTorch, PyTorch_FFT) collapse into one jit-compiled
+  XLA engine with two internal strategies ('fft' and 'conv'); the reference
+  backend names are still accepted and mapped onto it.
+* When no progress callback and no per-iteration logging are requested, the
+  whole fit runs as a single fused on-device loop
+  (:func:`tnmf_tpu.engine.fit_loop`).
+* Optional data parallelism: pass ``mesh=`` (a ``jax.sharding.Mesh``) and
+  samples/activations are sharded over its first axis, with the W-gradient
+  sample reduction turning into an XLA all-reduce over ICI.
+
+References
+----------
+.. [1] D.D. Lee, H.S. Seung, 2000. Algorithms for Non-negative Matrix
+   Factorization, NeurIPS 13.
+.. [2] R. Serizel, S. Essid, G. Richard, 2016. Mini-batch stochastic
+   approaches for accelerated multiplicative updates in nonnegative matrix
+   factorisation with beta-divergence, MLSP 26.
+"""
+
+from __future__ import annotations
+
+import logging
+from enum import Enum
+from itertools import count, islice
+from typing import Callable, Iterable, Iterator, Optional, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import engine
+from ..ops.inhibition import inhibition_kernels, resolve_inhibition_range
+from ..ops.modes import ConvPlan
+
+sliceNone = slice(None)
+
+
+def _compute_sequential_minibatches(length: int, batch_size: Optional[int]) -> Iterable[slice]:
+    """Contiguous sample slices of at most ``batch_size``
+    (reference ``TransformInvariantNMF.py:29-37``)."""
+    if batch_size is None:
+        yield sliceNone
+    else:
+        start = 0
+        while start < length:
+            end = min(length, start + batch_size)
+            yield slice(start, end)
+            start = end
+
+
+class MiniBatchAlgorithm(Enum):
+    """Minibatch MU schemes (algorithm numbers from Serizel et al. 2016;
+    reference ``TransformInvariantNMF.py:47-55``)."""
+    Cyclic_MU = 4   # H per batch; W from gradient summed over the epoch
+    ASG_MU = 5      # shuffled batches; H then W update per batch
+    GSG_MU = 6      # H per shuffled batch; single W update from the last batch
+    ASAG_MU = 7     # per batch: H update + exp-averaged W gradient + W update
+    GSAG_MU = 8     # H per batch; one exp-averaged W gradient + update per epoch
+
+
+# reference backend names (accepted for drop-in compatibility) and native ones
+_BACKEND_STRATEGY = {
+    'auto': 'auto',
+    'jax': 'auto',
+    'jax_fft': 'fft',
+    'jax_conv': 'conv',
+    # reference names (tnmf/TransformInvariantNMF.py:168-176): the FFT family
+    # maps to the fft strategy, the coordinate-space family to direct conv.
+    'numpy': 'conv',
+    'numpy_fft': 'fft',
+    'numpy_caching_fft': 'fft',
+    'pytorch': 'conv',
+    'pytorch_fft': 'fft',
+}
+
+
+class TransformInvariantNMF:
+    r"""Shift-invariant NMF via multiplicative updates, on XLA.
+
+    Parameters
+    ----------
+    n_atoms : int
+        Number of dictionary atoms; ``W`` has shape
+        ``(n_atoms, n_channels, *atom_shape)``.
+    atom_shape : Tuple[int, ...]
+        Spatial shape of the atoms (1-D, 2-D, ... signals).
+    inhibition_range : int | Tuple[int, ...], optional
+        Lateral inhibition range per shift axis; defaults to
+        ``atom_shape - 1`` (atoms cannot overlap without penalty).
+    backend : str, default 'auto'
+        ``'auto'`` / ``'jax'`` selects the strategy by a FLOPs heuristic;
+        ``'jax_fft'`` / ``'jax_conv'`` force it.  The reference backend names
+        (``'numpy'``, ``'numpy_fft'``, ``'numpy_caching_fft'``, ``'pytorch'``,
+        ``'pytorch_fft'``) are accepted for drop-in compatibility.
+    logger : logging.Logger, optional
+    verbose : {0, 1, 2, 3}, default 0
+        0 errors, 1 warnings, 2 info, 3 debug.
+    reconstruction_mode : {'valid', 'full', 'circular', 'reflect'}, default 'valid'
+    dtype : optional
+        Compute dtype. Defaults to float32 (float64 when jax x64 is enabled
+        and the input is float64).
+    mesh : jax.sharding.Mesh, optional
+        If given, V and H are sharded along ``mesh`` axis 0 (data
+        parallelism); W stays replicated and its gradient reduction becomes
+        an XLA ``psum`` over the interconnect.
+    seed : int, optional
+        If given, W/H initialization and batch shuffling use a private
+        ``np.random.Generator`` instead of the global NumPy RNG.  The default
+        (None) consumes the *global* NumPy stream in the exact same order as
+        the reference, so ``np.random.seed(42)``-seeded runs are directly
+        comparable.
+    fft_policy : {'5-smooth', 'pow2'}, default '5-smooth'
+        FFT padded-length policy for the fft strategy.
+    """
+
+    def __init__(
+            self,
+            n_atoms: int,
+            atom_shape: Tuple[int, ...],
+            inhibition_range: Union[int, Tuple[int, ...], None] = None,
+            backend: str = 'auto',
+            logger: Optional[logging.Logger] = None,
+            verbose: int = 0,
+            reconstruction_mode: str = 'valid',
+            dtype=None,
+            mesh=None,
+            seed: Optional[int] = None,
+            fft_policy: str = '5-smooth',
+    ):
+        self.atom_shape = tuple(int(a) for a in atom_shape)
+        self.n_atoms = int(n_atoms)
+        self._inhibition_range = resolve_inhibition_range(inhibition_range, self.atom_shape)
+        self._inhibition_kernels_1D = inhibition_kernels(self._inhibition_range)
+        self._axes_W_normalization = tuple(range(-len(self.atom_shape), 0))
+        self.eps = engine.EPS
+
+        try:
+            self._strategy_request = _BACKEND_STRATEGY[backend.lower()]
+        except KeyError as e:
+            raise KeyError(
+                f'unknown backend {backend!r}; choose one of {sorted(_BACKEND_STRATEGY)}') from e
+        self._reconstruction_mode = reconstruction_mode
+        self._fft_policy = fft_policy
+        self._dtype = dtype
+        self._mesh = mesh
+        self._rng = np.random.default_rng(seed) if seed is not None else np.random
+
+        self._logger = logger if logger is not None else logging.getLogger(self.__class__.__name__)
+        self._logger.setLevel([logging.ERROR, logging.WARNING, logging.INFO, logging.DEBUG][verbose])
+        self._logger.debug('Using %s backend (strategy request: %s).', backend, self._strategy_request)
+
+        # fit-time state
+        self._plan: Optional[ConvPlan] = None
+        self._strategy: Optional[str] = None
+        self._W = None
+        self._H = None
+        self._V = None      # host copy (possibly shuffled) for the V property
+        self._Vp = None     # device-side prepared (transformed/extended) data
+        self._kernels = None
+        self._shuffle_idx = None
+
+    # ------------------------------------------------------------------
+    # accessors (reference TransformInvariantNMF.py:188-215)
+    # ------------------------------------------------------------------
+
+    @property
+    def W(self) -> np.ndarray:
+        return np.asarray(self._W)
+
+    @property
+    def H(self) -> np.ndarray:
+        H = np.asarray(self._H)
+        if self._shuffle_idx is None:
+            return H
+        return H[np.argsort(self._shuffle_idx)]
+
+    @property
+    def V(self) -> np.ndarray:
+        if self._shuffle_idx is None:
+            return self._V
+        return self._V[np.argsort(self._shuffle_idx)]
+
+    @property
+    def R(self) -> np.ndarray:
+        return np.asarray(self._reconstruct())
+
+    def R_partial(self, i_atom: int) -> np.ndarray:
+        return np.asarray(engine.partial_reconstruct(
+            self._W, self._H, plan=self._plan, strategy=self._strategy, i_atom=int(i_atom)))
+
+    def _reconstruct(self):
+        return engine.reconstruct(self._W, self._H, plan=self._plan, strategy=self._strategy)
+
+    def _energy_function(self) -> float:
+        # _Vd is stored in fit order, matching the device-side H
+        return float(engine.energy(self._Vd, self._W, self._H,
+                                   plan=self._plan, strategy=self._strategy))
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+
+    def _resolve_dtype(self, V: np.ndarray):
+        if self._dtype is not None:
+            return jnp.dtype(self._dtype)
+        if jax.config.jax_enable_x64 and V.dtype == np.float64:
+            return jnp.dtype(np.float64)
+        return jnp.dtype(np.float32)
+
+    def _initialize_matrices(self, V: np.ndarray, keep_W: bool, shuffle_input: bool = False):
+        V = np.asarray(V)
+        if shuffle_input:
+            self._shuffle_idx = self._rng.permutation(len(V))
+            V = V[self._shuffle_idx]
+        else:
+            self._shuffle_idx = None
+        self._V = V
+
+        sample_shape = V.shape[2:]
+        self._plan = ConvPlan.create(self._reconstruction_mode, sample_shape, self.atom_shape,
+                                     self._fft_policy)
+        strategy = self._strategy_request
+        if strategy == 'auto':
+            strategy = engine.choose_strategy(self._plan, self.n_atoms, V.shape[1])
+        self._strategy = strategy
+        dtype = self._resolve_dtype(V)
+
+        # Host-side init replicating the reference RNG stream exactly
+        # (H then W, 1 - U[0,1); _Backend.py:83-98) so seeded runs match.
+        # (np.random.random and Generator.random share this call signature.)
+        H = np.asarray(
+            1 - self._rng.random((V.shape[0], self.n_atoms) + self._plan.transform_shape),
+            dtype=V.dtype)
+        if keep_W and self._W is not None:
+            W = np.asarray(self._W)
+        else:
+            W = np.asarray(
+                1 - self._rng.random((self.n_atoms, V.shape[1]) + self.atom_shape),
+                dtype=V.dtype)
+            W /= W.sum(axis=self._axes_W_normalization, keepdims=True)
+
+        self._kernels = tuple(jnp.asarray(k, dtype=dtype) for k in self._inhibition_kernels_1D)
+
+        Vd = jnp.asarray(V, dtype=dtype)
+        self._W = jnp.asarray(W, dtype=dtype)
+        self._H = jnp.asarray(H, dtype=dtype)
+        if self._mesh is not None:
+            from ..parallel.sharding import shard_model_state
+            Vd, self._W, self._H = shard_model_state(self._mesh, Vd, self._W, self._H)
+        self._Vd = Vd
+        self._Vp = engine.prepare_data(Vd, plan=self._plan, strategy=self._strategy)
+
+    # ------------------------------------------------------------------
+    # batch fitting (reference fit_batch, TransformInvariantNMF.py:282-348)
+    # ------------------------------------------------------------------
+
+    def fit_batch(
+            self,
+            V: np.ndarray,
+            n_iterations: int = 1000,
+            update_H: bool = True,
+            update_W: bool = True,
+            keep_W: bool = False,
+            sparsity_H: float = 0.,
+            inhibition_strength: float = 0.,
+            cross_atom_inhibition_strength: float = 0.,
+            progress_callback: Optional[Callable[['TransformInvariantNMF', int], bool]] = None,
+    ):
+        assert np.all(np.asarray(V) >= 0)
+        assert update_H or update_W
+        assert sparsity_H >= 0
+        assert inhibition_strength >= 0
+        assert cross_atom_inhibition_strength >= 0
+
+        self._initialize_matrices(V, keep_W)
+        statics = dict(
+            plan=self._plan, strategy=self._strategy,
+            update_H=update_H, update_W=update_W,
+            use_inhibition=inhibition_strength > 0,
+            use_cross=cross_atom_inhibition_strength > 0,
+        )
+        scalars = (jnp.asarray(sparsity_H, self._W.dtype),
+                   jnp.asarray(inhibition_strength, self._W.dtype),
+                   jnp.asarray(cross_atom_inhibition_strength, self._W.dtype))
+
+        log_each = self._logger.isEnabledFor(logging.INFO)
+        if progress_callback is None and not log_each:
+            # fused on-device loop
+            self._W, self._H = engine.fit_loop(
+                self._Vp, self._W, self._H, n_iterations, *scalars, self._kernels, **statics)
+        else:
+            for iteration in range(n_iterations):
+                self._W, self._H = engine.update_step(
+                    self._Vp, self._W, self._H, *scalars, self._kernels, **statics)
+                if progress_callback is not None:
+                    if not progress_callback(self, iteration):
+                        break
+                else:
+                    self._logger.info('Iteration: %d\tEnergy function: %s',
+                                      iteration, self._energy_function())
+        self._logger.info('TNMF finished.')
+
+    # ------------------------------------------------------------------
+    # minibatch fitting (reference fit_minibatches, :350-504)
+    # ------------------------------------------------------------------
+
+    def fit_minibatches(
+            self,
+            V: np.ndarray,
+            algorithm: MiniBatchAlgorithm = MiniBatchAlgorithm.ASG_MU,
+            batch_size: int = 3,
+            n_epochs: int = 1000,
+            sag_lambda: float = 0.2,
+            keep_W: bool = False,
+            sparsity_H: float = 0.,
+            inhibition_strength: float = 0.,
+            cross_atom_inhibition_strength: float = 0.,
+            progress_callback: Optional[Callable[['TransformInvariantNMF', int], bool]] = None,
+    ):
+        assert np.all(np.asarray(V) >= 0)
+        assert sparsity_H >= 0
+        assert inhibition_strength >= 0
+        assert cross_atom_inhibition_strength >= 0
+        assert isinstance(algorithm, MiniBatchAlgorithm)
+
+        # NOTE: the reference computes `algorithm in (5, 6, 7, 8)` which is
+        # always False for an Enum (TransformInvariantNMF.py:410), so input
+        # shuffling effectively never happens there.  We reproduce that
+        # behavior for exact cross-library comparability; batch-ORDER
+        # shuffling below is still active for algorithms 5-8.
+        self._initialize_matrices(V, keep_W, shuffle_input=False)
+
+        batches = list(_compute_sequential_minibatches(len(self._V), batch_size))
+
+        epoch_update = {
+            MiniBatchAlgorithm.Cyclic_MU: self._epoch_update_algorithm_4,
+            MiniBatchAlgorithm.ASG_MU: self._epoch_update_algorithm_5,
+            MiniBatchAlgorithm.GSG_MU: self._epoch_update_algorithm_6,
+            MiniBatchAlgorithm.ASAG_MU: self._epoch_update_algorithm_7,
+            MiniBatchAlgorithm.GSAG_MU: self._epoch_update_algorithm_8,
+        }
+
+        dt = self._W.dtype
+        self._mb_scalars = (jnp.asarray(sparsity_H, dt),
+                            jnp.asarray(inhibition_strength, dt),
+                            jnp.asarray(cross_atom_inhibition_strength, dt))
+        self._mb_flags = dict(use_inhibition=inhibition_strength > 0,
+                              use_cross=cross_atom_inhibition_strength > 0)
+
+        inner_stat = None
+        for epoch in range(n_epochs):
+            inner_stat = epoch_update[algorithm](inner_stat, batches, sag_lambda)
+            if progress_callback is not None:
+                if not progress_callback(self, epoch):
+                    break
+            else:
+                self._logger.info('Epoch: %d\tEnergy function: %s', epoch, self._energy_function())
+        self._logger.info('MiniBatch TNMF finished.')
+
+    def _shuffled(self, batches):
+        """Shuffle the batch order consuming the RNG exactly like the
+        reference's ``_random_shuffle`` (np.random.permutation over the
+        list; TransformInvariantNMF.py:40-44)."""
+        idx = self._rng.permutation(len(batches))
+        return [batches[i] for i in idx]
+
+    def _update_H_batch(self, s: slice):
+        Hb = engine.update_H_step(
+            self._Vp[s], self._W, self._H[s], *self._mb_scalars, self._kernels,
+            plan=self._plan, strategy=self._strategy, **self._mb_flags)
+        if s == sliceNone:
+            self._H = Hb
+        else:
+            self._H = engine.set_H_slice(self._H, Hb, start=s.start)
+
+    def _update_W_batch(self, s: slice):
+        self._W = engine.update_W_step(
+            self._Vp[s], self._W, self._H[s], plan=self._plan, strategy=self._strategy)
+
+    def _grad_W_batch(self, s: slice):
+        return engine.grad_W_stats(
+            self._Vp[s], self._W, self._H[s], plan=self._plan, strategy=self._strategy)
+
+    def _apply_W_stats(self, neg, pos):
+        self._W = engine.apply_W_update(self._W, neg, pos, n_shift_axes=self._plan.ndim)
+
+    def _epoch_update_algorithm_4(self, _, batches, __):
+        """Cyclic_MU: H per batch; one W update per epoch from summed stats."""
+        acc = None
+        for batch in batches:
+            self._update_H_batch(batch)
+            neg, pos = self._grad_W_batch(batch)
+            acc = (neg, pos) if acc is None else (acc[0] + neg, acc[1] + pos)
+        self._apply_W_stats(*acc)
+
+    def _epoch_update_algorithm_5(self, _, batches, __):
+        """ASG_MU: shuffled batches; H then W update per batch."""
+        for batch in self._shuffled(batches):
+            self._update_H_batch(batch)
+            self._update_W_batch(batch)
+
+    def _epoch_update_algorithm_6(self, _, batches, __):
+        """GSG_MU: H per shuffled batch; W update from the last batch."""
+        for batch in self._shuffled(batches):
+            self._update_H_batch(batch)
+        self._update_W_batch(batch)
+
+    def _epoch_update_algorithm_7(self, inner_stat, batches, sag_lambda):
+        """ASAG_MU: per batch, exp-averaged W stats and a W update."""
+        lam = jnp.asarray(sag_lambda, self._W.dtype)
+        for batch in self._shuffled(batches):
+            self._update_H_batch(batch)
+            neg, pos = self._grad_W_batch(batch)
+            if inner_stat is None:
+                inner_stat = (jnp.zeros_like(neg), jnp.zeros_like(pos))
+            inner_stat = engine.accumulate_gradient(*inner_stat, neg, pos, lam)
+            self._apply_W_stats(*inner_stat)
+        return inner_stat
+
+    def _epoch_update_algorithm_8(self, inner_stat, batches, sag_lambda):
+        """GSAG_MU: H per batch; one exp-averaged W stat + update per epoch."""
+        lam = jnp.asarray(sag_lambda, self._W.dtype)
+        batch = slice(0, 0)
+        for batch in self._shuffled(batches):
+            self._update_H_batch(batch)
+        neg, pos = self._grad_W_batch(batch)
+        if inner_stat is None:
+            inner_stat = (jnp.zeros_like(neg), jnp.zeros_like(pos))
+        inner_stat = engine.accumulate_gradient(*inner_stat, neg, pos, lam)
+        self._apply_W_stats(*inner_stat)
+        return inner_stat
+
+    # ------------------------------------------------------------------
+    # streaming fit (reference fit_stream, :506-523)
+    # ------------------------------------------------------------------
+
+    def fit_stream(
+            self,
+            V: Iterator[np.ndarray],
+            subsample_size: int = 3,
+            max_subsamples: Optional[int] = None,
+            **kwargs,
+    ):
+        for isub in count(0):
+            subsample = list(islice(V, subsample_size))
+            if len(subsample) > 0:
+                self._logger.info('Processing subsample %d.', isub)
+                self.fit(np.asarray(subsample), keep_W=True, **kwargs)
+                if max_subsamples is not None and isub == max_subsamples - 1:
+                    self._logger.info('Processed %d subsamples. TNMF on iterator will stop.',
+                                      max_subsamples)
+                    return
+            else:
+                self._logger.info('Sample iterator exhausted. TNMF on full iterator finished.')
+                return
+
+    def fit(self, V, **kwargs):
+        """Kwarg-dispatching front door (reference :525-531):
+        ``subsample_size``/``max_subsamples`` -> fit_stream,
+        ``batch_size``/``algorithm`` -> fit_minibatches, else fit_batch."""
+        if 'subsample_size' in kwargs or 'max_subsamples' in kwargs:
+            self.fit_stream(iter(V), **kwargs)
+        elif 'batch_size' in kwargs or 'algorithm' in kwargs:
+            self.fit_minibatches(V, **kwargs)
+        else:
+            self.fit_batch(V, **kwargs)

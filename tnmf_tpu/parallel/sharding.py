@@ -1,0 +1,58 @@
+"""Data-parallel execution over a TPU mesh.
+
+The reference is strictly single-process (SURVEY.md §2.3); this module is the
+new capability that replaces it at scale: samples (V) and activations (H) are
+sharded along the first axis of a 1-D ``jax.sharding.Mesh``, the dictionary W
+stays replicated.  Nothing else changes — the jitted update steps in
+:mod:`tnmf_tpu.engine` are sharding-polymorphic, and GSPMD turns the
+sample-axis contraction inside ``grad_W_pair`` (``sum_n H[n,m,t] X[n,c,..]``)
+into an ``all-reduce`` over the interconnect automatically.  The H update has
+no cross-sample term, so it runs embarrassingly parallel.
+
+This is valid mathematically because the W statistics are plain sums over
+samples (reference ``_NumPyFFTBackend.py:86-87``): psum of per-shard partial
+sums equals the full-batch statistic, so the data-parallel trajectory is
+bitwise-equivalent to single-device execution up to reduction order.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard axis 0 (samples), replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_model_state(mesh: Mesh, V, W, H) -> Tuple:
+    """Place V/H sample-sharded and W replicated on the mesh."""
+    n = V.shape[0]
+    n_dev = mesh.devices.size
+    if n % n_dev != 0:
+        raise ValueError(
+            f'n_samples ({n}) must be divisible by the mesh size ({n_dev}); '
+            f'pad the batch or use a smaller mesh')
+    V = jax.device_put(V, data_sharding(mesh, V.ndim))
+    H = jax.device_put(H, data_sharding(mesh, H.ndim))
+    W = jax.device_put(W, replicated(mesh))
+    return V, W, H
