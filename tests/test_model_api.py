@@ -1,0 +1,112 @@
+"""API-surface and input-validation tests for the model class."""
+
+import numpy as np
+import pytest
+
+from tnmf_tpu import MiniBatchAlgorithm, TransformInvariantNMF
+
+
+def _V(shape=(2, 1, 12, 12), seed=0):
+    return np.random.default_rng(seed).random(shape)
+
+
+def test_shapes_and_dtypes():
+    V = _V()
+    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 5))
+    nmf.fit(V, n_iterations=2)
+    assert nmf.W.shape == (3, 1, 4, 5)
+    assert nmf.H.shape == (2, 3, 15, 16)   # valid: S + A - 1
+    assert nmf.R.shape == V.shape
+    assert nmf.V.shape == V.shape
+    assert nmf.R_partial(1).shape == V.shape
+
+
+def test_unknown_backend_and_mode():
+    with pytest.raises(KeyError):
+        TransformInvariantNMF(n_atoms=2, atom_shape=(3,), backend='cuda')
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3,), reconstruction_mode='same')
+    with pytest.raises(ValueError):
+        nmf.fit(_V((2, 1, 10)), n_iterations=1)
+
+
+def test_reference_backend_names_accepted():
+    for name in ['numpy', 'numpy_fft', 'numpy_caching_fft', 'pytorch', 'pytorch_fft']:
+        nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3,), backend=name)
+        nmf.fit(_V((2, 1, 10)), n_iterations=1)
+        assert nmf.W.shape == (2, 1, 3)
+
+
+def test_negative_input_rejected():
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3,))
+    with pytest.raises(AssertionError):
+        nmf.fit(-_V((2, 1, 10)), n_iterations=1)
+
+
+def test_update_flags():
+    V = _V()
+    np.random.seed(0)
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    nmf.fit(V, n_iterations=2)
+    W0, H0 = nmf.W, nmf.H
+    nmf.fit(V, n_iterations=2, keep_W=True, update_W=False)
+    np.testing.assert_array_equal(nmf.W, W0)
+    assert not np.allclose(nmf.H, H0)
+    with pytest.raises(AssertionError):
+        nmf.fit(V, update_H=False, update_W=False)
+
+
+def test_callback_abort():
+    V = _V()
+    calls = []
+
+    def cb(model, iteration):
+        calls.append(iteration)
+        return iteration < 2
+
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    nmf.fit(V, n_iterations=100, progress_callback=cb)
+    assert calls == [0, 1, 2]
+
+
+def test_energy_decreases_plain_mu():
+    V = _V()
+    energies = []
+
+    def cb(model, iteration):
+        energies.append(model._energy_function())
+        return True
+
+    np.random.seed(1)
+    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
+    nmf.fit(V, n_iterations=10, progress_callback=cb)
+    assert all(b <= a + 1e-9 for a, b in zip(energies, energies[1:]))
+
+
+def test_fit_dispatch():
+    V = _V((6, 1, 10, 10))
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    nmf.fit(V, n_iterations=1)                                  # -> fit_batch
+    nmf.fit(V, batch_size=2, n_epochs=1)                        # -> fit_minibatches
+    nmf.fit(V, algorithm=MiniBatchAlgorithm.GSG_MU, n_epochs=1)  # -> fit_minibatches
+    nmf.fit(V, subsample_size=3, batch_size=2, n_epochs=1)      # -> fit_stream
+    assert nmf.W.shape == (2, 1, 3, 3)
+
+
+def test_seeded_generator_mode():
+    V = _V()
+    a = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), seed=11)
+    a.fit(V, n_iterations=2)
+    b = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), seed=11)
+    b.fit(V, n_iterations=2)
+    np.testing.assert_array_equal(a.W, b.W)
+    c = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), seed=12)
+    c.fit(V, n_iterations=2)
+    assert not np.allclose(a.W, c.W)
+
+
+def test_float32_dtype():
+    V = _V()
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), dtype='float32')
+    nmf.fit(V, n_iterations=3)
+    assert nmf.W.dtype == np.float32
+    assert np.isfinite(nmf._energy_function())

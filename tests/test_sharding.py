@@ -1,0 +1,79 @@
+"""Data-parallel execution tests on a virtual 8-device CPU mesh.
+
+The reference has no distributed mode (SURVEY.md §2.3); these tests pin the
+new capability: a mesh-sharded fit must reproduce the single-device
+trajectory (the W statistics are exact sums over samples, so psum-reduced
+shards are mathematically identical), and the sharded arrays must actually
+be distributed.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from tnmf_tpu import TransformInvariantNMF
+from tnmf_tpu.parallel import DATA_AXIS, make_mesh
+
+needs_8_devices = pytest.mark.skipif(
+    jax.device_count() < 8, reason='needs 8 (virtual) devices')
+
+
+def _make_V():
+    rng = np.random.default_rng(5)
+    return rng.random((8, 2, 16, 16))
+
+
+@needs_8_devices
+@pytest.mark.parametrize('backend', ['jax_fft', 'jax_conv'])
+def test_sharded_fit_matches_single_device(backend):
+    V = _make_V()
+
+    np.random.seed(42)
+    single = TransformInvariantNMF(n_atoms=4, atom_shape=(3, 3), backend=backend)
+    single.fit(V, n_iterations=5, sparsity_H=0.1)
+
+    np.random.seed(42)
+    mesh = make_mesh(8)
+    sharded = TransformInvariantNMF(n_atoms=4, atom_shape=(3, 3), backend=backend, mesh=mesh)
+    sharded.fit(V, n_iterations=5, sparsity_H=0.1)
+
+    np.testing.assert_allclose(sharded.W, single.W, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(sharded.H, single.H, rtol=1e-8, atol=1e-10)
+
+
+@needs_8_devices
+def test_activations_actually_sharded():
+    V = _make_V()
+    mesh = make_mesh(8)
+    nmf = TransformInvariantNMF(n_atoms=4, atom_shape=(3, 3), backend='jax_fft', mesh=mesh)
+    nmf.fit(V, n_iterations=2)
+    sharding = nmf._H.sharding
+    assert sharding.spec[0] == DATA_AXIS
+    assert len(nmf._H.devices()) == 8
+
+
+@needs_8_devices
+def test_sharded_minibatch():
+    """Minibatch slices cut across shard boundaries; GSPMD must resolve the
+    resharding transparently and keep results correct."""
+    from tnmf_tpu import MiniBatchAlgorithm
+    V = _make_V()
+
+    np.random.seed(42)
+    single = TransformInvariantNMF(n_atoms=4, atom_shape=(3, 3))
+    single.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=4, n_epochs=2)
+
+    np.random.seed(42)
+    sharded = TransformInvariantNMF(n_atoms=4, atom_shape=(3, 3), mesh=make_mesh(8))
+    sharded.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=4, n_epochs=2)
+
+    np.testing.assert_allclose(sharded.W, single.W, rtol=1e-8, atol=1e-10)
+
+
+def test_mesh_divisibility_error():
+    V = np.random.default_rng(0).random((5, 1, 8, 8))
+    mesh = make_mesh(min(8, jax.device_count()))
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), mesh=mesh)
+    if mesh.devices.size > 1:
+        with pytest.raises(ValueError, match='divisible'):
+            nmf.fit(V, n_iterations=1)
