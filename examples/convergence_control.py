@@ -1,0 +1,57 @@
+"""Early stopping through the progress-callback protocol.
+
+TPU-build counterpart of the reference's convergence_control example: the
+``(model, iteration) -> bool`` callback inspects the reconstruction energy
+every iteration and aborts the fit once it drops below a threshold.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import matplotlib  # noqa: E402
+
+if os.environ.get('DISPLAY', '') == '' and os.environ.get('MPLBACKEND', '') == '':
+    matplotlib.use('Agg')
+import matplotlib.pyplot as plt  # noqa: E402
+
+from tnmf_tpu import TransformInvariantNMF  # noqa: E402
+from tnmf_tpu.utils.signals import generate_pulse_train  # noqa: E402
+
+ENERGY_THRESHOLD = 20.0 if os.environ.get('TNMF_TPU_SMOKE') else 5.0
+
+
+def main():
+    np.random.seed(42)
+    signal, W_true = generate_pulse_train(pulse_length=20, n_pulses=5)
+    V = signal[np.newaxis]
+
+    energies = []
+
+    def progress_callback(nmf: TransformInvariantNMF, iteration: int) -> bool:
+        e = nmf._energy_function()
+        energies.append(e)
+        print(f'iteration {iteration:4d}  energy {e:.4f}')
+        return e > ENERGY_THRESHOLD
+
+    nmf = TransformInvariantNMF(n_atoms=len(W_true), atom_shape=(20,))
+    nmf.fit(V, n_iterations=1000, progress_callback=progress_callback)
+
+    print(f'stopped after {len(energies)} iterations at energy {energies[-1]:.4f}')
+
+    plt.figure(figsize=(6, 4))
+    plt.semilogy(energies)
+    plt.axhline(ENERGY_THRESHOLD, color='r', ls='--', label='threshold')
+    plt.xlabel('iteration')
+    plt.ylabel('energy')
+    plt.legend()
+    plt.tight_layout()
+    plt.show()
+    return energies
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,217 @@
+"""Interactive demo utilities: parameter widgets, signal tooling, model
+fitting with progress reporting.
+
+Covers the role of the reference's ``tnmf/utils/demo.py`` (parameter
+sidebar, ``SignalTool`` 1-D/2-D dispatch, cached ``fit_nmf_model``) with an
+original, leaner implementation that also runs headless through the
+streamlit shim (:mod:`tnmf_tpu.utils._st_shim`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from abc import ABC, abstractmethod
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..models.tnmf import MiniBatchAlgorithm, TransformInvariantNMF
+from ._st_shim import get_streamlit
+
+st, HAVE_STREAMLIT = get_streamlit()
+
+
+def explanation(text: str, verbose: bool):
+    """Render an explanatory markdown block when verbose mode is on."""
+    if verbose:
+        st.markdown(text)
+
+
+# ---------------------------------------------------------------------------
+# parameter widgets
+# ---------------------------------------------------------------------------
+
+def st_define_nmf_params(default_params: dict, have_ground_truth: bool = True,
+                         verbose: bool = True) -> Tuple[dict, dict]:
+    """Sidebar widgets for the model and fit parameters.
+
+    Returns ``(nmf_params, fit_params)`` ready to be passed to
+    ``TransformInvariantNMF(**nmf_params)`` and ``nmf.fit(V, **fit_params)``.
+    """
+    explanation('## Model parameters', verbose)
+
+    atom_shape = tuple(
+        int(st.sidebar.number_input(f'Atom size (axis {i})', min_value=1, value=int(a)))
+        for i, a in enumerate(default_params['atom_shape']))
+    n_atoms = int(st.sidebar.number_input(
+        'Number of atoms', min_value=1, value=int(default_params['n_atoms'])))
+    reconstruction_mode = st.sidebar.selectbox(
+        'Reconstruction mode', ['valid', 'full', 'circular', 'reflect'],
+        index=['valid', 'full', 'circular', 'reflect'].index(
+            default_params.get('reconstruction_mode', 'valid')))
+    backend = st.sidebar.selectbox('Backend', ['auto', 'jax_fft', 'jax_conv'], index=0)
+
+    nmf_params = dict(
+        n_atoms=n_atoms,
+        atom_shape=atom_shape,
+        reconstruction_mode=reconstruction_mode,
+        backend=backend,
+    )
+
+    explanation('## Fit parameters', verbose)
+    minibatch = st.sidebar.checkbox('Minibatch updates', value=False)
+    fit_params = dict(
+        sparsity_H=float(st.sidebar.number_input('Sparsity weight', min_value=0.0, value=0.0)),
+        inhibition_strength=float(st.sidebar.number_input(
+            'Lateral inhibition weight', min_value=0.0, value=0.1)),
+        cross_atom_inhibition_strength=float(st.sidebar.number_input(
+            'Cross-atom inhibition weight', min_value=0.0, value=0.0)),
+    )
+    if minibatch:
+        fit_params['algorithm'] = MiniBatchAlgorithm[st.sidebar.selectbox(
+            'Minibatch algorithm', [a.name for a in MiniBatchAlgorithm], index=1)]
+        fit_params['batch_size'] = int(st.sidebar.number_input('Batch size', min_value=1, value=3))
+        fit_params['n_epochs'] = int(st.sidebar.number_input('Epochs', min_value=1, value=100))
+        fit_params['sag_lambda'] = float(st.sidebar.number_input(
+            'SAG forgetting factor', min_value=0.0, max_value=1.0, value=0.2))
+    else:
+        fit_params['n_iterations'] = int(st.sidebar.number_input(
+            'Iterations', min_value=1, value=100))
+    return nmf_params, fit_params
+
+
+# ---------------------------------------------------------------------------
+# signal tooling
+# ---------------------------------------------------------------------------
+
+class SignalTool(ABC):
+    """Input generation and result plotting, dispatched on dimensionality."""
+
+    def __new__(cls, n_dims: int):
+        if cls is SignalTool:
+            sub = {1: SignalTool1D, 2: SignalTool2D}
+            try:
+                cls = sub[n_dims]
+            except KeyError as e:
+                raise ValueError(f'unsupported number of dimensions: {n_dims}') from e
+        return super().__new__(cls)
+
+    def __init__(self, n_dims: int):
+        self.n_dims = n_dims
+
+    # -- input ----------------------------------------------------------
+    def st_generate_input(self, verbose: bool = True) -> Tuple[np.ndarray, dict]:
+        """Generate demo input and the matching 'oracle' NMF parameters."""
+        explanation('## Input generation', verbose)
+        return self._generate(verbose)
+
+    @abstractmethod
+    def _generate(self, verbose: bool) -> Tuple[np.ndarray, dict]:
+        ...
+
+    # -- output ---------------------------------------------------------
+    def st_compare_signals(self, V: np.ndarray, R: np.ndarray, verbose: bool = True):
+        explanation('## Reconstruction quality', verbose)
+        err = float(0.5 * np.sum((V - R) ** 2))
+        st.markdown(f'Reconstruction energy: **{err:.4f}**')
+        self._plot_pair(V[0], R[0], labels=('input', 'reconstruction'))
+
+    def st_compare_individual_signals(self, V: np.ndarray, R: np.ndarray, verbose: bool = True):
+        explanation('## Per-sample comparison', verbose)
+        for i in range(min(len(V), 4)):
+            self._plot_pair(V[i], R[i], labels=(f'V[{i}]', f'R[{i}]'))
+
+    def st_plot_partial_reconstructions(self, V: np.ndarray, nmf: TransformInvariantNMF,
+                                        verbose: bool = True):
+        explanation('## Atom-wise partial reconstructions', verbose)
+        for i_atom in range(nmf.n_atoms):
+            self._plot_pair(V[0], nmf.R_partial(i_atom)[0],
+                            labels=('input', f'atom {i_atom}'))
+
+    @abstractmethod
+    def _plot_pair(self, a: np.ndarray, b: np.ndarray, labels):
+        ...
+
+
+class SignalTool1D(SignalTool):
+    def __init__(self, n_dims: int = 1):
+        super().__init__(1)
+
+    def _generate(self, verbose: bool) -> Tuple[np.ndarray, dict]:
+        from .signals import generate_pulse_train
+        n_signals = int(st.sidebar.number_input('Number of signals', min_value=1, value=3))
+        n_pulses = int(st.sidebar.number_input('Pulses per signal', min_value=1, value=3))
+        pulse_length = int(st.sidebar.number_input('Pulse length', min_value=2, value=20))
+        symbols = st.sidebar.multiselect(
+            'Symbols', ['nnn', '---', '^^^', 'vvv', '___'], default=['nnn', '^^^', 'vvv'])
+        V, W = [], None
+        for _ in range(n_signals):
+            signal, W = generate_pulse_train(symbols=list(symbols),
+                                             pulse_length=pulse_length, n_pulses=n_pulses)
+            V.append(signal)
+        V = np.stack(V)
+        return V, dict(n_atoms=len(symbols), atom_shape=(pulse_length,))
+
+    def _plot_pair(self, a, b, labels):
+        import matplotlib.pyplot as plt
+        n_channels = a.shape[0]
+        fig, axes = plt.subplots(n_channels, 1, squeeze=False, figsize=(8, 1.8 * n_channels))
+        for c in range(n_channels):
+            axes[c, 0].plot(a[c], label=labels[0])
+            axes[c, 0].plot(b[c], '--', label=labels[1])
+            axes[c, 0].legend(loc='upper right', fontsize=7)
+        st.pyplot(fig)
+
+
+class SignalTool2D(SignalTool):
+    def __init__(self, n_dims: int = 2):
+        super().__init__(2)
+
+    def _generate(self, verbose: bool) -> Tuple[np.ndarray, dict]:
+        from .signals import generate_block_image
+        n_symbols = int(st.sidebar.number_input('Patches per image side', min_value=2, value=5))
+        symbol_size = int(st.sidebar.number_input('Patch size', min_value=3, value=10))
+        image, W = generate_block_image(symbol_size=symbol_size, n_symbols=n_symbols)
+        V = image[np.newaxis]
+        return V, dict(n_atoms=len(W), atom_shape=(symbol_size, symbol_size))
+
+    def _plot_pair(self, a, b, labels):
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(1, 2, figsize=(8, 4))
+        for ax, img, title in zip(axes, (a, b), labels):
+            im = np.clip(np.moveaxis(img, 0, -1), 0, 1) if img.shape[0] in (3, 4) else img[0]
+            ax.imshow(im, cmap='gray' if im.ndim == 2 else None)
+            ax.set_title(title)
+            ax.axis('off')
+        st.pyplot(fig)
+
+
+# ---------------------------------------------------------------------------
+# cached fitting
+# ---------------------------------------------------------------------------
+
+_FIT_CACHE: dict = {}
+
+
+def fit_nmf_model(V: np.ndarray, nmf_params: dict, fit_params: dict,
+                  progress_bar=None, seed: int = 42) -> TransformInvariantNMF:
+    """Fit a model with progress reporting; memoized on (V, params) like the
+    reference's ``@st.cache``-wrapped helper."""
+    key = hashlib.sha1(
+        V.tobytes() + repr(sorted(nmf_params.items())).encode()
+        + repr(sorted(fit_params.items())).encode() + str(seed).encode()).hexdigest()
+    if key in _FIT_CACHE:
+        return _FIT_CACHE[key]
+
+    total = fit_params.get('n_iterations', fit_params.get('n_epochs', 1))
+
+    def callback(nmf, iteration) -> bool:
+        if progress_bar is not None:
+            progress_bar.progress((iteration + 1) / total)
+        return True
+
+    np.random.seed(seed)
+    nmf = TransformInvariantNMF(**nmf_params)
+    nmf.fit(V, progress_callback=callback, **fit_params)
+    _FIT_CACHE[key] = nmf
+    return nmf
