@@ -21,7 +21,8 @@ import matplotlib.pyplot as plt  # noqa: E402
 from tnmf_tpu import TransformInvariantNMF  # noqa: E402
 from tnmf_tpu.utils.signals import generate_pulse_train  # noqa: E402
 
-ENERGY_THRESHOLD = 20.0 if os.environ.get('TNMF_TPU_SMOKE') else 5.0
+# stop once the energy has dropped to this fraction of its starting value
+RELATIVE_THRESHOLD = 0.05 if os.environ.get('TNMF_TPU_SMOKE') else 0.001
 
 
 def main():
@@ -34,17 +35,17 @@ def main():
     def progress_callback(nmf: TransformInvariantNMF, iteration: int) -> bool:
         e = nmf._energy_function()
         energies.append(e)
-        print(f'iteration {iteration:4d}  energy {e:.4f}')
-        return e > ENERGY_THRESHOLD
+        print(f'iteration {iteration:4d}  energy {e:.6f}')
+        return e > energies[0] * RELATIVE_THRESHOLD
 
     nmf = TransformInvariantNMF(n_atoms=len(W_true), atom_shape=(20,))
     nmf.fit(V, n_iterations=1000, progress_callback=progress_callback)
 
-    print(f'stopped after {len(energies)} iterations at energy {energies[-1]:.4f}')
+    print(f'stopped after {len(energies)} iterations at energy {energies[-1]:.6f}')
 
     plt.figure(figsize=(6, 4))
     plt.semilogy(energies)
-    plt.axhline(ENERGY_THRESHOLD, color='r', ls='--', label='threshold')
+    plt.axhline(energies[0] * RELATIVE_THRESHOLD, color='r', ls='--', label='threshold')
     plt.xlabel('iteration')
     plt.ylabel('energy')
     plt.legend()
