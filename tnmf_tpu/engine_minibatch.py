@@ -1,0 +1,126 @@
+"""Fully on-device minibatch fit loops.
+
+The compatibility path in :mod:`tnmf_tpu.models.tnmf` drives minibatch
+epochs from Python (one dispatch per batch step, mirroring the reference's
+loop structure).  On TPU — especially behind a remote dispatch tunnel —
+per-batch host round trips dominate, so this module compiles a whole
+multi-epoch minibatch fit into a single ``lax.scan`` program:
+
+* samples are regrouped as ``(n_batches, batch, ...)`` once per fit,
+* the per-epoch batch orders (host-RNG permutations, for exact parity with
+  the Python path) are passed in as one ``(n_epochs, n_batches)`` index
+  array,
+* the scan carries ``(W, H_batched, inner_stat)`` and performs the same
+  H-then-W updates as the reference algorithms 4-8
+  (``TransformInvariantNMF.py:457-504``).
+
+Eligibility: equal-size batches (``n_samples % batch_size == 0``) and no
+per-epoch Python callback.  The trajectory is identical to the Python path
+(same update order, same RNG consumption), verified in
+tests/test_minibatch_scan.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import engine
+from .ops.modes import ConvPlan
+
+_STATICS = ('plan', 'strategy', 'algorithm', 'use_inhibition', 'use_cross')
+
+
+def batchable(n_samples: int, batch_size: Optional[int]) -> bool:
+    return batch_size is not None and batch_size > 0 and n_samples % batch_size == 0
+
+
+@partial(jax.jit, static_argnames=_STATICS, donate_argnums=(1, 2))
+def minibatch_fit_loop(
+    Vp_b, W, H_b, perms, sparsity, inhibition, cross_inhibition, sag_lambda, kernels, *,
+    plan: ConvPlan, strategy: str, algorithm: int,
+    use_inhibition: bool = False, use_cross: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run ``n_epochs`` minibatch epochs on device.
+
+    Args:
+      Vp_b: prepared data regrouped to (n_batches, batch, ...).
+      W: dictionary.
+      H_b: activations regrouped to (n_batches, batch, n_atoms, ...).
+      perms: (n_epochs, n_batches) int32 batch visit order per epoch.
+      algorithm: MiniBatchAlgorithm value (4-8).
+    Returns:
+      (W, H_b) after all epochs.
+    """
+    ops = engine.get_ops(strategy)
+    norm_axes = tuple(range(-plan.ndim, 0))
+
+    def mu_H(Vb, W, Hb):
+        return engine._mu_H(ops, Vb, W, Hb, sparsity, inhibition, cross_inhibition,
+                            kernels, plan=plan,
+                            use_inhibition=use_inhibition, use_cross=use_cross)
+
+    def grad_W(Vb, W, Hb):
+        R = ops.reconstruct(W, Hb, plan)
+        return ops.grad_W_pair(Vb, R, Hb, plan)
+
+    def apply_W(W, neg, pos):
+        W = W * neg / (pos + engine.EPS)
+        return W / jnp.sum(W, axis=norm_axes, keepdims=True)
+
+    def sag_update(stat, neg, pos):
+        # sag_lambda == 1 means plain summation (reference
+        # _accumulate_gradient_W, TransformInvariantNMF.py:444-455)
+        a_neg, a_pos = stat
+        is_sum = sag_lambda == 1.0
+        keep = jnp.where(is_sum, 1.0, 1.0 - sag_lambda)
+        add = jnp.where(is_sum, 1.0, sag_lambda)
+        return keep * a_neg + add * neg, keep * a_pos + add * pos
+
+    zero_stat = (jnp.zeros_like(W), jnp.zeros_like(W))
+
+    def batch_step(carry, idx):
+        W, H_b, acc = carry
+        Vb = Vp_b[idx]
+        Hb = mu_H(Vb, W, H_b[idx])
+        H_b = H_b.at[idx].set(Hb)
+        if algorithm == 4:      # Cyclic_MU: accumulate; W update at epoch end
+            neg, pos = grad_W(Vb, W, Hb)
+            acc = (acc[0] + neg, acc[1] + pos)
+        elif algorithm == 5:    # ASG_MU: W update per batch
+            neg, pos = grad_W(Vb, W, Hb)
+            W = apply_W(W, neg, pos)
+        elif algorithm == 6:    # GSG_MU: H only; W handled at epoch end
+            pass
+        elif algorithm == 7:    # ASAG_MU: averaged stats + W update per batch
+            neg, pos = grad_W(Vb, W, Hb)
+            acc = sag_update(acc, neg, pos)
+            W = apply_W(W, *acc)
+        elif algorithm == 8:    # GSAG_MU: H only; stats from last batch at epoch end
+            pass
+        else:
+            raise ValueError(f'unknown minibatch algorithm {algorithm}')
+        return (W, H_b, acc), None
+
+    def epoch_step(carry, perm):
+        W, H_b, inner = carry
+        acc0 = zero_stat if algorithm == 4 else inner
+        (W, H_b, acc), _ = jax.lax.scan(batch_step, (W, H_b, acc0), perm)
+        if algorithm == 4:
+            W = apply_W(W, *acc)
+        elif algorithm == 6:
+            last = perm[-1]
+            neg, pos = grad_W(Vp_b[last], W, H_b[last])
+            W = apply_W(W, neg, pos)
+        elif algorithm == 8:
+            last = perm[-1]
+            neg, pos = grad_W(Vp_b[last], W, H_b[last])
+            acc = sag_update(acc, neg, pos)
+            W = apply_W(W, *acc)
+        return (W, H_b, acc), None
+
+    (W, H_b, _), _ = jax.lax.scan(epoch_step, (W, H_b, zero_stat), perms)
+    return W, H_b

@@ -347,6 +347,39 @@ class TransformInvariantNMF:
 
         batches = list(_compute_sequential_minibatches(len(self._V), batch_size))
 
+        # Fully on-device fast path: the entire multi-epoch fit as one scan
+        # program (engine_minibatch).  Eligible when there is no per-epoch
+        # Python interaction and the batches are equal-size; produces the
+        # exact same trajectory and RNG consumption as the loop below.
+        use_scan = (
+            progress_callback is None
+            and not self._logger.isEnabledFor(logging.INFO)
+            and self._mesh is None
+            and len(batches) > 0
+        )
+        from ..engine_minibatch import batchable, minibatch_fit_loop
+        if use_scan and batchable(len(self._V), batch_size):
+            nb = len(self._V) // batch_size
+            if algorithm is MiniBatchAlgorithm.Cyclic_MU:
+                perms = np.tile(np.arange(nb), (n_epochs, 1))
+            else:
+                perms = np.stack([self._rng.permutation(nb) for _ in range(n_epochs)])
+            dt = self._W.dtype
+            Vp_b = self._Vp.reshape((nb, batch_size) + self._Vp.shape[1:])
+            H_b = self._H.reshape((nb, batch_size) + self._H.shape[1:])
+            W, H_b = minibatch_fit_loop(
+                Vp_b, self._W, H_b, jnp.asarray(perms, jnp.int32),
+                jnp.asarray(sparsity_H, dt), jnp.asarray(inhibition_strength, dt),
+                jnp.asarray(cross_atom_inhibition_strength, dt),
+                jnp.asarray(sag_lambda, dt), self._kernels,
+                plan=self._plan, strategy=self._strategy, algorithm=algorithm.value,
+                use_inhibition=inhibition_strength > 0,
+                use_cross=cross_atom_inhibition_strength > 0)
+            self._W = W
+            self._H = H_b.reshape((nb * batch_size,) + H_b.shape[2:])
+            self._logger.info('MiniBatch TNMF finished.')
+            return
+
         epoch_update = {
             MiniBatchAlgorithm.Cyclic_MU: self._epoch_update_algorithm_4,
             MiniBatchAlgorithm.ASG_MU: self._epoch_update_algorithm_5,
