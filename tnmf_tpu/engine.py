@@ -54,15 +54,17 @@ def choose_strategy(plan: ConvPlan, n_atoms: int, n_channels: int) -> str:
     """Heuristic strategy choice for ``strategy='auto'``.
 
     Direct convolution keeps the contraction on the MXU and avoids FFT
-    padding, which wins for small atoms; the FFT path wins once the atom
-    (and with it the direct-conv arithmetic intensity) grows.  The crossover
-    constant was calibrated on a v5e chip (see benchmarks/strategies.py).
+    padding; measured on a v5e chip (benchmarks/strategies.py) it wins by
+    2-25x for atoms up to 31x31 across 1-D and 2-D sample sizes, while the
+    FFT path takes over for very large atoms (12x faster at 63x63, where
+    the direct cost ~ prod(atom) per output point explodes).  The measured
+    crossover sits between 31^2 and 63^2 atom elements.
     """
     if plan.ndim > 3:
-        return 'fft'
+        return 'fft'  # lax conv supports at most 3 spatial dims here
     import math
     atom_elems = math.prod(plan.atom_shape)
-    return 'conv' if atom_elems <= 256 else 'fft'
+    return 'conv' if atom_elems <= 2048 else 'fft'
 
 
 # ---------------------------------------------------------------------------
