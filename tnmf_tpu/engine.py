@@ -98,12 +98,19 @@ def energy(V, W, H, *, plan: ConvPlan, strategy: str):
 
 
 def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
-          plan, use_inhibition, use_cross):
+          plan, use_inhibition, use_cross, use_pallas=False):
     """One multiplicative H update (reference ``_update_H``,
     ``TransformInvariantNMF.py:246-271``)."""
     R = ops.reconstruct(W, H, plan)
     neg, pos = ops.grad_H_pair(Vp, R, W, plan)
     if use_inhibition or use_cross:
+        if use_pallas:
+            from .ops import pallas_mu
+            taps = tuple(k.shape[0] for k in kernels)
+            if pallas_mu.inhibited_mu_h_supported(H.shape, plan.ndim, taps, H.dtype):
+                return pallas_mu.inhibited_mu_h(
+                    H, neg, pos, kernels, inhibition, cross_inhibition,
+                    EPS + sparsity, use_same=use_inhibition, use_cross=use_cross)
         pos = pos + inhibition_positive_term(
             H, kernels, plan.ndim, inhibition, cross_inhibition,
             n_atoms=H.shape[1],
@@ -120,20 +127,22 @@ def _mu_W(ops, Vp, W, H, *, plan):
     return W / jnp.sum(W, axis=tuple(range(-plan.ndim, 0)), keepdims=True)
 
 
-_STEP_STATICS = ('plan', 'strategy', 'update_H', 'update_W', 'use_inhibition', 'use_cross')
+_STEP_STATICS = ('plan', 'strategy', 'update_H', 'update_W', 'use_inhibition', 'use_cross', 'use_pallas')
 
 
 @partial(jax.jit, static_argnames=_STEP_STATICS)
 def update_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
                 plan: ConvPlan, strategy: str,
                 update_H: bool = True, update_W: bool = True,
-                use_inhibition: bool = False, use_cross: bool = False):
+                use_inhibition: bool = False, use_cross: bool = False,
+                use_pallas: bool = False):
     """One full MU iteration: H update then W update (reference
     ``fit_batch`` loop body, ``TransformInvariantNMF.py:334-340``)."""
     ops = get_ops(strategy)
     if update_H:
         H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
-                  kernels, plan=plan, use_inhibition=use_inhibition, use_cross=use_cross)
+                  kernels, plan=plan, use_inhibition=use_inhibition,
+                  use_cross=use_cross, use_pallas=use_pallas)
     if update_W:
         W = _mu_W(ops, Vp, W, H, plan=plan)
     return W, H
@@ -143,7 +152,8 @@ def update_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
 def fit_loop(Vp, W, H, n_iterations, sparsity, inhibition, cross_inhibition, kernels, *,
              plan: ConvPlan, strategy: str,
              update_H: bool = True, update_W: bool = True,
-             use_inhibition: bool = False, use_cross: bool = False):
+             use_inhibition: bool = False, use_cross: bool = False,
+             use_pallas: bool = False):
     """The no-callback fast path: the whole fit as one on-device loop with
     donated W/H buffers.  ``n_iterations`` is traced, so varying it does not
     recompile."""
@@ -153,7 +163,8 @@ def fit_loop(Vp, W, H, n_iterations, sparsity, inhibition, cross_inhibition, ker
         W, H = WH
         if update_H:
             H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
-                      kernels, plan=plan, use_inhibition=use_inhibition, use_cross=use_cross)
+                      kernels, plan=plan, use_inhibition=use_inhibition,
+                      use_cross=use_cross, use_pallas=use_pallas)
         if update_W:
             W = _mu_W(ops, Vp, W, H, plan=plan)
         return W, H
@@ -161,14 +172,16 @@ def fit_loop(Vp, W, H, n_iterations, sparsity, inhibition, cross_inhibition, ker
     return jax.lax.fori_loop(0, n_iterations, body, (W, H))
 
 
-@partial(jax.jit, static_argnames=('plan', 'strategy', 'use_inhibition', 'use_cross'))
+@partial(jax.jit, static_argnames=('plan', 'strategy', 'use_inhibition', 'use_cross', 'use_pallas'))
 def update_H_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
                   plan: ConvPlan, strategy: str,
-                  use_inhibition: bool = False, use_cross: bool = False):
+                  use_inhibition: bool = False, use_cross: bool = False,
+                  use_pallas: bool = False):
     """H-only update on a (mini)batch slice."""
     ops = get_ops(strategy)
     return _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
-                 kernels, plan=plan, use_inhibition=use_inhibition, use_cross=use_cross)
+                 kernels, plan=plan, use_inhibition=use_inhibition,
+                 use_cross=use_cross, use_pallas=use_pallas)
 
 
 @partial(jax.jit, static_argnames=('plan', 'strategy'))

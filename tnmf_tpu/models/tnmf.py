@@ -141,6 +141,7 @@ class TransformInvariantNMF:
             mesh=None,
             seed: Optional[int] = None,
             fft_policy: str = '5-smooth',
+            use_pallas: bool = False,
     ):
         self.atom_shape = tuple(int(a) for a in atom_shape)
         self.n_atoms = int(n_atoms)
@@ -158,6 +159,7 @@ class TransformInvariantNMF:
         self._fft_policy = fft_policy
         self._dtype = dtype
         self._mesh = mesh
+        self._use_pallas = bool(use_pallas)
         self._rng = np.random.default_rng(seed) if seed is not None else np.random
 
         self._logger = logger if logger is not None else logging.getLogger(self.__class__.__name__)
@@ -293,6 +295,7 @@ class TransformInvariantNMF:
             update_H=update_H, update_W=update_W,
             use_inhibition=inhibition_strength > 0,
             use_cross=cross_atom_inhibition_strength > 0,
+            use_pallas=self._use_pallas,
         )
         scalars = (jnp.asarray(sparsity_H, self._W.dtype),
                    jnp.asarray(inhibition_strength, self._W.dtype),
@@ -393,7 +396,8 @@ class TransformInvariantNMF:
                             jnp.asarray(inhibition_strength, dt),
                             jnp.asarray(cross_atom_inhibition_strength, dt))
         self._mb_flags = dict(use_inhibition=inhibition_strength > 0,
-                              use_cross=cross_atom_inhibition_strength > 0)
+                              use_cross=cross_atom_inhibition_strength > 0,
+                              use_pallas=self._use_pallas)
 
         inner_stat = None
         for epoch in range(n_epochs):
