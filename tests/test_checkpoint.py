@@ -1,0 +1,70 @@
+"""Checkpoint save/load and profiling-hook tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tnmf_tpu import TransformInvariantNMF
+from tnmf_tpu.utils.profiling import IterationTimer
+
+
+def test_save_load_roundtrip(tmp_path):
+    V = np.random.default_rng(0).random((3, 2, 12, 12))
+    np.random.seed(1)
+    nmf = TransformInvariantNMF(n_atoms=4, atom_shape=(3, 3),
+                                reconstruction_mode='circular', inhibition_range=2)
+    nmf.fit(V, n_iterations=3)
+    path = os.path.join(tmp_path, 'model.npz')
+    nmf.save(path, include_H=True)
+
+    loaded = TransformInvariantNMF.load(path)
+    np.testing.assert_array_equal(loaded.W, nmf.W)
+    np.testing.assert_array_equal(np.asarray(loaded._H), nmf.H)
+    assert loaded.n_atoms == 4
+    assert loaded.atom_shape == (3, 3)
+    assert loaded._reconstruction_mode == 'circular'
+    assert loaded._inhibition_range == (2, 2)
+
+
+def test_load_then_continue(tmp_path):
+    """A restored dictionary must continue training exactly like keep_W."""
+    V = np.random.default_rng(0).random((3, 2, 12, 12))
+    np.random.seed(1)
+    a = TransformInvariantNMF(n_atoms=4, atom_shape=(3, 3))
+    a.fit(V, n_iterations=3)
+    path = os.path.join(tmp_path, 'model.npz')
+    a.save(path)
+
+    np.random.seed(2)
+    a.fit(V, n_iterations=2, keep_W=True)
+
+    b = TransformInvariantNMF.load(path)
+    np.random.seed(2)
+    b.fit(V, n_iterations=2, keep_W=True)
+    np.testing.assert_allclose(a.W, b.W, rtol=1e-12)
+    np.testing.assert_allclose(a.H, b.H, rtol=1e-12)
+
+
+def test_save_unfitted_raises(tmp_path):
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3,))
+    with pytest.raises(ValueError, match='not been fit'):
+        nmf.save(os.path.join(tmp_path, 'x.npz'))
+
+
+def test_iteration_timer():
+    V = np.random.default_rng(0).random((2, 1, 10, 10))
+    timer = IterationTimer(record_energy=True)
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    nmf.fit(V, n_iterations=5, progress_callback=timer)
+    assert len(timer.times) == 5
+    assert len(timer.energies) == 5
+    assert timer.energies[-1] <= timer.energies[0]
+
+
+def test_iteration_timer_wraps_abort():
+    V = np.random.default_rng(0).random((2, 1, 10, 10))
+    timer = IterationTimer(inner=lambda nmf, it: it < 2)
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    nmf.fit(V, n_iterations=100, progress_callback=timer)
+    assert len(timer.times) == 3

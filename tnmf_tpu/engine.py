@@ -93,7 +93,8 @@ def partial_reconstruct(W, H, *, plan: ConvPlan, strategy: str, i_atom: int):
 def energy(V, W, H, *, plan: ConvPlan, strategy: str):
     """0.5 * sum((V - R)^2)  (reference ``_Backend.py:127-130``)."""
     R = get_ops(strategy).reconstruct(W, H, plan)
-    d = V - R
+    acc = jnp.promote_types(V.dtype, jnp.float32)  # f32 accumulation for bf16
+    d = V.astype(acc) - R.astype(acc)
     return 0.5 * jnp.sum(d * d)
 
 
@@ -115,7 +116,9 @@ def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
             H, kernels, plan.ndim, inhibition, cross_inhibition,
             n_atoms=H.shape[1],
             with_same_atom=use_inhibition, with_cross_atom=use_cross)
-    return H * neg / (pos + (EPS + sparsity))
+    # neg/pos are float32 under bfloat16 storage; the ratio is formed in the
+    # accumulation dtype and cast back for storage
+    return (H * neg / (pos + (EPS + sparsity))).astype(H.dtype)
 
 
 def _mu_W(ops, Vp, W, H, *, plan):
@@ -123,8 +126,9 @@ def _mu_W(ops, Vp, W, H, *, plan):
     (reference ``_update_W`` + ``normalize``, ``TransformInvariantNMF.py:240-244``)."""
     R = ops.reconstruct(W, H, plan)
     neg, pos = ops.grad_W_pair(Vp, R, H, plan)
-    W = W * neg / (pos + EPS)
-    return W / jnp.sum(W, axis=tuple(range(-plan.ndim, 0)), keepdims=True)
+    Wn = W * neg / (pos + EPS)
+    Wn = Wn / jnp.sum(Wn, axis=tuple(range(-plan.ndim, 0)), keepdims=True)
+    return Wn.astype(W.dtype)
 
 
 _STEP_STATICS = ('plan', 'strategy', 'update_H', 'update_W', 'use_inhibition', 'use_cross', 'use_pallas')
@@ -214,8 +218,9 @@ def accumulate_gradient(acc_neg, acc_pos, neg, pos, sag_lambda):
 @partial(jax.jit, static_argnames=('n_shift_axes',))
 def apply_W_update(W, neg, pos, *, n_shift_axes: int):
     """W <- normalize(W * neg / (pos + eps)) from precomputed statistics."""
-    W = W * neg / (pos + EPS)
-    return W / jnp.sum(W, axis=tuple(range(-n_shift_axes, 0)), keepdims=True)
+    Wn = W * neg / (pos + EPS)
+    Wn = Wn / jnp.sum(Wn, axis=tuple(range(-n_shift_axes, 0)), keepdims=True)
+    return Wn.astype(W.dtype)
 
 
 @partial(jax.jit, donate_argnums=(0,))

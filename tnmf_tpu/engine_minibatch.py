@@ -68,8 +68,9 @@ def minibatch_fit_loop(
         return ops.grad_W_pair(Vb, R, Hb, plan)
 
     def apply_W(W, neg, pos):
-        W = W * neg / (pos + engine.EPS)
-        return W / jnp.sum(W, axis=norm_axes, keepdims=True)
+        Wn = W * neg / (pos + engine.EPS)
+        Wn = Wn / jnp.sum(Wn, axis=norm_axes, keepdims=True)
+        return Wn.astype(W.dtype)  # keep the scan carry dtype stable (bf16)
 
     def sag_update(stat, neg, pos):
         # sag_lambda == 1 means plain summation (reference
@@ -80,7 +81,8 @@ def minibatch_fit_loop(
         add = jnp.where(is_sum, 1.0, sag_lambda)
         return keep * a_neg + add * neg, keep * a_pos + add * pos
 
-    zero_stat = (jnp.zeros_like(W), jnp.zeros_like(W))
+    acc_dtype = jnp.promote_types(W.dtype, jnp.float32)  # stats stay f32 under bf16
+    zero_stat = (jnp.zeros(W.shape, acc_dtype), jnp.zeros(W.shape, acc_dtype))
 
     def batch_step(carry, idx):
         W, H_b, acc = carry

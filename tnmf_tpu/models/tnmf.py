@@ -516,3 +516,53 @@ class TransformInvariantNMF:
             self.fit_minibatches(V, **kwargs)
         else:
             self.fit_batch(V, **kwargs)
+
+    # ------------------------------------------------------------------
+    # checkpointing (extension over the reference, which only supports
+    # in-memory keep_W warm restarts; SURVEY.md §5)
+    # ------------------------------------------------------------------
+
+    def save(self, path: str, include_H: bool = False):
+        """Serialize the model to an ``.npz`` checkpoint.
+
+        Stores the dictionary (and optionally the activations of the last
+        fit) together with the constructor configuration, so a model can be
+        resumed across processes — e.g. a streaming fit continued on fresh
+        data via ``load(...)`` followed by ``fit(V, keep_W=True)``.
+        """
+        if self._W is None:
+            raise ValueError('nothing to save: the model has not been fit yet')
+        payload = dict(
+            W=np.asarray(self._W),
+            n_atoms=self.n_atoms,
+            atom_shape=np.asarray(self.atom_shape),
+            inhibition_range=np.asarray(self._inhibition_range),
+            reconstruction_mode=self._reconstruction_mode,
+            version=1,
+        )
+        if include_H and self._H is not None:
+            payload['H'] = np.asarray(self.H)
+        np.savez(path, **payload)
+
+    @classmethod
+    def load(cls, path: str, **kwargs) -> 'TransformInvariantNMF':
+        """Restore a model from :meth:`save`.
+
+        The returned model carries the stored dictionary; pass
+        ``keep_W=True`` to subsequent ``fit`` calls to fine-tune instead of
+        re-initializing. Extra ``kwargs`` override constructor arguments.
+        """
+        with np.load(path, allow_pickle=False) as data:
+            W = data['W']
+            cfg = dict(
+                n_atoms=int(data['n_atoms']),
+                atom_shape=tuple(int(a) for a in data['atom_shape']),
+                inhibition_range=tuple(int(r) for r in data['inhibition_range']),
+                reconstruction_mode=str(data['reconstruction_mode']),
+            )
+            cfg.update(kwargs)
+            model = cls(**cfg)
+            model._W = jnp.asarray(W)
+            if 'H' in data:
+                model._H = jnp.asarray(data['H'])
+        return model

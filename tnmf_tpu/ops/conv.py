@@ -89,6 +89,9 @@ def prepare_data(V: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
 
 
 def _conv(lhs, rhs, dn, preferred):
+    # sub-float32 storage (bfloat16) still accumulates in float32 on the MXU
+    if jnp.dtype(preferred).itemsize < 4:
+        preferred = jnp.float32
     return lax.conv_general_dilated(
         lhs, rhs,
         window_strides=(1,) * (lhs.ndim - 2),
@@ -104,7 +107,8 @@ def reconstruct(W: jnp.ndarray, H: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
     Hp = _extend_H(H, plan)
     # R[n,c,x] = sum_{m,a} Hp[n,m,x+a] * W[m,c,A-1-a]
     Wk = jnp.flip(jnp.swapaxes(W, 0, 1), axis=tuple(range(2, 2 + plan.ndim)))
-    return _conv(Hp, Wk, dn, W.dtype)
+    # accumulate in f32 under low-precision storage, store R in storage dtype
+    return _conv(Hp, Wk, dn, W.dtype).astype(W.dtype)
 
 
 def grad_H_pair(Vp: jnp.ndarray, R: jnp.ndarray, W: jnp.ndarray, plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:

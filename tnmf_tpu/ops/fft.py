@@ -39,6 +39,8 @@ from .modes import ConvPlan
 
 
 def _rfftn(x: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
+    if jnp.dtype(x.dtype).itemsize < 4:
+        x = x.astype(jnp.float32)  # FFT needs >= single precision
     return jnp.fft.rfftn(x, s=plan.fft_shape, axes=plan.shift_axes)
 
 
@@ -94,7 +96,7 @@ def reconstruct(W: jnp.ndarray, H: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
     Hf = _rfftn(Hp, plan)
     Wf = _rfftn(W, plan)
     Rf = jnp.einsum('nm...,mc...->nc...', Hf, Wf)
-    R = _irfftn(Rf, plan)
+    R = _irfftn(Rf, plan).astype(W.dtype)
     if plan.mode in ('valid', 'reflect'):
         return _crop(R, am1, plan.sample_shape)
     # full: conv_full(H, W) has exactly sample length; circular: exact period
