@@ -2,6 +2,10 @@
 BASELINE.md's scale config; the multi-chip path is validated by
 ``__graft_entry__.dryrun_multichip`` and examples/data_parallel_fit.py).
 
+Everything (data, init, loop) lives on device so the timing measures
+compute, not host<->device transfers — important behind remote-dispatch
+tunnels where a 300 MB upload costs seconds.
+
     python benchmarks/large_scale.py [n_samples]
 """
 
@@ -13,6 +17,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from tnmf_tpu import engine  # noqa: E402
@@ -20,15 +25,16 @@ from tnmf_tpu.ops.modes import ConvPlan  # noqa: E402
 
 
 def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
-        dtype='float32', strategy='conv'):
+        dtype='float32', strategy='conv', iters=(20, 120)):
     plan = ConvPlan.create('valid', sample, atom)
-    rng = np.random.default_rng(0)
     dt = jnp.dtype(dtype)
-    V = jnp.asarray(rng.random((n_samples, n_channels) + sample, np.float32), dt)
-    W = rng.random((n_atoms, n_channels) + atom, np.float32)
-    W /= W.sum(axis=(-2, -1), keepdims=True)
-    W = jnp.asarray(W, dt)
-    H = jnp.asarray(rng.random((n_samples, n_atoms) + plan.transform_shape, np.float32), dt)
+    key = jax.random.PRNGKey(0)
+    kv, ki = jax.random.split(key)
+    V = jax.jit(lambda k: jax.random.uniform(k, (n_samples, n_channels) + sample, dt))(kv)
+    W0, H0 = engine.init_matrices(
+        ki, w_shape=(n_atoms, n_channels) + atom,
+        h_shape=(n_samples, n_atoms) + plan.transform_shape,
+        n_shift_axes=plan.ndim, dtype=dt)
 
     Vp = engine.prepare_data(V, plan=plan, strategy=strategy)
     z = jnp.zeros((), dt)
@@ -36,21 +42,21 @@ def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
                    use_inhibition=False, use_cross=False)
 
     def go(n):
-        Wn, _ = engine.fit_loop(Vp, W, H, n, z, z, z, (), **statics)
+        # fit_loop donates W/H: clone on device (cheap) instead of re-uploading
+        Wn, _ = engine.fit_loop(Vp, W0 + 0, H0 + 0, n, z, z, z, (), **statics)
         return float(np.asarray(Wn.astype(jnp.float32)).sum())
 
-    go(2)  # compile
+    go(2)  # compile + settle
+    n1, n2 = iters
     t0 = time.perf_counter()
-    go(5)
-    base = time.perf_counter() - t0
-    n = max(10, int(5 * 3.0 / max(base, 1e-3)))
-    t0 = time.perf_counter()
-    go(5 + n)
-    dt_s = time.perf_counter() - t0 - base
-    per_iter = dt_s / n
+    go(n1)
+    t1 = time.perf_counter()
+    go(n2)
+    t2 = time.perf_counter()
+    per_iter = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
     px = n_samples * n_channels * sample[0] * sample[1]
     print(f'{dtype:9s} {strategy:5s} N={n_samples:4d} {sample}x{atom}: '
-          f'{per_iter * 1e3:8.2f} ms/iter  {1 / per_iter:7.2f} it/s  '
+          f'{per_iter * 1e3:8.2f} ms/iter  {1 / per_iter:8.2f} it/s  '
           f'{px / per_iter / 1e9:6.2f} Gpx/s', flush=True)
     return per_iter
 
@@ -58,10 +64,10 @@ def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     for dtype in ('float32', 'bfloat16'):
-        for strategy in ('conv',):
-            run(n_samples=n, dtype=dtype, strategy=strategy)
+        run(n_samples=n, dtype=dtype, strategy='conv')
     # the reference fixture scale, for continuity with bench.py
-    run(n_samples=2, sample=(76, 102), atom=(7, 7), n_atoms=10, n_channels=3)
+    run(n_samples=2, sample=(76, 102), atom=(7, 7), n_atoms=10, n_channels=3,
+        iters=(200, 1200))
 
 
 if __name__ == '__main__':

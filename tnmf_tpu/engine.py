@@ -71,6 +71,24 @@ def choose_strategy(plan: ConvPlan, n_atoms: int, n_channels: int) -> str:
 # jitted kernels
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=('w_shape', 'h_shape', 'n_shift_axes', 'dtype', 'init_W'))
+def init_matrices(key, *, w_shape, h_shape, n_shift_axes: int, dtype, init_W: bool = True):
+    """Device-side W/H initialization: ``1 - U[0, 1)`` with sum-normalized W,
+    matching the reference's distribution (``_Backend.py:83-98``) but drawn
+    from a JAX PRNG key entirely on device.
+
+    This is the at-scale path: for data-parallel fits H is materialized
+    directly in its sharded layout and never exists on the host.
+    """
+    kw, kh = jax.random.split(key)
+    H = 1.0 - jax.random.uniform(kh, h_shape, dtype=dtype)
+    if init_W:
+        W = 1.0 - jax.random.uniform(kw, w_shape, dtype=dtype)
+        W = W / jnp.sum(W, axis=tuple(range(-n_shift_axes, 0)), keepdims=True)
+    else:
+        W = None
+    return W, H
+
 @partial(jax.jit, static_argnames=('plan', 'strategy'))
 def prepare_data(V, *, plan: ConvPlan, strategy: str):
     """Loop-invariant preprocessing of the data tensor (FFT or extension)."""

@@ -126,6 +126,16 @@ class TransformInvariantNMF:
         comparable.
     fft_policy : {'5-smooth', 'pow2'}, default '5-smooth'
         FFT padded-length policy for the fft strategy.
+    use_pallas : bool, default False
+        Use the fused Pallas TPU kernel for the inhibited H update (see
+        ``tnmf_tpu.ops.pallas_mu``). Falls back to the XLA path off-TPU or
+        for unsupported shapes. Off by default: XLA fuses this chain well
+        and the default keeps bitwise-stable numerics.
+    init : {'host', 'device'}, default 'host'
+        'host' draws W/H with NumPy (reference RNG parity). 'device' draws
+        them on the accelerator from a JAX PRNG key (seeded by ``seed``) —
+        required at scales where H exceeds host memory, and materializes H
+        directly in its sharded layout under ``mesh``.
     """
 
     def __init__(
@@ -142,6 +152,7 @@ class TransformInvariantNMF:
             seed: Optional[int] = None,
             fft_policy: str = '5-smooth',
             use_pallas: bool = False,
+            init: str = 'host',
     ):
         self.atom_shape = tuple(int(a) for a in atom_shape)
         self.n_atoms = int(n_atoms)
@@ -160,6 +171,10 @@ class TransformInvariantNMF:
         self._dtype = dtype
         self._mesh = mesh
         self._use_pallas = bool(use_pallas)
+        if init not in ('host', 'device'):
+            raise ValueError(f"init must be 'host' or 'device', got {init!r}")
+        self._init = init
+        self._device_key = jax.random.PRNGKey(seed if seed is not None else 0)
         self._rng = np.random.default_rng(seed) if seed is not None else np.random
 
         self._logger = logger if logger is not None else logging.getLogger(self.__class__.__name__)
@@ -242,25 +257,40 @@ class TransformInvariantNMF:
         self._strategy = strategy
         dtype = self._resolve_dtype(V)
 
-        # Host-side init replicating the reference RNG stream exactly
-        # (H then W, 1 - U[0,1); _Backend.py:83-98) so seeded runs match.
-        # (np.random.random and Generator.random share this call signature.)
-        H = np.asarray(
-            1 - self._rng.random((V.shape[0], self.n_atoms) + self._plan.transform_shape),
-            dtype=V.dtype)
-        if keep_W and self._W is not None:
-            W = np.asarray(self._W)
+        keep = keep_W and self._W is not None
+        if self._init == 'device':
+            # At-scale path: W/H drawn on device from a JAX PRNG key — H never
+            # exists on the host (it can exceed host memory for large fits).
+            self._device_key, sub = jax.random.split(self._device_key)
+            Wd, Hd = engine.init_matrices(
+                sub,
+                w_shape=(self.n_atoms, V.shape[1]) + self.atom_shape,
+                h_shape=(V.shape[0], self.n_atoms) + self._plan.transform_shape,
+                n_shift_axes=self._plan.ndim, dtype=dtype, init_W=not keep)
+            if keep:
+                Wd = jnp.asarray(self._W, dtype=dtype)
         else:
-            W = np.asarray(
-                1 - self._rng.random((self.n_atoms, V.shape[1]) + self.atom_shape),
+            # Host-side init replicating the reference RNG stream exactly
+            # (H then W, 1 - U[0,1); _Backend.py:83-98) so seeded runs match.
+            # (np.random.random and Generator.random share this signature.)
+            H = np.asarray(
+                1 - self._rng.random((V.shape[0], self.n_atoms) + self._plan.transform_shape),
                 dtype=V.dtype)
-            W /= W.sum(axis=self._axes_W_normalization, keepdims=True)
+            if keep:
+                W = np.asarray(self._W)
+            else:
+                W = np.asarray(
+                    1 - self._rng.random((self.n_atoms, V.shape[1]) + self.atom_shape),
+                    dtype=V.dtype)
+                W /= W.sum(axis=self._axes_W_normalization, keepdims=True)
+            Wd = jnp.asarray(W, dtype=dtype)
+            Hd = jnp.asarray(H, dtype=dtype)
 
         self._kernels = tuple(jnp.asarray(k, dtype=dtype) for k in self._inhibition_kernels_1D)
 
         Vd = jnp.asarray(V, dtype=dtype)
-        self._W = jnp.asarray(W, dtype=dtype)
-        self._H = jnp.asarray(H, dtype=dtype)
+        self._W = Wd
+        self._H = Hd
         if self._mesh is not None:
             from ..parallel.sharding import shard_model_state
             Vd, self._W, self._H = shard_model_state(self._mesh, Vd, self._W, self._H)
