@@ -1,0 +1,66 @@
+"""Tests for the fit extensions beyond the reference API:
+callback_interval (chunked callbacks) and record_energies (on-device
+energy traces)."""
+
+import numpy as np
+
+from tnmf_tpu import TransformInvariantNMF
+
+
+def _V():
+    return np.random.default_rng(0).random((3, 2, 14, 14))
+
+
+def test_record_energies_matches_callback_trace():
+    V = _V()
+    np.random.seed(1)
+    a = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
+    a.fit(V, n_iterations=6, sparsity_H=0.1, record_energies=True)
+    assert a.energies_.shape == (6,)
+
+    trace = []
+    np.random.seed(1)
+    b = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
+    b.fit(V, n_iterations=6, sparsity_H=0.1,
+          progress_callback=lambda nmf, it: trace.append(nmf._energy_function()) or True)
+    np.testing.assert_allclose(a.energies_, trace, rtol=1e-10)
+    np.testing.assert_allclose(a.W, b.W, rtol=1e-12)
+
+
+def test_record_energies_monotone_plain_mu():
+    np.random.seed(2)
+    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
+    nmf.fit(_V(), n_iterations=10, record_energies=True)
+    e = nmf.energies_
+    assert np.all(np.diff(e) <= 1e-9)
+
+
+def test_callback_interval_chunks():
+    V = _V()
+    seen = []
+
+    np.random.seed(1)
+    a = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
+    a.fit(V, n_iterations=10, progress_callback=lambda nmf, it: seen.append(it) or True,
+          callback_interval=4)
+    assert seen == [3, 7, 9]
+
+    # trajectory identical to the unchunked fit
+    np.random.seed(1)
+    b = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
+    b.fit(V, n_iterations=10)
+    np.testing.assert_allclose(a.W, b.W, rtol=1e-12)
+    np.testing.assert_allclose(a.H, b.H, rtol=1e-12)
+
+
+def test_callback_interval_abort():
+    calls = []
+
+    def cb(nmf, it):
+        calls.append(it)
+        return len(calls) < 2
+
+    np.random.seed(1)
+    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
+    nmf.fit(_V(), n_iterations=100, progress_callback=cb, callback_interval=5)
+    assert calls == [4, 9]

@@ -194,6 +194,37 @@ def fit_loop(Vp, W, H, n_iterations, sparsity, inhibition, cross_inhibition, ker
     return jax.lax.fori_loop(0, n_iterations, body, (W, H))
 
 
+@partial(jax.jit, static_argnames=_STEP_STATICS + ('n_iterations',), donate_argnums=(2, 3))
+def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
+                      n_iterations: int,
+                      plan: ConvPlan, strategy: str,
+                      update_H: bool = True, update_W: bool = True,
+                      use_inhibition: bool = False, use_cross: bool = False,
+                      use_pallas: bool = False):
+    """Fused fit loop that also records the post-iteration reconstruction
+    energy (the trace the reference logs per iteration,
+    ``TransformInvariantNMF.py:346``).  Costs one extra reconstruction per
+    iteration, like the reference's logging path.  ``n_iterations`` is
+    static here (scan length)."""
+    ops = get_ops(strategy)
+    acc = jnp.promote_types(V.dtype, jnp.float32)
+
+    def body(WH, _):
+        W, H = WH
+        if update_H:
+            H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
+                      kernels, plan=plan, use_inhibition=use_inhibition,
+                      use_cross=use_cross, use_pallas=use_pallas)
+        if update_W:
+            W = _mu_W(ops, Vp, W, H, plan=plan)
+        R = ops.reconstruct(W, H, plan)
+        d = V.astype(acc) - R.astype(acc)
+        return (W, H), 0.5 * jnp.sum(d * d)
+
+    (W, H), energies = jax.lax.scan(body, (W, H), None, length=n_iterations)
+    return W, H, energies
+
+
 @partial(jax.jit, static_argnames=('plan', 'strategy', 'use_inhibition', 'use_cross', 'use_pallas'))
 def update_H_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
                   plan: ConvPlan, strategy: str,

@@ -312,12 +312,36 @@ class TransformInvariantNMF:
             inhibition_strength: float = 0.,
             cross_atom_inhibition_strength: float = 0.,
             progress_callback: Optional[Callable[['TransformInvariantNMF', int], bool]] = None,
+            callback_interval: int = 1,
+            record_energies: bool = False,
     ):
+        r"""Full-batch multiplicative-update factorization of ``V``.
+
+        Parameters follow the reference (``TransformInvariantNMF.py:282-325``):
+        ``V`` has shape ``(n_samples, n_channels, *sample_shape)``;
+        ``n_iterations`` bounds the number of H+W updates; ``update_H`` /
+        ``update_W`` freeze a factor; ``keep_W`` warm-starts from the current
+        dictionary; ``sparsity_H``, ``inhibition_strength`` and
+        ``cross_atom_inhibition_strength`` weight the regularizers; and
+        ``progress_callback(model, iteration) -> bool`` is invoked after
+        every iteration, aborting the fit when it returns False.
+
+        Extensions over the reference:
+
+        * ``callback_interval > 1`` invokes the callback only every k-th
+          iteration, running fully fused on-device chunks in between —
+          recommended where per-iteration dispatch is expensive.
+        * ``record_energies=True`` (no-callback path) stores the
+          per-iteration energy trace on device and exposes it afterwards as
+          ``self.energies_`` at the cost of one extra reconstruction per
+          iteration.
+        """
         assert np.all(np.asarray(V) >= 0)
         assert update_H or update_W
         assert sparsity_H >= 0
         assert inhibition_strength >= 0
         assert cross_atom_inhibition_strength >= 0
+        assert callback_interval >= 1
 
         self._initialize_matrices(V, keep_W)
         statics = dict(
@@ -332,10 +356,33 @@ class TransformInvariantNMF:
                    jnp.asarray(cross_atom_inhibition_strength, self._W.dtype))
 
         log_each = self._logger.isEnabledFor(logging.INFO)
-        if progress_callback is None and not log_each:
+        self.energies_ = None
+        if record_energies and progress_callback is None:
+            # fused loop with an on-device per-iteration energy trace
+            self._W, self._H, energies = engine.fit_loop_energies(
+                self._Vp, self._Vd, self._W, self._H, *scalars, self._kernels,
+                n_iterations=int(n_iterations), **statics)
+            self.energies_ = np.asarray(energies)
+            if log_each:
+                for i, e in enumerate(self.energies_):
+                    self._logger.info('Iteration: %d\tEnergy function: %s', i, e)
+        elif progress_callback is None and not log_each:
             # fused on-device loop
             self._W, self._H = engine.fit_loop(
                 self._Vp, self._W, self._H, n_iterations, *scalars, self._kernels, **statics)
+        elif progress_callback is not None and callback_interval > 1:
+            # chunked callbacks: fused on-device chunks between Python calls.
+            # The callback sees the model after iterations k-1, 2k-1, ... —
+            # a deliberate relaxation of the every-iteration protocol for
+            # dispatch-latency-bound setups (opt-in via callback_interval).
+            done = 0
+            while done < n_iterations:
+                chunk = min(callback_interval, n_iterations - done)
+                self._W, self._H = engine.fit_loop(
+                    self._Vp, self._W, self._H, chunk, *scalars, self._kernels, **statics)
+                done += chunk
+                if not progress_callback(self, done - 1):
+                    break
         else:
             for iteration in range(n_iterations):
                 self._W, self._H = engine.update_step(
