@@ -29,7 +29,6 @@ Design notes (TPU):
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
