@@ -70,6 +70,40 @@ def test_sharded_minibatch():
     np.testing.assert_allclose(sharded.W, single.W, rtol=1e-8, atol=1e-10)
 
 
+@needs_8_devices
+@pytest.mark.parametrize('with_inhibition', [False, True])
+def test_spatial_sharding_matches_single_device(with_inhibition):
+    """'spatial' shard axis: one large image split across devices; the SPMD
+    partitioner's conv halo exchange must reproduce single-device results."""
+    # valid mode: T = 60 + 5 - 1 = 64, divisible by the 4-device mesh
+    V = np.random.default_rng(5).random((1, 2, 60, 48))
+    kw = dict(n_iterations=4, sparsity_H=0.1)
+    if with_inhibition:
+        kw['inhibition_strength'] = 0.2
+
+    np.random.seed(42)
+    single = TransformInvariantNMF(n_atoms=4, atom_shape=(5, 5), backend='jax_conv')
+    single.fit(V, **kw)
+
+    np.random.seed(42)
+    sharded = TransformInvariantNMF(n_atoms=4, atom_shape=(5, 5), backend='jax_conv',
+                                    mesh=make_mesh(4), shard_axis='spatial')
+    sharded.fit(V, **kw)
+
+    assert sharded._H.sharding.spec[2] == DATA_AXIS
+    np.testing.assert_allclose(sharded.W, single.W, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(sharded.H, single.H, rtol=1e-8, atol=1e-10)
+
+
+@needs_8_devices
+def test_spatial_sharding_divisibility_error():
+    V = np.random.default_rng(0).random((1, 1, 64, 64))  # T = 68, not / 8
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(5, 5), backend='jax_conv',
+                                mesh=make_mesh(8), shard_axis='spatial')
+    with pytest.raises(ValueError, match='first spatial axis'):
+        nmf.fit(V, n_iterations=1)
+
+
 def test_mesh_divisibility_error():
     V = np.random.default_rng(0).random((5, 1, 8, 8))
     mesh = make_mesh(min(8, jax.device_count()))

@@ -136,6 +136,11 @@ class TransformInvariantNMF:
         them on the accelerator from a JAX PRNG key (seeded by ``seed``) —
         required at scales where H exceeds host memory, and materializes H
         directly in its sharded layout under ``mesh``.
+    shard_axis : {'samples', 'spatial'}, default 'samples'
+        With ``mesh``: 'samples' is data parallelism over the sample axis;
+        'spatial' shards the first spatial axis of V/H instead — for very
+        large individual images, with conv halo exchange inserted by the
+        SPMD partitioner (use with the 'conv' strategy).
     """
 
     def __init__(
@@ -153,6 +158,7 @@ class TransformInvariantNMF:
             fft_policy: str = '5-smooth',
             use_pallas: bool = False,
             init: str = 'host',
+            shard_axis: str = 'samples',
     ):
         self.atom_shape = tuple(int(a) for a in atom_shape)
         self.n_atoms = int(n_atoms)
@@ -171,6 +177,7 @@ class TransformInvariantNMF:
         self._dtype = dtype
         self._mesh = mesh
         self._use_pallas = bool(use_pallas)
+        self._shard_axis = shard_axis
         if init not in ('host', 'device'):
             raise ValueError(f"init must be 'host' or 'device', got {init!r}")
         self._init = init
@@ -293,7 +300,8 @@ class TransformInvariantNMF:
         self._H = Hd
         if self._mesh is not None:
             from ..parallel.sharding import shard_model_state
-            Vd, self._W, self._H = shard_model_state(self._mesh, Vd, self._W, self._H)
+            Vd, self._W, self._H = shard_model_state(
+                self._mesh, Vd, self._W, self._H, axis=self._shard_axis)
         self._Vd = Vd
         self._Vp = engine.prepare_data(Vd, plan=self._plan, strategy=self._strategy)
 

@@ -44,15 +44,49 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_model_state(mesh: Mesh, V, W, H) -> Tuple:
-    """Place V/H sample-sharded and W replicated on the mesh."""
-    n = V.shape[0]
+def spatial_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the first spatial axis (axis 2 of the (B, F, *spatial) layout)."""
+    spec = [None] * ndim
+    spec[2] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_model_state(mesh: Mesh, V, W, H, axis: str = 'samples') -> Tuple:
+    """Place the model state on the mesh.
+
+    ``axis='samples'`` — data parallelism: V/H sharded along the sample
+    axis, W replicated; the W-statistic sample reduction becomes an
+    all-reduce (the standard large-batch layout).
+
+    ``axis='spatial'`` — spatial parallelism for very large individual
+    samples (the conv-NMF analogue of sequence/context parallelism, which
+    the reference has no counterpart for): V and H are sharded along their
+    first *spatial* axis. The XLA SPMD partitioner inserts the halo
+    exchanges that the direct convolutions need at shard boundaries; W
+    stays replicated. Works with the 'conv' strategy (the FFT strategy
+    would transform along the sharded axis, forcing all-to-alls).
+    """
     n_dev = mesh.devices.size
-    if n % n_dev != 0:
-        raise ValueError(
-            f'n_samples ({n}) must be divisible by the mesh size ({n_dev}); '
-            f'pad the batch or use a smaller mesh')
-    V = jax.device_put(V, data_sharding(mesh, V.ndim))
-    H = jax.device_put(H, data_sharding(mesh, H.ndim))
+    if axis == 'samples':
+        n = V.shape[0]
+        if n % n_dev != 0:
+            raise ValueError(
+                f'n_samples ({n}) must be divisible by the mesh size ({n_dev}); '
+                f'pad the batch or use a smaller mesh')
+        V = jax.device_put(V, data_sharding(mesh, V.ndim))
+        H = jax.device_put(H, data_sharding(mesh, H.ndim))
+    elif axis == 'spatial':
+        if V.ndim < 3:
+            raise ValueError('spatial sharding needs at least one spatial axis')
+        if V.shape[2] % n_dev or H.shape[2] % n_dev:
+            raise ValueError(
+                f'spatial sharding requires the first spatial axis of both V '
+                f'({V.shape[2]}) and H ({H.shape[2]}, i.e. sample+atom-1 in '
+                f'"valid" mode) to be divisible by the mesh size ({n_dev}); '
+                f'choose a compatible mesh size or atom/sample shape')
+        V = jax.device_put(V, spatial_sharding(mesh, V.ndim))
+        H = jax.device_put(H, spatial_sharding(mesh, H.ndim))
+    else:
+        raise ValueError(f"shard axis must be 'samples' or 'spatial', got {axis!r}")
     W = jax.device_put(W, replicated(mesh))
     return V, W, H
