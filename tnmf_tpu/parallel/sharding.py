@@ -78,13 +78,19 @@ def shard_model_state(mesh: Mesh, V, W, H, axis: str = 'samples') -> Tuple:
     elif axis == 'spatial':
         if V.ndim < 3:
             raise ValueError('spatial sharding needs at least one spatial axis')
-        if V.shape[2] % n_dev or H.shape[2] % n_dev:
+        if H.shape[2] % n_dev:
             raise ValueError(
-                f'spatial sharding requires the first spatial axis of both V '
-                f'({V.shape[2]}) and H ({H.shape[2]}, i.e. sample+atom-1 in '
-                f'"valid" mode) to be divisible by the mesh size ({n_dev}); '
-                f'choose a compatible mesh size or atom/sample shape')
-        V = jax.device_put(V, spatial_sharding(mesh, V.ndim))
+                f'spatial sharding requires the first spatial axis of H '
+                f'({H.shape[2]}, i.e. sample+atom-1 in "valid" mode) to be '
+                f'divisible by the mesh size ({n_dev}); choose a compatible '
+                f'mesh size or atom/sample shape')
+        # H dominates memory and must shard; V shards too when its extent
+        # divides, otherwise it stays replicated and the partitioner
+        # re-slices V-sized intermediates as needed.
+        if V.shape[2] % n_dev == 0:
+            V = jax.device_put(V, spatial_sharding(mesh, V.ndim))
+        else:
+            V = jax.device_put(V, replicated(mesh))
         H = jax.device_put(H, spatial_sharding(mesh, H.ndim))
     else:
         raise ValueError(f"shard axis must be 'samples' or 'spatial', got {axis!r}")
