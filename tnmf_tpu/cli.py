@@ -31,6 +31,10 @@ def list_examples():
 
 def cmd_demo(args) -> int:
     selector = os.path.join(DEMO_DIR, 'demo_selector.py')
+    if not os.path.isfile(selector):
+        print('demos are shipped with the source tree, not the wheel; '
+              'clone the repository to run them.', file=sys.stderr)
+        return 1
     if args.headless:
         return subprocess.call([sys.executable, selector, args.name])
     try:
