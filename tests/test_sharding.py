@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from tnmf_tpu import TransformInvariantNMF
-from tnmf_tpu.parallel import DATA_AXIS, make_mesh
+from tnmf_tpu.parallel import DATA_AXIS, SPATIAL_AXIS, make_mesh, make_mesh_2d
 
 needs_8_devices = pytest.mark.skipif(
     jax.device_count() < 8, reason='needs 8 (virtual) devices')
@@ -102,6 +102,27 @@ def test_spatial_sharding_divisibility_error():
                                 mesh=make_mesh(8), shard_axis='spatial')
     with pytest.raises(ValueError, match='first spatial axis'):
         nmf.fit(V, n_iterations=1)
+
+
+@needs_8_devices
+def test_2d_mesh_data_x_spatial():
+    """Combined data + spatial parallelism on a 2x4 mesh must reproduce the
+    single-device trajectory."""
+    V = np.random.default_rng(5).random((4, 2, 60, 40))  # T = 64 divides 4
+
+    np.random.seed(42)
+    single = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), backend='jax_conv')
+    single.fit(V, n_iterations=4, sparsity_H=0.1)
+
+    np.random.seed(42)
+    both = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), backend='jax_conv',
+                                 mesh=make_mesh_2d(2, 4), shard_axis='both')
+    both.fit(V, n_iterations=4, sparsity_H=0.1)
+
+    assert both._H.sharding.spec[0] == DATA_AXIS
+    assert both._H.sharding.spec[2] == SPATIAL_AXIS
+    np.testing.assert_allclose(both.W, single.W, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(both.H, single.H, rtol=1e-8, atol=1e-10)
 
 
 def test_mesh_divisibility_error():

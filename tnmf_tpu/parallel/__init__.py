@@ -1,5 +1,6 @@
-from .sharding import (DATA_AXIS, data_sharding, make_mesh, replicated,
-                       shard_model_state, spatial_sharding)
+from .sharding import (DATA_AXIS, SPATIAL_AXIS, data_sharding, make_mesh,
+                       make_mesh_2d, replicated, shard_model_state,
+                       spatial_sharding)
 
-__all__ = ['DATA_AXIS', 'data_sharding', 'make_mesh', 'replicated',
-           'shard_model_state', 'spatial_sharding']
+__all__ = ['DATA_AXIS', 'SPATIAL_AXIS', 'data_sharding', 'make_mesh',
+           'make_mesh_2d', 'replicated', 'shard_model_state', 'spatial_sharding']

@@ -24,6 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
+SPATIAL_AXIS = 'space'
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -33,6 +34,20 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def make_mesh_2d(n_data: int, n_space: int, devices=None) -> Mesh:
+    """2-D mesh combining data and spatial parallelism: samples shard over
+    the ``'data'`` axis, the first spatial dimension of V/H over
+    ``'space'``. Lay the spatial axis innermost so its halo exchanges ride
+    the fastest interconnect links."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_space
+    if len(devices) < need:
+        raise ValueError(f'mesh {n_data}x{n_space} needs {need} devices, have {len(devices)}')
+    return Mesh(np.array(devices[:need]).reshape(n_data, n_space),
+                (DATA_AXIS, SPATIAL_AXIS))
 
 
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
@@ -92,7 +107,23 @@ def shard_model_state(mesh: Mesh, V, W, H, axis: str = 'samples') -> Tuple:
         else:
             V = jax.device_put(V, replicated(mesh))
         H = jax.device_put(H, spatial_sharding(mesh, H.ndim))
+    elif axis == 'both':
+        if SPATIAL_AXIS not in mesh.axis_names or DATA_AXIS not in mesh.axis_names:
+            raise ValueError("axis='both' needs a 2-D mesh from make_mesh_2d")
+        n_data = mesh.shape[DATA_AXIS]
+        n_space = mesh.shape[SPATIAL_AXIS]
+        if V.shape[0] % n_data:
+            raise ValueError(
+                f'n_samples ({V.shape[0]}) must divide the data axis ({n_data})')
+        if H.shape[2] % n_space:
+            raise ValueError(
+                f'first spatial axis of H ({H.shape[2]}) must divide the '
+                f'spatial mesh axis ({n_space})')
+        rest = [None] * (V.ndim - 3)
+        v_spatial = SPATIAL_AXIS if V.shape[2] % n_space == 0 else None
+        V = jax.device_put(V, NamedSharding(mesh, P(DATA_AXIS, None, v_spatial, *rest)))
+        H = jax.device_put(H, NamedSharding(mesh, P(DATA_AXIS, None, SPATIAL_AXIS, *rest)))
     else:
-        raise ValueError(f"shard axis must be 'samples' or 'spatial', got {axis!r}")
+        raise ValueError(f"shard axis must be 'samples', 'spatial' or 'both', got {axis!r}")
     W = jax.device_put(W, replicated(mesh))
     return V, W, H
