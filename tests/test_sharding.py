@@ -53,6 +53,25 @@ def test_activations_actually_sharded():
 
 
 @needs_8_devices
+def test_sharded_minibatch_scan_path():
+    """batch_size divisible by the mesh: the on-device scan path engages
+    under data parallelism and matches the single-device result."""
+    from tnmf_tpu import MiniBatchAlgorithm
+    V = np.random.default_rng(5).random((16, 2, 12, 12))
+
+    np.random.seed(42)
+    single = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3))
+    single.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=8, n_epochs=3)
+
+    np.random.seed(42)
+    sharded = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3), mesh=make_mesh(8))
+    sharded.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=8, n_epochs=3)
+
+    np.testing.assert_allclose(sharded.W, single.W, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(sharded.H, single.H, rtol=1e-8, atol=1e-10)
+
+
+@needs_8_devices
 def test_sharded_minibatch():
     """Minibatch slices cut across shard boundaries; GSPMD must resolve the
     resharding transparently and keep results correct."""

@@ -265,6 +265,13 @@ class TransformInvariantNMF:
         dtype = self._resolve_dtype(V)
 
         keep = keep_W and self._W is not None
+        if keep:
+            expected = (self.n_atoms, V.shape[1]) + self.atom_shape
+            if tuple(self._W.shape) != expected:
+                raise ValueError(
+                    f'keep_W: existing dictionary of shape {tuple(self._W.shape)} '
+                    f'does not match the new data (expected {expected}); '
+                    f'the channel count must stay constant across fits')
         if self._init == 'device':
             # At-scale path: W/H drawn on device from a JAX PRNG key — H never
             # exists on the host (it can exceed host memory for large fits).
@@ -439,10 +446,15 @@ class TransformInvariantNMF:
         # program (engine_minibatch).  Eligible when there is no per-epoch
         # Python interaction and the batches are equal-size; produces the
         # exact same trajectory and RNG consumption as the loop below.
+        mesh_ok = (
+            self._mesh is None
+            or self._shard_axis != 'samples'
+            or (batch_size is not None and batch_size % self._mesh.devices.size == 0)
+        )
         use_scan = (
             progress_callback is None
             and not self._logger.isEnabledFor(logging.INFO)
-            and self._mesh is None
+            and mesh_ok
             and len(batches) > 0
         )
         from ..engine_minibatch import batchable, minibatch_fit_loop
