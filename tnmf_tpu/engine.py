@@ -138,14 +138,22 @@ def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
     return (H * neg / (pos + (EPS + sparsity))).astype(H.dtype)
 
 
+def _normalize_W(W, n_shift_axes):
+    """Sum-normalize atoms; bit-identical to plain division for nonzero
+    sums, but returns zero atoms (not NaN) when an atom collapses to zero
+    (e.g. all-zero data) — a deliberate robustness improvement over the
+    reference's ``arr /= arr.sum()`` (``_Backend.py:75-77``)."""
+    s = jnp.sum(W, axis=tuple(range(-n_shift_axes, 0)), keepdims=True)
+    return W / jnp.where(s == 0, 1, s)
+
+
 def _mu_W(ops, Vp, W, H, *, plan):
     """One multiplicative W update with atom-wise sum normalization
     (reference ``_update_W`` + ``normalize``, ``TransformInvariantNMF.py:240-244``)."""
     R = ops.reconstruct(W, H, plan)
     neg, pos = ops.grad_W_pair(Vp, R, H, plan)
     Wn = W * neg / (pos + EPS)
-    Wn = Wn / jnp.sum(Wn, axis=tuple(range(-plan.ndim, 0)), keepdims=True)
-    return Wn.astype(W.dtype)
+    return _normalize_W(Wn, plan.ndim).astype(W.dtype)
 
 
 _STEP_STATICS = ('plan', 'strategy', 'update_H', 'update_W', 'use_inhibition', 'use_cross', 'use_pallas')
@@ -267,8 +275,7 @@ def accumulate_gradient(acc_neg, acc_pos, neg, pos, sag_lambda):
 def apply_W_update(W, neg, pos, *, n_shift_axes: int):
     """W <- normalize(W * neg / (pos + eps)) from precomputed statistics."""
     Wn = W * neg / (pos + EPS)
-    Wn = Wn / jnp.sum(Wn, axis=tuple(range(-n_shift_axes, 0)), keepdims=True)
-    return Wn.astype(W.dtype)
+    return _normalize_W(Wn, n_shift_axes).astype(W.dtype)
 
 
 @partial(jax.jit, donate_argnums=(0,))

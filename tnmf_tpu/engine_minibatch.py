@@ -69,8 +69,7 @@ def minibatch_fit_loop(
 
     def apply_W(W, neg, pos):
         Wn = W * neg / (pos + engine.EPS)
-        Wn = Wn / jnp.sum(Wn, axis=norm_axes, keepdims=True)
-        return Wn.astype(W.dtype)  # keep the scan carry dtype stable (bf16)
+        return engine._normalize_W(Wn, plan.ndim).astype(W.dtype)  # stable carry dtype
 
     def sag_update(stat, neg, pos):
         # sag_lambda == 1 means plain summation (reference
