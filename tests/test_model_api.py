@@ -110,3 +110,14 @@ def test_float32_dtype():
     nmf.fit(V, n_iterations=3)
     assert nmf.W.dtype == np.float32
     assert np.isfinite(nmf._energy_function())
+
+
+def test_precision_option():
+    V = _V()
+    np.random.seed(0)
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), precision='highest')
+    nmf.fit(V, n_iterations=2)
+    assert np.isfinite(nmf._energy_function())
+    with pytest.raises(ValueError, match='precision'):
+        bad = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), precision='float16')
+        bad.fit(V, n_iterations=1)

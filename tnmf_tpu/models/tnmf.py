@@ -141,6 +141,10 @@ class TransformInvariantNMF:
         'spatial' shards the first spatial axis of V/H instead — for very
         large individual images, with conv halo exchange inserted by the
         SPMD partitioner (use with the 'conv' strategy).
+    precision : {None, 'default', 'high', 'highest'}, optional
+        Multiply precision of the contraction units. On TPU the default is
+        bfloat16 multiplies with float32 accumulation (fastest); 'highest'
+        forces full float32 multiplies for tighter float32 trajectories.
     """
 
     def __init__(
@@ -159,6 +163,7 @@ class TransformInvariantNMF:
             use_pallas: bool = False,
             init: str = 'host',
             shard_axis: str = 'samples',
+            precision: Optional[str] = None,
     ):
         self.atom_shape = tuple(int(a) for a in atom_shape)
         self.n_atoms = int(n_atoms)
@@ -178,6 +183,7 @@ class TransformInvariantNMF:
         self._mesh = mesh
         self._use_pallas = bool(use_pallas)
         self._shard_axis = shard_axis
+        self._precision = precision
         if init not in ('host', 'device'):
             raise ValueError(f"init must be 'host' or 'device', got {init!r}")
         self._init = init
@@ -257,7 +263,7 @@ class TransformInvariantNMF:
 
         sample_shape = V.shape[2:]
         self._plan = ConvPlan.create(self._reconstruction_mode, sample_shape, self.atom_shape,
-                                     self._fft_policy)
+                                     self._fft_policy, precision=self._precision)
         strategy = self._strategy_request
         if strategy == 'auto':
             strategy = engine.choose_strategy(self._plan, self.n_atoms, V.shape[1])

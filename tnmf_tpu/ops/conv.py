@@ -88,7 +88,7 @@ def prepare_data(V: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
     return extend_data(V, plan)
 
 
-def _conv(lhs, rhs, dn, preferred):
+def _conv(lhs, rhs, dn, preferred, precision=None):
     # sub-float32 storage (bfloat16) still accumulates in float32 on the MXU
     if jnp.dtype(preferred).itemsize < 4:
         preferred = jnp.float32
@@ -98,6 +98,7 @@ def _conv(lhs, rhs, dn, preferred):
         padding=[(0, 0)] * (lhs.ndim - 2),
         dimension_numbers=dn,
         preferred_element_type=preferred,
+        precision=precision,
     )
 
 
@@ -108,7 +109,7 @@ def reconstruct(W: jnp.ndarray, H: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
     # R[n,c,x] = sum_{m,a} Hp[n,m,x+a] * W[m,c,A-1-a]
     Wk = jnp.flip(jnp.swapaxes(W, 0, 1), axis=tuple(range(2, 2 + plan.ndim)))
     # accumulate in f32 under low-precision storage, store R in storage dtype
-    return _conv(Hp, Wk, dn, W.dtype).astype(W.dtype)
+    return _conv(Hp, Wk, dn, W.dtype, plan.lax_precision).astype(W.dtype)
 
 
 def grad_H_pair(Vp: jnp.ndarray, R: jnp.ndarray, W: jnp.ndarray, plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -120,7 +121,7 @@ def grad_H_pair(Vp: jnp.ndarray, R: jnp.ndarray, W: jnp.ndarray, plan: ConvPlan)
     # stacked along the batch axis: one bigger MXU kernel instead of two
     # half-occupancy ones (measured 20-35% faster per MU iteration on v5e).
     X2 = jnp.concatenate([Vp, Rp], axis=0)
-    G2 = _conv(X2, W, dn, W.dtype)
+    G2 = _conv(X2, W, dn, W.dtype, plan.lax_precision)
     n = Vp.shape[0]
     return G2[:n], G2[n:]
 
@@ -133,6 +134,6 @@ def grad_W_pair(Vp: jnp.ndarray, R: jnp.ndarray, H: jnp.ndarray, plan: ConvPlan)
     # G[c,m,a] = sum_{n,t} Xp[n,c,a+t] * H[n,m,t]; neg/pos stacked along the
     # channel axis (the conv's batch role) — see grad_H_pair.
     X2 = jnp.concatenate([Vp, Rp], axis=1)
-    G2 = jnp.swapaxes(_conv(X2, H, dn, H.dtype), 0, 1)
+    G2 = jnp.swapaxes(_conv(X2, H, dn, H.dtype, plan.lax_precision), 0, 1)
     c = Vp.shape[1]
     return G2[:, :c], G2[:, c:]

@@ -95,7 +95,7 @@ def reconstruct(W: jnp.ndarray, H: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
         Hp = H
     Hf = _rfftn(Hp, plan)
     Wf = _rfftn(W, plan)
-    Rf = jnp.einsum('nm...,mc...->nc...', Hf, Wf)
+    Rf = jnp.einsum('nm...,mc...->nc...', Hf, Wf, precision=plan.lax_precision)
     R = _irfftn(Rf, plan).astype(W.dtype)
     if plan.mode in ('valid', 'reflect'):
         return _crop(R, am1, plan.sample_shape)
@@ -115,7 +115,7 @@ def grad_H_pair(Vf: jnp.ndarray, R: jnp.ndarray, W: jnp.ndarray, plan: ConvPlan)
     Rf = _rfftn(extend_data(R, plan), plan)
     out = []
     for Xf in (Vf, Rf):
-        Gf = jnp.einsum('nc...,mc...->nm...', Xf, Wf_c)
+        Gf = jnp.einsum('nc...,mc...->nm...', Xf, Wf_c, precision=plan.lax_precision)
         out.append(_crop(_irfftn(Gf, plan), zero, tshape))
     return tuple(out)
 
@@ -127,6 +127,6 @@ def grad_W_pair(Vf: jnp.ndarray, R: jnp.ndarray, H: jnp.ndarray, plan: ConvPlan)
     Rf = _rfftn(extend_data(R, plan), plan)
     out = []
     for Xf in (Vf, Rf):
-        Gf = jnp.einsum('nc...,nm...->mc...', Xf, Hf_c)
+        Gf = jnp.einsum('nc...,nm...->mc...', Xf, Hf_c, precision=plan.lax_precision)
         out.append(_crop(_irfftn(Gf, plan), zero, plan.atom_shape))
     return tuple(out)

@@ -123,17 +123,28 @@ class ConvPlan:
     ``n_samples`` is deliberately *not* part of the plan: the kernels accept
     any leading batch size (jit re-specializes on array shapes), which is what
     makes minibatch slicing cheap.
+
+    ``precision`` controls the multiply precision of the contraction units
+    (TPU MXU): None uses the backend default (bfloat16 multiplies with f32
+    accumulation on TPU — fastest), 'highest' forces full input-dtype
+    multiplies (3-pass f32 on TPU) for workloads that need tighter
+    float32 trajectories.
     """
     mode: str
     sample_shape: Tuple[int, ...]
     atom_shape: Tuple[int, ...]
     fft_shape: Tuple[int, ...]
+    precision: str = None
 
     def __post_init__(self):
         if self.mode not in SUPPORTED_MODES:
             raise ValueError(
                 f'Unsupported reconstruction mode "{self.mode}". '
                 f'Please choose "valid", "full", "circular", or "reflect".')
+        if self.precision not in (None, 'default', 'high', 'highest'):
+            raise ValueError(
+                f"precision must be None, 'default', 'high' or 'highest', "
+                f'got {self.precision!r}')
 
     @classmethod
     def create(
@@ -142,6 +153,7 @@ class ConvPlan:
         sample_shape: Tuple[int, ...],
         atom_shape: Tuple[int, ...],
         fft_policy: str = '5-smooth',
+        precision: str = None,
     ) -> 'ConvPlan':
         sample_shape = tuple(int(s) for s in sample_shape)
         atom_shape = tuple(int(a) for a in atom_shape)
@@ -152,7 +164,15 @@ class ConvPlan:
             sample_shape=sample_shape,
             atom_shape=atom_shape,
             fft_shape=fft_lengths(mode, sample_shape, atom_shape, fft_policy),
+            precision=precision,
         )
+
+    @property
+    def lax_precision(self):
+        if self.precision in (None, 'default'):
+            return None
+        from jax import lax
+        return {'high': lax.Precision.HIGH, 'highest': lax.Precision.HIGHEST}[self.precision]
 
     @property
     def ndim(self) -> int:
