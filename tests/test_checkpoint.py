@@ -68,3 +68,18 @@ def test_iteration_timer_wraps_abort():
     nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
     nmf.fit(V, n_iterations=100, progress_callback=timer)
     assert len(timer.times) == 3
+
+
+def test_save_load_bfloat16(tmp_path):
+    """bfloat16 checkpoints must round-trip (npz cannot hold bf16 natively)."""
+    import jax.numpy as jnp
+    V = np.random.default_rng(0).random((2, 1, 12, 12))
+    np.random.seed(1)
+    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3), dtype='bfloat16')
+    nmf.fit(V, n_iterations=2)
+    path = os.path.join(tmp_path, 'bf16.npz')
+    nmf.save(path, include_H=True)
+    loaded = TransformInvariantNMF.load(path)
+    assert loaded._W.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(loaded._W, dtype=np.float32),
+                                  np.asarray(nmf._W, dtype=np.float32))

@@ -635,8 +635,19 @@ class TransformInvariantNMF:
         """
         if self._W is None:
             raise ValueError('nothing to save: the model has not been fit yet')
+
+        def host(arr):
+            # npz cannot represent bfloat16 (it round-trips as a void dtype);
+            # store sub-f32 floats as float32 (lossless widening) and record
+            # the original dtype for restore
+            a = np.asarray(arr)
+            if a.dtype.kind not in 'fiu' or (a.dtype.kind == 'f' and a.dtype.itemsize < 4):
+                a = a.astype(np.float32)
+            return a
+
         payload = dict(
-            W=np.asarray(self._W),
+            W=host(self._W),
+            dtype=str(self._W.dtype),
             n_atoms=self.n_atoms,
             atom_shape=np.asarray(self.atom_shape),
             inhibition_range=np.asarray(self._inhibition_range),
@@ -644,7 +655,7 @@ class TransformInvariantNMF:
             version=1,
         )
         if include_H and self._H is not None:
-            payload['H'] = np.asarray(self.H)
+            payload['H'] = host(self.H if self._shuffle_idx is not None else self._H)
         np.savez(path, **payload)
 
     @classmethod
@@ -657,6 +668,7 @@ class TransformInvariantNMF:
         """
         with np.load(path, allow_pickle=False) as data:
             W = data['W']
+            dtype = jnp.dtype(str(data['dtype'])) if 'dtype' in data else W.dtype
             cfg = dict(
                 n_atoms=int(data['n_atoms']),
                 atom_shape=tuple(int(a) for a in data['atom_shape']),
@@ -665,7 +677,7 @@ class TransformInvariantNMF:
             )
             cfg.update(kwargs)
             model = cls(**cfg)
-            model._W = jnp.asarray(W)
+            model._W = jnp.asarray(W, dtype=dtype)
             if 'H' in data:
-                model._H = jnp.asarray(data['H'])
+                model._H = jnp.asarray(data['H'], dtype=dtype)
         return model
