@@ -28,6 +28,7 @@ Design notes (TPU):
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -61,7 +62,6 @@ def choose_strategy(plan: ConvPlan, n_atoms: int, n_channels: int) -> str:
     """
     if plan.ndim > 3:
         return 'fft'  # lax conv supports at most 3 spatial dims here
-    import math
     atom_elems = math.prod(plan.atom_shape)
     return 'conv' if atom_elems <= 2048 else 'fft'
 

@@ -26,6 +26,8 @@ Dimension-number cheat sheet (k spatial dims):
 
 from __future__ import annotations
 
+import itertools
+import math
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -137,12 +139,10 @@ def _expand_kernel(K, ks):
     A = K.shape[2:]
     eshape = tuple(a + k - 1 for a, k in zip(A, ks))
     Ke = jnp.zeros((Q,) + ks + (F,) + eshape, K.dtype)
-    import itertools
     for j in itertools.product(*(range(k) for k in ks)):
         idx = (slice(None),) + j + (slice(None),) + tuple(
             slice(ji, ji + a) for ji, a in zip(j, A))
         Ke = Ke.at[idx].set(K)
-    import math
     return Ke.reshape((Q * math.prod(ks), F) + eshape)
 
 
@@ -165,7 +165,6 @@ def _corr_blocked(Xp, K, dn, preferred, precision, out_shape):
     using space-to-depth output blocking when profitable."""
     Q = K.shape[0]
     ks = _block_factors(out_shape, Q)
-    import math
     if math.prod(ks) == 1 or len(out_shape) > 3:
         return _conv(Xp, K, dn, preferred, precision)
     Ke = _expand_kernel(K, ks)
