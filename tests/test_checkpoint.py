@@ -83,3 +83,15 @@ def test_save_load_bfloat16(tmp_path):
     assert loaded._W.dtype == jnp.bfloat16
     np.testing.assert_array_equal(np.asarray(loaded._W, dtype=np.float32),
                                   np.asarray(nmf._W, dtype=np.float32))
+
+
+def test_load_with_H_enables_reconstruction(tmp_path):
+    V = np.random.default_rng(0).random((2, 2, 10, 12))
+    np.random.seed(1)
+    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 4), reconstruction_mode='full')
+    nmf.fit(V, n_iterations=2)
+    path = os.path.join(tmp_path, 'm.npz')
+    nmf.save(path, include_H=True)
+    loaded = TransformInvariantNMF.load(path)
+    np.testing.assert_allclose(loaded.R, nmf.R, rtol=1e-10)
+    np.testing.assert_allclose(loaded.R_partial(1), nmf.R_partial(1), rtol=1e-10)

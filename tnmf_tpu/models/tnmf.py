@@ -680,4 +680,21 @@ class TransformInvariantNMF:
             model._W = jnp.asarray(W, dtype=dtype)
             if 'H' in data:
                 model._H = jnp.asarray(data['H'], dtype=dtype)
+                # reconstruct the execution plan from the stored geometry so
+                # R / R_partial work immediately after loading
+                tshape = model._H.shape[2:]
+                atom = model.atom_shape
+                mode = model._reconstruction_mode
+                if mode == 'valid':
+                    sample = tuple(t - a + 1 for t, a in zip(tshape, atom))
+                elif mode == 'full':
+                    sample = tuple(t + a - 1 for t, a in zip(tshape, atom))
+                else:
+                    sample = tuple(tshape)
+                model._plan = ConvPlan.create(mode, sample, atom, model._fft_policy,
+                                              precision=model._precision)
+                model._strategy = (model._strategy_request
+                                   if model._strategy_request != 'auto'
+                                   else engine.choose_strategy(model._plan, model.n_atoms,
+                                                               model._W.shape[1]))
         return model
