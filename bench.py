@@ -38,19 +38,23 @@ def bench_reference() -> float:
     from tnmf.TransformInvariantNMF import TransformInvariantNMF
 
     best = 0.0
+    # best of {f32, f64} x 3 repetitions: the most favorable measurement for
+    # the reference (shared-CPU noise otherwise inflates our ratio)
     for dtype in (np.float32, np.float64):
         V = make_V(dtype)
-        stamps = []
+        for _ in range(3):
+            stamps = []
 
-        def cb(nmf, it):
-            stamps.append(time.perf_counter())
-            return True
+            def cb(nmf, it):
+                stamps.append(time.perf_counter())
+                return True
 
-        np.random.seed(42)
-        nmf = TransformInvariantNMF(n_atoms=N_ATOMS, atom_shape=ATOM_SHAPE, backend='numpy_fft')
-        nmf.fit(V, sparsity_H=SPARSITY, n_iterations=12, progress_callback=cb)
-        per_iter = float(np.median(np.diff(stamps)))
-        best = max(best, 1.0 / per_iter)
+            np.random.seed(42)
+            nmf = TransformInvariantNMF(n_atoms=N_ATOMS, atom_shape=ATOM_SHAPE,
+                                        backend='numpy_fft')
+            nmf.fit(V, sparsity_H=SPARSITY, n_iterations=12, progress_callback=cb)
+            per_iter = float(np.median(np.diff(stamps)))
+            best = max(best, 1.0 / per_iter)
     return best
 
 
