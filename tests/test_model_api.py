@@ -121,3 +121,16 @@ def test_precision_option():
     with pytest.raises(ValueError, match='precision'):
         bad = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), precision='float16')
         bad.fit(V, n_iterations=1)
+
+
+def test_fft_policy_pow2():
+    V = _V()
+    np.random.seed(0)
+    a = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), backend='jax_fft')
+    a.fit(V, n_iterations=3)
+    np.random.seed(0)
+    b = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), backend='jax_fft',
+                              fft_policy='pow2')
+    b.fit(V, n_iterations=3)
+    # the padded FFT length must not change the math
+    np.testing.assert_allclose(a.W, b.W, rtol=1e-10, atol=1e-12)
