@@ -117,14 +117,17 @@ def _conv(lhs, rhs, dn, preferred, precision=None, strides=None):
 # reconstruction conv at k=(4,4).
 # ---------------------------------------------------------------------------
 
-def _block_factors(out_shape, n_out_channels, target=32, cap=4):
+def _block_factors(out_shape, n_out_channels, target=64):
     """Per-axis blocking factors: grow the effective channel count toward
-    ``target`` with small factors that divide the output extent."""
+    ``target`` with small factors that divide the output extent.
+
+    target=64 with per-axis factors up to 8 measured best on v5e across the
+    fixture and large-batch configs (benchmark sweep in the commit log)."""
     budget = max(1, target // max(int(n_out_channels), 1))
     ks = []
     for s in out_shape:
         k = 1
-        for cand in (4, 3, 2):
+        for cand in (8, 6, 4, 3, 2):
             if cand <= budget and s % cand == 0:
                 k = cand
                 break
