@@ -64,3 +64,15 @@ def test_callback_interval_abort():
     nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
     nmf.fit(_V(), n_iterations=100, progress_callback=cb, callback_interval=5)
     assert calls == [4, 9]
+
+
+def test_minibatch_record_energies():
+    from tnmf_tpu import MiniBatchAlgorithm
+    V = np.random.default_rng(0).random((6, 1, 10, 10))
+    np.random.seed(1)
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    nmf.fit(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=2, n_epochs=4,
+            record_energies=True)
+    assert len(nmf.energies_) == 4
+    assert nmf.energies_[-1] <= nmf.energies_[0]
+    assert np.isclose(nmf.energies_[-1], nmf._energy_function())

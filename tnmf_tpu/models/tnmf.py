@@ -432,6 +432,7 @@ class TransformInvariantNMF:
             inhibition_strength: float = 0.,
             cross_atom_inhibition_strength: float = 0.,
             progress_callback: Optional[Callable[['TransformInvariantNMF', int], bool]] = None,
+            record_energies: bool = False,
     ):
         assert np.all(np.asarray(V) >= 0)
         assert sparsity_H >= 0
@@ -459,10 +460,14 @@ class TransformInvariantNMF:
         )
         use_scan = (
             progress_callback is None
+            and not record_energies
             and not self._logger.isEnabledFor(logging.INFO)
             and mesh_ok
             and len(batches) > 0
         )
+        self.energies_ = None
+        if record_energies:
+            self.energies_ = []
         from ..engine_minibatch import batchable, minibatch_fit_loop
         if use_scan and batchable(len(self._V), batch_size):
             nb = len(self._V) // batch_size
@@ -505,6 +510,8 @@ class TransformInvariantNMF:
         inner_stat = None
         for epoch in range(n_epochs):
             inner_stat = epoch_update[algorithm](inner_stat, batches, sag_lambda)
+            if record_energies:
+                self.energies_.append(self._energy_function())
             if progress_callback is not None:
                 if not progress_callback(self, epoch):
                     break
