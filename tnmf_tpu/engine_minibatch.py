@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from . import engine
 from .ops.modes import ConvPlan
 
-_STATICS = ('plan', 'strategy', 'algorithm', 'use_inhibition', 'use_cross')
+_STATICS = ('plan', 'strategy', 'algorithm', 'use_inhibition', 'use_cross', 'use_pallas')
 
 
 def batchable(n_samples: int, batch_size: Optional[int]) -> bool:
@@ -43,6 +43,7 @@ def minibatch_fit_loop(
     Vp_b, W, H_b, perms, sparsity, inhibition, cross_inhibition, sag_lambda, kernels, *,
     plan: ConvPlan, strategy: str, algorithm: int,
     use_inhibition: bool = False, use_cross: bool = False,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run ``n_epochs`` minibatch epochs on device.
 
@@ -60,8 +61,8 @@ def minibatch_fit_loop(
 
     def mu_H(Vb, W, Hb):
         return engine._mu_H(ops, Vb, W, Hb, sparsity, inhibition, cross_inhibition,
-                            kernels, plan=plan,
-                            use_inhibition=use_inhibition, use_cross=use_cross)
+                            kernels, plan=plan, use_inhibition=use_inhibition,
+                            use_cross=use_cross, use_pallas=use_pallas)
 
     def grad_W(Vb, W, Hb):
         R = ops.reconstruct(W, Hb, plan)

@@ -485,7 +485,8 @@ class TransformInvariantNMF:
                 jnp.asarray(sag_lambda, dt), self._kernels,
                 plan=self._plan, strategy=self._strategy, algorithm=algorithm.value,
                 use_inhibition=inhibition_strength > 0,
-                use_cross=cross_atom_inhibition_strength > 0)
+                use_cross=cross_atom_inhibition_strength > 0,
+                use_pallas=self._use_pallas)
             self._W = W
             self._H = H_b.reshape((nb * batch_size,) + H_b.shape[2:])
             self._logger.info('MiniBatch TNMF finished.')
