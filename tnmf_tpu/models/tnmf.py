@@ -136,11 +136,12 @@ class TransformInvariantNMF:
         them on the accelerator from a JAX PRNG key (seeded by ``seed``) —
         required at scales where H exceeds host memory, and materializes H
         directly in its sharded layout under ``mesh``.
-    shard_axis : {'samples', 'spatial'}, default 'samples'
+    shard_axis : {'samples', 'spatial', 'both'}, default 'samples'
         With ``mesh``: 'samples' is data parallelism over the sample axis;
         'spatial' shards the first spatial axis of V/H instead — for very
         large individual images, with conv halo exchange inserted by the
-        SPMD partitioner (use with the 'conv' strategy).
+        SPMD partitioner (use with the 'conv' strategy); 'both' combines the
+        two on a 2-D mesh from ``tnmf_tpu.parallel.make_mesh_2d``.
     precision : {None, 'default', 'high', 'highest'}, optional
         Multiply precision of the contraction units. On TPU the default is
         bfloat16 multiplies with float32 accumulation (fastest); 'highest'
