@@ -66,6 +66,48 @@ def test_callback_interval_abort():
     assert calls == [4, 9]
 
 
+def test_record_energies_with_callback():
+    """record_energies must be honored alongside a progress callback (it
+    used to be silently dropped) and match the fused no-callback trace."""
+    V = _V()
+    np.random.seed(1)
+    a = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
+    a.fit(V, n_iterations=6, sparsity_H=0.1, record_energies=True)
+
+    np.random.seed(1)
+    b = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
+    b.fit(V, n_iterations=6, sparsity_H=0.1, record_energies=True,
+          progress_callback=lambda nmf, it: True)
+    np.testing.assert_allclose(b.energies_, a.energies_, rtol=1e-10)
+
+    # chunked-callback path records the full per-iteration trace too
+    np.random.seed(1)
+    c = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
+    c.fit(V, n_iterations=6, sparsity_H=0.1, record_energies=True,
+          progress_callback=lambda nmf, it: True, callback_interval=4)
+    np.testing.assert_allclose(c.energies_, a.energies_, rtol=1e-10)
+
+
+def test_record_energies_beyond_chunk():
+    """n_iterations above engine.ENERGY_CHUNK exercises the multi-chunk
+    driver; the trace must be exact per-iteration and the trajectory
+    identical to the plain fit."""
+    from tnmf_tpu import engine
+    V = _V()
+    n = engine.ENERGY_CHUNK + 5
+    np.random.seed(3)
+    a = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
+    a.fit(V, n_iterations=n, record_energies=True)
+    assert a.energies_.shape == (n,)
+    assert np.all(np.isfinite(a.energies_))
+
+    np.random.seed(3)
+    b = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
+    b.fit(V, n_iterations=n)
+    np.testing.assert_allclose(a.W, b.W, rtol=1e-12)
+    np.testing.assert_allclose(np.float64(a.energies_[-1]), b._energy_function(), rtol=1e-10)
+
+
 def test_minibatch_record_energies():
     from tnmf_tpu import MiniBatchAlgorithm
     V = np.random.default_rng(0).random((6, 1, 10, 10))

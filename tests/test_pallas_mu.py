@@ -41,6 +41,36 @@ def test_inhibited_mu_h(dims, ranges, use_same, use_cross):
                                rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.parametrize('dims,ranges', [((2, 4, 20, 24), (3, 2)), ((3, 4, 40), (5,))])
+def test_inhibited_mu_h_bf16_storage(dims, ranges):
+    """bf16 H with f32 gradient pairs (the engine's bf16-storage layout):
+    the kernel must compute in f32 and store bf16 without a dtype error."""
+    rng = np.random.default_rng(3)
+    H = jnp.asarray(rng.random(dims), jnp.bfloat16)
+    neg, pos = (jnp.asarray(rng.random(dims), jnp.float32) for _ in range(2))
+    ks = tuple(jnp.asarray(k, jnp.float32) for k in inhibition_kernels(ranges))
+
+    got = pallas_mu.inhibited_mu_h(H, neg, pos, ks, 0.3, 0.2, 1e-9 + 0.1,
+                                   use_same=True, use_cross=True, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    term = inhibition_positive_term(H.astype(jnp.float32), ks, len(ranges),
+                                    0.3, 0.2, dims[1], True, True)
+    want = (H.astype(jnp.float32) * neg / (pos + term + 1e-9 + 0.1)).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want, np.float32),
+                               rtol=2e-2, atol=1e-3)
+
+
+def test_mu_ratio_bf16_storage():
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.random((3, 5, 11)), jnp.bfloat16)
+    n, p = (jnp.asarray(rng.random((3, 5, 11)), jnp.float32) for _ in range(2))
+    got = pallas_mu.mu_ratio(a, n, p, 0.1, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    want = (a.astype(jnp.float32) * n / (p + np.float32(0.1))).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want, np.float32),
+                               rtol=2e-2, atol=1e-3)
+
+
 def test_supported_gate():
     # CPU backend: the compiled kernel must report unsupported so the engine
     # falls back to the XLA path

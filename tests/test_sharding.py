@@ -144,6 +144,71 @@ def test_2d_mesh_data_x_spatial():
     np.testing.assert_allclose(both.H, single.H, rtol=1e-8, atol=1e-10)
 
 
+@needs_8_devices
+def test_spatial_sharding_helper_on_2d_mesh():
+    """spatial_sharding must place the 'space' axis name on a 2-D mesh (it
+    used to place the data axis name there, silently wrong)."""
+    from tnmf_tpu.parallel.sharding import spatial_sharding
+    mesh2 = make_mesh_2d(2, 4)
+    sh = spatial_sharding(mesh2, 4)
+    assert sh.spec[2] == SPATIAL_AXIS
+    # 1-D mesh: the single axis is used, whatever its name
+    sh1 = spatial_sharding(make_mesh(4), 4)
+    assert sh1.spec[2] == DATA_AXIS
+
+
+@needs_8_devices
+def test_device_init_materializes_sharded_H():
+    """init='device' under a mesh: H comes out of the init program already
+    sharded (no unsharded intermediate on a single device)."""
+    V = _make_V()
+    mesh = make_mesh(8)
+    nmf = TransformInvariantNMF(n_atoms=4, atom_shape=(3, 3), mesh=mesh,
+                                init='device', seed=0)
+    nmf.fit(V, n_iterations=2)
+    assert nmf._H.sharding.spec[0] == DATA_AXIS
+    assert len(nmf._H.devices()) == 8
+
+    from tnmf_tpu import engine
+    from tnmf_tpu.parallel.sharding import h_sharding, replicated
+    W, H = engine.init_matrices(
+        jax.random.PRNGKey(0), w_shape=(4, 2, 3, 3), h_shape=(8, 4, 14, 14),
+        n_shift_axes=2, dtype=np.float32,
+        h_sharding=h_sharding(mesh, 4, 'samples'), w_sharding=replicated(mesh))
+    assert H.sharding.spec[0] == DATA_AXIS
+    assert len(H.devices()) == 8
+
+
+@needs_8_devices
+def test_both_axis_minibatch_scan_gating():
+    """shard_axis='both': the scan fast path must engage only when
+    batch_size divides the data-axis extent, and both paths must match the
+    single-device trajectory."""
+    from tnmf_tpu import MiniBatchAlgorithm
+    V = np.random.default_rng(5).random((4, 2, 28, 28))  # T = 32 divides 4
+
+    np.random.seed(42)
+    single = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), backend='jax_conv')
+    single.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=2, n_epochs=2)
+
+    np.random.seed(42)
+    both = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), backend='jax_conv',
+                                 mesh=make_mesh_2d(2, 4), shard_axis='both')
+    both.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=2, n_epochs=2)
+    np.testing.assert_allclose(both.W, single.W, rtol=1e-8, atol=1e-10)
+
+    # batch_size=1 does not divide the 2-wide data axis: falls back to the
+    # Python loop and still matches
+    np.random.seed(42)
+    s1 = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), backend='jax_conv')
+    s1.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=1, n_epochs=2)
+    np.random.seed(42)
+    b1 = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), backend='jax_conv',
+                               mesh=make_mesh_2d(2, 4), shard_axis='both')
+    b1.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=1, n_epochs=2)
+    np.testing.assert_allclose(b1.W, s1.W, rtol=1e-8, atol=1e-10)
+
+
 def test_mesh_divisibility_error():
     V = np.random.default_rng(0).random((5, 1, 8, 8))
     mesh = make_mesh(min(8, jax.device_count()))

@@ -70,20 +70,28 @@ def choose_strategy(plan: ConvPlan, n_atoms: int, n_channels: int) -> str:
 # jitted kernels
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=('w_shape', 'h_shape', 'n_shift_axes', 'dtype', 'init_W'))
-def init_matrices(key, *, w_shape, h_shape, n_shift_axes: int, dtype, init_W: bool = True):
+@partial(jax.jit, static_argnames=('w_shape', 'h_shape', 'n_shift_axes', 'dtype', 'init_W',
+                                   'h_sharding', 'w_sharding'))
+def init_matrices(key, *, w_shape, h_shape, n_shift_axes: int, dtype, init_W: bool = True,
+                  h_sharding=None, w_sharding=None):
     """Device-side W/H initialization: ``1 - U[0, 1)`` with sum-normalized W,
     matching the reference's distribution (``_Backend.py:83-98``) but drawn
     from a JAX PRNG key entirely on device.
 
-    This is the at-scale path: for data-parallel fits H is materialized
-    directly in its sharded layout and never exists on the host.
+    This is the at-scale path: with ``h_sharding`` (a ``NamedSharding``,
+    hashable and therefore static) H is constrained to its sharded layout
+    *inside* the compiled program, so it is materialized directly across the
+    mesh and never exists unsharded on any single device.
     """
     kw, kh = jax.random.split(key)
     H = 1.0 - jax.random.uniform(kh, h_shape, dtype=dtype)
+    if h_sharding is not None:
+        H = jax.lax.with_sharding_constraint(H, h_sharding)
     if init_W:
         W = 1.0 - jax.random.uniform(kw, w_shape, dtype=dtype)
         W = W / jnp.sum(W, axis=tuple(range(-n_shift_axes, 0)), keepdims=True)
+        if w_sharding is not None:
+            W = jax.lax.with_sharding_constraint(W, w_sharding)
     else:
         W = None
     return W, H
@@ -201,22 +209,26 @@ def fit_loop(Vp, W, H, n_iterations, sparsity, inhibition, cross_inhibition, ker
     return jax.lax.fori_loop(0, n_iterations, body, (W, H))
 
 
-@partial(jax.jit, static_argnames=_STEP_STATICS + ('n_iterations',), donate_argnums=(2, 3))
-def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
-                      n_iterations: int,
-                      plan: ConvPlan, strategy: str,
-                      update_H: bool = True, update_W: bool = True,
-                      use_inhibition: bool = False, use_cross: bool = False,
-                      use_pallas: bool = False):
-    """Fused fit loop that also records the post-iteration reconstruction
-    energy (the trace the reference logs per iteration,
-    ``TransformInvariantNMF.py:346``).  Costs one extra reconstruction per
-    iteration, like the reference's logging path.  ``n_iterations`` is
-    static here (scan length)."""
+# scan-chunk length of the energy-recording loop: one compiled graph serves
+# every n_iterations (iterations beyond the requested count are masked out
+# with lax.cond), at the cost of dispatching ceil(n/chunk) executions
+ENERGY_CHUNK = 32
+
+
+@partial(jax.jit, static_argnames=_STEP_STATICS + ('chunk',), donate_argnums=(2, 3))
+def _fit_energies_chunk(Vp, V, W, H, k, sparsity, inhibition, cross_inhibition, kernels, *,
+                        chunk: int,
+                        plan: ConvPlan, strategy: str,
+                        update_H: bool = True, update_W: bool = True,
+                        use_inhibition: bool = False, use_cross: bool = False,
+                        use_pallas: bool = False):
+    """``chunk`` scan steps of the MU loop with per-iteration energies; only
+    the first ``k`` (traced) steps actually update, the rest are identity —
+    so one compilation covers every iteration count."""
     ops = get_ops(strategy)
     acc = jnp.promote_types(V.dtype, jnp.float32)
 
-    def body(WH, _):
+    def active(WH):
         W, H = WH
         if update_H:
             H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
@@ -226,9 +238,48 @@ def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition, kerne
             W = _mu_W(ops, Vp, W, H, plan=plan)
         R = ops.reconstruct(W, H, plan)
         d = V.astype(acc) - R.astype(acc)
-        return (W, H), 0.5 * jnp.sum(d * d)
+        return (W, H), (0.5 * jnp.sum(d * d)).astype(acc)
 
-    (W, H), energies = jax.lax.scan(body, (W, H), None, length=n_iterations)
+    def idle(WH):
+        return WH, jnp.asarray(jnp.inf, acc)
+
+    def body(WH, i):
+        return jax.lax.cond(i < k, active, idle, WH)
+
+    (W, H), energies = jax.lax.scan(body, (W, H), jnp.arange(chunk))
+    return W, H, energies
+
+
+def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
+                      n_iterations: int,
+                      plan: ConvPlan, strategy: str,
+                      update_H: bool = True, update_W: bool = True,
+                      use_inhibition: bool = False, use_cross: bool = False,
+                      use_pallas: bool = False):
+    """Fused fit loop that also records the post-iteration reconstruction
+    energy (the trace the reference logs per iteration,
+    ``TransformInvariantNMF.py:346``).  Costs one extra reconstruction per
+    iteration, like the reference's logging path.
+
+    Implemented as ceil(n/ENERGY_CHUNK) executions of one fixed-length
+    compiled chunk with the iteration count traced, so *changing
+    ``n_iterations`` never recompiles* (compilation on this environment can
+    cost 30s-5min)."""
+    statics = dict(chunk=ENERGY_CHUNK, plan=plan, strategy=strategy,
+                   update_H=update_H, update_W=update_W,
+                   use_inhibition=use_inhibition, use_cross=use_cross,
+                   use_pallas=use_pallas)
+    n = int(n_iterations)
+    traces = []
+    done = 0
+    while done < n:
+        k = jnp.int32(min(ENERGY_CHUNK, n - done))
+        W, H, es = _fit_energies_chunk(
+            Vp, V, W, H, k, sparsity, inhibition, cross_inhibition, kernels, **statics)
+        traces.append(es)
+        done += ENERGY_CHUNK
+    energies = (jnp.concatenate(traces)[:n] if traces
+                else jnp.zeros((0,), jnp.promote_types(V.dtype, jnp.float32)))
     return W, H, energies
 
 

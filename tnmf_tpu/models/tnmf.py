@@ -280,14 +280,24 @@ class TransformInvariantNMF:
                     f'does not match the new data (expected {expected}); '
                     f'the channel count must stay constant across fits')
         if self._init == 'device':
-            # At-scale path: W/H drawn on device from a JAX PRNG key — H never
-            # exists on the host (it can exceed host memory for large fits).
+            # At-scale path: W/H drawn on device from a JAX PRNG key — with a
+            # mesh, H is constrained to its sharded layout inside the init
+            # program, so it is materialized directly across the devices and
+            # never exists unsharded anywhere (it can exceed any single
+            # device's memory for large fits).
             self._device_key, sub = jax.random.split(self._device_key)
+            h_shape = (V.shape[0], self.n_atoms) + self._plan.transform_shape
+            shardings = {}
+            if self._mesh is not None:
+                from ..parallel.sharding import h_sharding, replicated
+                shardings = dict(h_sharding=h_sharding(self._mesh, len(h_shape), self._shard_axis),
+                                 w_sharding=replicated(self._mesh))
             Wd, Hd = engine.init_matrices(
                 sub,
                 w_shape=(self.n_atoms, V.shape[1]) + self.atom_shape,
-                h_shape=(V.shape[0], self.n_atoms) + self._plan.transform_shape,
-                n_shift_axes=self._plan.ndim, dtype=dtype, init_W=not keep)
+                h_shape=h_shape,
+                n_shift_axes=self._plan.ndim, dtype=dtype, init_W=not keep,
+                **shardings)
             if keep:
                 Wd = jnp.asarray(self._W, dtype=dtype)
         else:
@@ -353,10 +363,11 @@ class TransformInvariantNMF:
         * ``callback_interval > 1`` invokes the callback only every k-th
           iteration, running fully fused on-device chunks in between —
           recommended where per-iteration dispatch is expensive.
-        * ``record_energies=True`` (no-callback path) stores the
-          per-iteration energy trace on device and exposes it afterwards as
-          ``self.energies_`` at the cost of one extra reconstruction per
-          iteration.
+        * ``record_energies=True`` stores the per-iteration energy trace and
+          exposes it afterwards as ``self.energies_`` at the cost of one
+          extra reconstruction per iteration.  Without a callback the trace
+          is accumulated fully on device; with one, it is recorded alongside
+          the callback protocol.
         """
         assert np.all(np.asarray(V) >= 0)
         assert update_H or update_W
@@ -397,24 +408,40 @@ class TransformInvariantNMF:
             # The callback sees the model after iterations k-1, 2k-1, ... —
             # a deliberate relaxation of the every-iteration protocol for
             # dispatch-latency-bound setups (opt-in via callback_interval).
+            # record_energies still yields the full per-iteration trace (the
+            # energy-recording chunk loop runs between callbacks).
+            traces = [] if record_energies else None
             done = 0
             while done < n_iterations:
                 chunk = min(callback_interval, n_iterations - done)
-                self._W, self._H = engine.fit_loop(
-                    self._Vp, self._W, self._H, chunk, *scalars, self._kernels, **statics)
+                if record_energies:
+                    self._W, self._H, es = engine.fit_loop_energies(
+                        self._Vp, self._Vd, self._W, self._H, *scalars, self._kernels,
+                        n_iterations=chunk, **statics)
+                    traces.append(np.asarray(es))
+                else:
+                    self._W, self._H = engine.fit_loop(
+                        self._Vp, self._W, self._H, chunk, *scalars, self._kernels, **statics)
                 done += chunk
                 if not progress_callback(self, done - 1):
                     break
+            if record_energies:
+                self.energies_ = np.concatenate(traces) if traces else np.zeros((0,))
         else:
+            energies = [] if record_energies else None
             for iteration in range(n_iterations):
                 self._W, self._H = engine.update_step(
                     self._Vp, self._W, self._H, *scalars, self._kernels, **statics)
+                if record_energies:
+                    energies.append(self._energy_function())
                 if progress_callback is not None:
                     if not progress_callback(self, iteration):
                         break
                 else:
                     self._logger.info('Iteration: %d\tEnergy function: %s',
                                       iteration, self._energy_function())
+            if record_energies:
+                self.energies_ = np.asarray(energies)
         self._logger.info('TNMF finished.')
 
     # ------------------------------------------------------------------
@@ -454,11 +481,20 @@ class TransformInvariantNMF:
         # program (engine_minibatch).  Eligible when there is no per-epoch
         # Python interaction and the batches are equal-size; produces the
         # exact same trajectory and RNG consumption as the loop below.
-        mesh_ok = (
-            self._mesh is None
-            or self._shard_axis != 'samples'
-            or (batch_size is not None and batch_size % self._mesh.devices.size == 0)
-        )
+        # samples are sharded over the mesh ('samples': the whole mesh;
+        # 'both': its data axis) — the (nb, batch_size) reshape in the scan
+        # path must respect that sharding or every step pays a resharding
+        # gather, so require batch_size to divide the sample-axis mesh extent
+        if self._mesh is None:
+            sample_mesh_extent = 1
+        elif self._shard_axis == 'samples':
+            sample_mesh_extent = self._mesh.devices.size
+        elif self._shard_axis == 'both':
+            from ..parallel.sharding import DATA_AXIS
+            sample_mesh_extent = self._mesh.shape[DATA_AXIS]
+        else:  # 'spatial': the sample axis is not sharded
+            sample_mesh_extent = 1
+        mesh_ok = batch_size is not None and batch_size % sample_mesh_extent == 0
         use_scan = (
             progress_callback is None
             and not record_energies

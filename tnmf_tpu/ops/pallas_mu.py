@@ -42,8 +42,10 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _ratio_kernel(arr_ref, neg_ref, pos_ref, reg_ref, out_ref):
+    # mixed dtypes (bf16 arr, f32 neg/pos) promote inside the kernel; the
+    # store must be cast back to the output dtype explicitly
     reg = reg_ref[0, 0]
-    out_ref[:] = arr_ref[:] * neg_ref[:] / (pos_ref[:] + reg)
+    out_ref[:] = (arr_ref[:] * neg_ref[:] / (pos_ref[:] + reg)).astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=('interpret',))
@@ -96,7 +98,9 @@ def inhibited_mu_h_supported(h_shape: Tuple[int, ...], n_shift: int,
         return False
     M = h_shape[1]
     spatial = h_shape[2:]
-    itemsize = jnp.dtype(dtype).itemsize
+    # gradient pairs and scratches may be f32 even under bf16 storage
+    # (the kernel computes in the promoted dtype), so budget conservatively
+    itemsize = max(jnp.dtype(dtype).itemsize, 4)
     pads = [t - 1 for t in taps]
     if n_shift == 1:
         scratch = M * (spatial[0] + pads[0])
@@ -107,12 +111,15 @@ def inhibited_mu_h_supported(h_shape: Tuple[int, ...], n_shift: int,
     return per_sample <= _VMEM_BUDGET
 
 
-def _make_kernel_2d(M, X, Y, tx, ty, use_same, use_cross, dtype):
+def _make_kernel_2d(M, X, Y, tx, ty, use_same, use_cross, cdtype):
+    """All arithmetic runs in ``cdtype`` (the promoted H/neg/pos dtype —
+    float32 when storage is bfloat16); the store casts back to the output
+    ref's dtype, so mixed bf16-H / f32-gradient inputs are legal."""
     rx, ry = (tx - 1) // 2, (ty - 1) // 2
 
     def kernel(h_ref, neg_ref, pos_ref, kx_ref, ky_ref, scal_ref, out_ref,
                pad_ref, tmp_ref):
-        h = h_ref[0]
+        h = h_ref[0].astype(cdtype)
         # zero-padded copy of H: (M, X + 2rx, Y + 2ry)
         pad_ref[:] = jnp.zeros_like(pad_ref)
         pad_ref[:, rx:rx + X, ry:ry + Y] = h
@@ -120,45 +127,45 @@ def _make_kernel_2d(M, X, Y, tx, ty, use_same, use_cross, dtype):
         tmp_ref[:] = jnp.zeros_like(tmp_ref)
         for t in range(ty):
             tmp_ref[:] += ky_ref[0, t] * pad_ref[:, :, t:t + Y]
-        g = jnp.zeros((M, X, Y), h.dtype)
+        g = jnp.zeros((M, X, Y), cdtype)
         for t in range(tx):
             g = g + kx_ref[0, t] * tmp_ref[:, t:t + X, :]
 
         inh = scal_ref[0, 0]
         cross = scal_ref[0, 1]
         reg = scal_ref[0, 2]
-        pos = pos_ref[0]
+        pos = pos_ref[0].astype(cdtype)
         if use_same:
             pos = pos + inh * (g - h)
         if use_cross:
             pos = pos + cross * (jnp.sum(g, axis=0, keepdims=True) - g)
-        out_ref[0] = h * neg_ref[0] / (pos + reg)
+        out_ref[0] = (h * neg_ref[0].astype(cdtype) / (pos + reg)).astype(out_ref.dtype)
 
-    return kernel, (pltpu.VMEM((M, X + 2 * rx, Y + 2 * ry), dtype),
-                    pltpu.VMEM((M, X + 2 * rx, Y), dtype))
+    return kernel, (pltpu.VMEM((M, X + 2 * rx, Y + 2 * ry), cdtype),
+                    pltpu.VMEM((M, X + 2 * rx, Y), cdtype))
 
 
-def _make_kernel_1d(M, X, tx, use_same, use_cross, dtype):
+def _make_kernel_1d(M, X, tx, use_same, use_cross, cdtype):
     rx = (tx - 1) // 2
 
     def kernel(h_ref, neg_ref, pos_ref, kx_ref, scal_ref, out_ref, pad_ref):
-        h = h_ref[0]
+        h = h_ref[0].astype(cdtype)
         pad_ref[:] = jnp.zeros_like(pad_ref)
         pad_ref[:, rx:rx + X] = h
-        g = jnp.zeros((M, X), h.dtype)
+        g = jnp.zeros((M, X), cdtype)
         for t in range(tx):
             g = g + kx_ref[0, t] * pad_ref[:, t:t + X]
         inh = scal_ref[0, 0]
         cross = scal_ref[0, 1]
         reg = scal_ref[0, 2]
-        pos = pos_ref[0]
+        pos = pos_ref[0].astype(cdtype)
         if use_same:
             pos = pos + inh * (g - h)
         if use_cross:
             pos = pos + cross * (jnp.sum(g, axis=0, keepdims=True) - g)
-        out_ref[0] = h * neg_ref[0] / (pos + reg)
+        out_ref[0] = (h * neg_ref[0].astype(cdtype) / (pos + reg)).astype(out_ref.dtype)
 
-    return kernel, (pltpu.VMEM((M, X + 2 * rx), dtype),)
+    return kernel, (pltpu.VMEM((M, X + 2 * rx), cdtype),)
 
 
 @partial(jax.jit, static_argnames=('use_same', 'use_cross', 'interpret'))
@@ -180,26 +187,28 @@ def inhibited_mu_h(H, neg, pos, kernels, inhibition, cross_inhibition, reg, *,
     n_shift = len(spatial)
     taps = tuple(k.shape[0] for k in kernels)
     dtype = H.dtype
+    # compute dtype: mixed bf16 storage with f32 gradient pairs runs in f32
+    cdtype = jnp.promote_types(jnp.promote_types(dtype, neg.dtype), pos.dtype)
 
     cross_scaled = cross_inhibition / max(M - 1, 1)
-    scal = jnp.stack([jnp.asarray(inhibition, dtype),
-                      jnp.asarray(cross_scaled, dtype),
-                      jnp.asarray(reg, dtype)]).reshape(1, 3)
+    scal = jnp.stack([jnp.asarray(inhibition, cdtype),
+                      jnp.asarray(cross_scaled, cdtype),
+                      jnp.asarray(reg, cdtype)]).reshape(1, 3)
 
     big = pl.BlockSpec((1, M) + spatial, lambda n: (n,) + (0,) * (1 + n_shift),
                        memory_space=pltpu.VMEM)
     smem = lambda w: pl.BlockSpec((1, w), lambda n: (0, 0), memory_space=pltpu.SMEM)  # noqa: E731
 
     if n_shift == 2:
-        kfn, scratch = _make_kernel_2d(M, *spatial, *taps, use_same, use_cross, dtype)
+        kfn, scratch = _make_kernel_2d(M, *spatial, *taps, use_same, use_cross, cdtype)
         in_specs = [big, big, big, smem(taps[0]), smem(taps[1]), smem(3)]
         args = (H, neg, pos,
-                kernels[0].astype(dtype).reshape(1, -1),
-                kernels[1].astype(dtype).reshape(1, -1), scal)
+                kernels[0].astype(cdtype).reshape(1, -1),
+                kernels[1].astype(cdtype).reshape(1, -1), scal)
     elif n_shift == 1:
-        kfn, scratch = _make_kernel_1d(M, spatial[0], taps[0], use_same, use_cross, dtype)
+        kfn, scratch = _make_kernel_1d(M, spatial[0], taps[0], use_same, use_cross, cdtype)
         in_specs = [big, big, big, smem(taps[0]), smem(3)]
-        args = (H, neg, pos, kernels[0].astype(dtype).reshape(1, -1), scal)
+        args = (H, neg, pos, kernels[0].astype(cdtype).reshape(1, -1), scal)
     else:
         raise NotImplementedError('fused inhibition kernel supports rank 1-2')
 

@@ -60,10 +60,36 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def spatial_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard the first spatial axis (axis 2 of the (B, F, *spatial) layout)."""
+    """Shard the first spatial axis (axis 2 of the (B, F, *spatial) layout).
+
+    On a 1-D mesh its single axis is used (whatever its name); on a 2-D
+    mesh from :func:`make_mesh_2d` the ``'space'`` axis is used — never the
+    data axis, which would silently misplace the tensor."""
+    if SPATIAL_AXIS in mesh.axis_names:
+        name = SPATIAL_AXIS
+    elif len(mesh.axis_names) == 1:
+        name = mesh.axis_names[0]
+    else:
+        raise ValueError(
+            f'spatial_sharding: mesh axes {mesh.axis_names} contain no '
+            f'{SPATIAL_AXIS!r} axis and are not 1-D; build the mesh with '
+            f'make_mesh / make_mesh_2d')
     spec = [None] * ndim
-    spec[2] = DATA_AXIS
+    spec[2] = name
     return NamedSharding(mesh, P(*spec))
+
+
+def h_sharding(mesh: Mesh, ndim: int, axis: str = 'samples') -> NamedSharding:
+    """The sharding H takes under :func:`shard_model_state` for ``axis`` —
+    usable as a jit ``with_sharding_constraint`` so H can be *created*
+    directly in its distributed layout (``init='device'``)."""
+    if axis == 'samples':
+        return data_sharding(mesh, ndim)
+    if axis == 'spatial':
+        return spatial_sharding(mesh, ndim)
+    if axis == 'both':
+        return NamedSharding(mesh, P(DATA_AXIS, None, SPATIAL_AXIS, *([None] * (ndim - 3))))
+    raise ValueError(f"shard axis must be 'samples', 'spatial' or 'both', got {axis!r}")
 
 
 def shard_model_state(mesh: Mesh, V, W, H, axis: str = 'samples') -> Tuple:
