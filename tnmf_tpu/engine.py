@@ -43,6 +43,8 @@ EPS = 1.0e-9  # reference: TransformInvariantNMF.py:166
 
 
 def get_ops(strategy: str):
+    """The operator module ('fft' or 'conv') implementing the backend
+    contract: prepare_data / reconstruct / grad_H_pair / grad_W_pair."""
     if strategy == 'fft':
         return fft_ops
     if strategy == 'conv':

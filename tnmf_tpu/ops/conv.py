@@ -176,6 +176,8 @@ def _corr_blocked(Xp, K, dn, preferred, precision, out_shape):
 
 
 def reconstruct(W: jnp.ndarray, H: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
+    """R[n,c,*S] = sum_m (H[n,m] * W[m,c]) — the model reconstruction as one
+    MXU convolution (reference role: ``NumPy_FFT.py:90``)."""
     sp = _dim_letters(plan.ndim)
     dn = ('NC' + sp, 'OI' + sp, 'NC' + sp)
     Hp = _extend_H(H, plan)
@@ -187,6 +189,8 @@ def reconstruct(W: jnp.ndarray, H: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
 
 
 def grad_H_pair(Vp: jnp.ndarray, R: jnp.ndarray, W: jnp.ndarray, plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(neg, pos) parts of dE/dH as one stacked correlation (reference role:
+    ``NumPy_FFT.py:71-88``)."""
     sp = _dim_letters(plan.ndim)
     dn = ('NC' + sp, 'OI' + sp, 'NC' + sp)
     Rp = extend_data(R, plan)
@@ -201,6 +205,8 @@ def grad_H_pair(Vp: jnp.ndarray, R: jnp.ndarray, W: jnp.ndarray, plan: ConvPlan)
 
 
 def grad_W_pair(Vp: jnp.ndarray, R: jnp.ndarray, H: jnp.ndarray, plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(neg, pos) parts of dE/dW as one stacked huge-kernel correlation
+    (reference role: ``NumPy_FFT.py:52-69``)."""
     sp = _dim_letters(plan.ndim)
     # batch role <- channel axis, feature role <- sample axis (contracted)
     dn = ('CN' + sp, 'IO' + sp, 'NC' + sp)

@@ -56,6 +56,7 @@ def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully replicated placement (used for the dictionary W)."""
     return NamedSharding(mesh, P())
 
 
