@@ -1,16 +1,37 @@
-"""Benchmark: MU iterations/sec on the 2-D conv-NMF config, new framework on
-TPU vs the reference NumPy_FFT backend (its default) on CPU.
+"""Benchmarks: the new framework on TPU vs the reference tnmf (NumPy_FFT
+backend, its default) on CPU, on the BASELINE.md anchor configs.
 
-Prints exactly one JSON line:
+Default run prints exactly ONE JSON line (the headline metric, driver
+contract):
   {"metric": ..., "value": N, "unit": "iter/s", "vs_baseline": N}
 
-The config mirrors the reference's 2-D regression fixture
-(tnmf/tests/test_backends.py: 2 samples x 3 channels x ~76x102 image,
-10 atoms of 7x7, sparsity 0.1, 'valid' mode).  The reference publishes no
-benchmark numbers (BASELINE.md), so the baseline is measured here, on this
-machine, taking the faster of float32/float64 for the reference.
+``--all`` additionally measures the other BASELINE.md rows (one JSON line
+per metric):
+
+* ``mu_iterations_per_sec_2d_conv_nmf`` — the reference's 2-D regression
+  fixture (tnmf/tests/test_backends.py shapes).
+* ``mu_iterations_per_sec_1d_pulse_train`` — the 1-D fixture with lateral
+  inhibition (tnmf/tests/test_1d.py shapes).
+* ``time_to_tolerance_sparsity_inhibition_sec`` — wall-clock seconds to
+  complete 25 MU iterations (identical seeded trajectory on both sides, so
+  both reach the *same* energy; steady state, compile excluded) on the
+  sparsity+inhibition patch config (the reference's CachingFFT-style
+  config, tnmf/tests/test_sparsity_inhibition.py shapes).
+* ``minibatch_asg_mu_epochs_per_sec`` — ASG_MU epochs/sec over 144 32x32
+  patches (tnmf/tests/test_minibatch.py shapes).
+
+The reference publishes no performance numbers (BASELINE.md), so baselines
+are measured here, on this machine, taking the most favorable of
+{float32, float64} x repetitions for the reference.
+
+Timing methodology: our fits run as fused on-device loops; per-metric
+timing subtracts a smaller run from a larger one to cancel the fixed
+dispatch/compile-cache overhead (~30 ms per dispatch through the remote
+TPU tunnel).  Negative/zero deltas (scheduler noise) fall back to the
+unsubtracted conservative estimate instead of printing absurd numbers.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -18,104 +39,298 @@ import time
 
 import numpy as np
 
-N_ATOMS = 10
-ATOM_SHAPE = (7, 7)
-SPARSITY = 0.1
 REFERENCE_PATH = '/root/reference'
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 
-def make_V(dtype):
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# ---------------------------------------------------------------------------
+# fixtures (shapes mirror the reference's regression tests)
+# ---------------------------------------------------------------------------
+
+def make_V_2d(dtype):
     from tnmf_tpu.utils.data_loading import synthetic_face
     img = synthetic_face(gray=False)[::10, ::10]
     return np.repeat(img.transpose((2, 0, 1))[np.newaxis], 2, axis=0).astype(dtype)
 
 
-def bench_reference() -> float:
-    """Reference NumPy_FFT iterations/sec (per-iteration wall clock via the
-    progress callback, median over the fit)."""
-    sys.path.insert(0, REFERENCE_PATH)
-    from tnmf.TransformInvariantNMF import TransformInvariantNMF
-
-    best = 0.0
-    # best of {f32, f64} x 3 repetitions: the most favorable measurement for
-    # the reference (shared-CPU noise otherwise inflates our ratio)
-    for dtype in (np.float32, np.float64):
-        V = make_V(dtype)
-        for _ in range(3):
-            stamps = []
-
-            def cb(nmf, it):
-                stamps.append(time.perf_counter())
-                return True
-
-            np.random.seed(42)
-            nmf = TransformInvariantNMF(n_atoms=N_ATOMS, atom_shape=ATOM_SHAPE,
-                                        backend='numpy_fft')
-            nmf.fit(V, sparsity_H=SPARSITY, n_iterations=12, progress_callback=cb)
-            per_iter = float(np.median(np.diff(stamps)))
-            best = max(best, 1.0 / per_iter)
-    return best
+def make_V_1d(dtype):
+    from tnmf_tpu.utils.signals import generate_pulse_train
+    np.random.seed(42)
+    signal, _ = generate_pulse_train(pulse_length=20, n_pulses=5)
+    return signal[np.newaxis].astype(dtype)
 
 
-def bench_ours() -> float:
-    """Our framework's iterations/sec using the fused on-device loop on the
-    default platform (TPU when available)."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import jax
+def make_patches(dtype, n=144, size=32):
+    from tnmf_tpu.utils.data_loading import synthetic_face
+    img = synthetic_face(gray=True)
+    rows, cols = img.shape[0] // size, img.shape[1] // size
+    blocks = (img[:rows * size, :cols * size]
+              .reshape(rows, size, cols, size)
+              .transpose(0, 2, 1, 3)
+              .reshape(-1, 1, size, size))
+    reps = -(-n // len(blocks))
+    if reps > 1:
+        blocks = np.concatenate([blocks] * reps)
+    return np.ascontiguousarray(blocks[:n]).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# timing helpers
+# ---------------------------------------------------------------------------
+
+def subtractive_rate(run, n_small, target_seconds=2.0, floor=30):
+    """Iterations/sec of ``run(n)`` with the fixed overhead cancelled by
+    subtracting a small run from a large one.  Guards against nonpositive
+    deltas from scheduler noise."""
+    run(2)  # compile
+    t0 = time.perf_counter()
+    run(n_small)
+    base = time.perf_counter() - t0
+    n = max(floor, int(n_small * target_seconds / max(base, 1e-4)))
+    t0 = time.perf_counter()
+    run(n_small + n)
+    total = time.perf_counter() - t0
+    dt = total - base
+    if dt <= 0:  # noise swamped the subtraction; fall back to conservative
+        dt = total
+    return n / dt
+
+
+def callback_rate(fit, n_iterations):
+    """Reference-side iterations/sec via per-iteration callback stamps."""
+    stamps = []
+
+    def cb(nmf, it):
+        stamps.append(time.perf_counter())
+        return True
+
+    fit(cb, n_iterations)
+    return 1.0 / float(np.median(np.diff(stamps)))
+
+
+# ---------------------------------------------------------------------------
+# metric: 2-D headline (driver contract)
+# ---------------------------------------------------------------------------
+
+def bench_ours_2d():
     import jax.numpy as jnp
     from tnmf_tpu import engine
     from tnmf_tpu.ops.modes import ConvPlan
 
-    V = make_V(np.float32)
-    plan = ConvPlan.create('valid', V.shape[2:], ATOM_SHAPE)
-    strategy = engine.choose_strategy(plan, N_ATOMS, V.shape[1])
+    V = make_V_2d(np.float32)
+    n_atoms, atom_shape, sparsity = 10, (7, 7), 0.1
+    plan = ConvPlan.create('valid', V.shape[2:], atom_shape)
+    strategy = engine.choose_strategy(plan, n_atoms, V.shape[1])
 
     rng = np.random.default_rng(42)
-    W = rng.random((N_ATOMS, V.shape[1]) + ATOM_SHAPE).astype(np.float32)
+    W = rng.random((n_atoms, V.shape[1]) + atom_shape).astype(np.float32)
     W /= W.sum(axis=(-2, -1), keepdims=True)
-    H = rng.random((V.shape[0], N_ATOMS) + plan.transform_shape).astype(np.float32)
+    H = rng.random((V.shape[0], n_atoms) + plan.transform_shape).astype(np.float32)
 
-    Vd = jnp.asarray(V)
-    Vp = engine.prepare_data(Vd, plan=plan, strategy=strategy)
-    kernels = ()
+    Vp = engine.prepare_data(jnp.asarray(V), plan=plan, strategy=strategy)
     zero = jnp.float32(0.0)
-    sp = jnp.float32(SPARSITY)
     statics = dict(plan=plan, strategy=strategy, update_H=True, update_W=True,
                    use_inhibition=False, use_cross=False)
 
     def run(n):
-        Wn, Hn = engine.fit_loop(Vp, jnp.asarray(W), jnp.asarray(H), n, sp, zero, zero,
-                                 kernels, **statics)
-        # force full execution via host transfer: on some remote platforms
-        # block_until_ready returns before the computation finishes
-        return float(np.asarray(Wn).sum())
+        Wn, _ = engine.fit_loop(Vp, jnp.asarray(W), jnp.asarray(H), n,
+                                jnp.float32(sparsity), zero, zero, (), **statics)
+        return float(np.asarray(Wn).sum())  # host transfer forces completion
 
-    run(2)          # compile
-    t0 = time.perf_counter()
-    run(100)
-    base = time.perf_counter() - t0
-    n_iters = max(200, int(100 * 2.0 / base))
-    t0 = time.perf_counter()
-    run(100 + n_iters)
-    dt = time.perf_counter() - t0 - base  # subtract dispatch+transfer overhead
-    return n_iters / dt
+    return subtractive_rate(run, n_small=100)
 
 
-def main():
-    ours = bench_ours()
+def bench_reference_2d():
+    sys.path.insert(0, REFERENCE_PATH)
+    from tnmf.TransformInvariantNMF import TransformInvariantNMF
+
+    best = 0.0
+    for dtype in (np.float32, np.float64):
+        V = make_V_2d(dtype)
+        for _ in range(3):
+            def fit(cb, n):
+                np.random.seed(42)
+                nmf = TransformInvariantNMF(n_atoms=10, atom_shape=(7, 7),
+                                            backend='numpy_fft')
+                nmf.fit(V, sparsity_H=0.1, n_iterations=n, progress_callback=cb)
+            best = max(best, callback_rate(fit, 12))
+    return best
+
+
+def metric_2d():
+    ours = bench_ours_2d()
     try:
-        ref = bench_reference()
+        ref = bench_reference_2d()
     except Exception as e:
         print(f'reference baseline unavailable: {e!r}', file=sys.stderr)
         ref = None
-    result = {
-        'metric': 'mu_iterations_per_sec_2d_conv_nmf',
-        'value': round(ours, 3),
-        'unit': 'iter/s',
-        'vs_baseline': round(ours / ref, 3) if ref else None,
-    }
-    print(json.dumps(result))
+    return {'metric': 'mu_iterations_per_sec_2d_conv_nmf',
+            'value': round(ours, 3), 'unit': 'iter/s',
+            'vs_baseline': round(ours / ref, 3) if ref else None}
+
+
+# ---------------------------------------------------------------------------
+# metric: 1-D pulse train with inhibition
+# ---------------------------------------------------------------------------
+
+def metric_1d():
+    import jax.numpy as jnp
+    from tnmf_tpu import engine
+    from tnmf_tpu.ops.inhibition import inhibition_kernels, resolve_inhibition_range
+    from tnmf_tpu.ops.modes import ConvPlan
+
+    V = make_V_1d(np.float32)
+    n_atoms, atom_shape = 3, (20,)
+    plan = ConvPlan.create('valid', V.shape[2:], atom_shape)
+    strategy = engine.choose_strategy(plan, n_atoms, V.shape[1])
+    kernels = tuple(jnp.asarray(k, jnp.float32)
+                    for k in inhibition_kernels(resolve_inhibition_range(None, atom_shape)))
+
+    rng = np.random.default_rng(42)
+    W = rng.random((n_atoms, V.shape[1]) + atom_shape).astype(np.float32)
+    W /= W.sum(axis=-1, keepdims=True)
+    H = rng.random((V.shape[0], n_atoms) + plan.transform_shape).astype(np.float32)
+
+    Vp = engine.prepare_data(jnp.asarray(V), plan=plan, strategy=strategy)
+    zero = jnp.float32(0.0)
+    statics = dict(plan=plan, strategy=strategy, update_H=True, update_W=True,
+                   use_inhibition=True, use_cross=False)
+
+    def run(n):
+        Wn, _ = engine.fit_loop(Vp, jnp.asarray(W), jnp.asarray(H), n,
+                                zero, jnp.float32(0.1), zero, kernels, **statics)
+        return float(np.asarray(Wn).sum())
+
+    ours = subtractive_rate(run, n_small=200)
+
+    ref = None
+    try:
+        sys.path.insert(0, REFERENCE_PATH)
+        from tnmf.TransformInvariantNMF import TransformInvariantNMF
+        best = 0.0
+        for dtype in (np.float32, np.float64):
+            Vr = make_V_1d(dtype)
+            for _ in range(3):
+                def fit(cb, n):
+                    np.random.seed(42)
+                    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(20,),
+                                                backend='numpy_fft')
+                    nmf.fit(Vr, inhibition_strength=0.1, n_iterations=n,
+                            progress_callback=cb)
+                best = max(best, callback_rate(fit, 25))
+        ref = best
+    except Exception as e:
+        print(f'reference 1-D baseline unavailable: {e!r}', file=sys.stderr)
+
+    return {'metric': 'mu_iterations_per_sec_1d_pulse_train',
+            'value': round(ours, 3), 'unit': 'iter/s',
+            'vs_baseline': round(ours / ref, 3) if ref else None}
+
+
+# ---------------------------------------------------------------------------
+# metric: time-to-tolerance on the sparsity+inhibition patch config
+# ---------------------------------------------------------------------------
+
+def metric_time_to_tolerance(n_iterations=25):
+    from tnmf_tpu import TransformInvariantNMF as OursNMF
+
+    V = make_patches(np.float32, n=64)
+    kw = dict(n_iterations=n_iterations, sparsity_H=0.1, inhibition_strength=0.1)
+
+    def run_ours():
+        np.random.seed(42)
+        nmf = OursNMF(n_atoms=10, atom_shape=(7, 7))
+        nmf.fit(V, **kw)
+        return float(nmf.W.sum())
+
+    run_ours()  # warm the compile cache: steady-state production metric
+    t0 = time.perf_counter()
+    run_ours()
+    ours_sec = time.perf_counter() - t0
+
+    ref_sec = None
+    try:
+        sys.path.insert(0, REFERENCE_PATH)
+        from tnmf.TransformInvariantNMF import TransformInvariantNMF as RefNMF
+        best = float('inf')
+        for dtype in (np.float32, np.float64):
+            Vr = V.astype(dtype)
+            for _ in range(2):
+                np.random.seed(42)
+                nmf = RefNMF(n_atoms=10, atom_shape=(7, 7), backend='numpy_fft')
+                t0 = time.perf_counter()
+                nmf.fit(Vr, **kw)
+                best = min(best, time.perf_counter() - t0)
+        ref_sec = best
+    except Exception as e:
+        print(f'reference tolerance baseline unavailable: {e!r}', file=sys.stderr)
+
+    return {'metric': 'time_to_tolerance_sparsity_inhibition_sec',
+            'value': round(ours_sec, 4), 'unit': 's (25 MU iters, same trajectory)',
+            'vs_baseline': round(ref_sec / ours_sec, 3) if ref_sec else None}
+
+
+# ---------------------------------------------------------------------------
+# metric: minibatch ASG_MU epochs/sec
+# ---------------------------------------------------------------------------
+
+def metric_minibatch(n_epochs=5, batch_size=12):
+    from tnmf_tpu import MiniBatchAlgorithm, TransformInvariantNMF as OursNMF
+
+    V = make_patches(np.float32, n=144)
+
+    def run_ours():
+        np.random.seed(42)
+        nmf = OursNMF(n_atoms=10, atom_shape=(7, 7))
+        nmf.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU,
+                            batch_size=batch_size, n_epochs=n_epochs, sparsity_H=0.1)
+        return float(nmf.W.sum())
+
+    run_ours()  # warm compile cache (the whole multi-epoch fit is one scan)
+    t0 = time.perf_counter()
+    run_ours()
+    ours = n_epochs / (time.perf_counter() - t0)
+
+    ref = None
+    try:
+        sys.path.insert(0, REFERENCE_PATH)
+        from tnmf.TransformInvariantNMF import (MiniBatchAlgorithm as RefAlg,
+                                                TransformInvariantNMF as RefNMF)
+        best = 0.0
+        for _ in range(2):
+            stamps = []
+
+            def cb(nmf, epoch):
+                stamps.append(time.perf_counter())
+                return True
+
+            np.random.seed(42)
+            nmf = RefNMF(n_atoms=10, atom_shape=(7, 7), backend='numpy_fft')
+            nmf.fit_minibatches(V.astype(np.float64), algorithm=RefAlg.ASG_MU,
+                                batch_size=batch_size, n_epochs=n_epochs,
+                                sparsity_H=0.1, progress_callback=cb)
+            best = max(best, 1.0 / float(np.median(np.diff(stamps))))
+        ref = best
+    except Exception as e:
+        print(f'reference minibatch baseline unavailable: {e!r}', file=sys.stderr)
+
+    return {'metric': 'minibatch_asg_mu_epochs_per_sec',
+            'value': round(ours, 3), 'unit': 'epoch/s',
+            'vs_baseline': round(ours / ref, 3) if ref else None}
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--all', action='store_true',
+                        help='measure every BASELINE.md row (one JSON line each)')
+    args = parser.parse_args()
+
+    print(json.dumps(metric_2d()), flush=True)
+    if args.all:
+        print(json.dumps(metric_1d()), flush=True)
+        print(json.dumps(metric_time_to_tolerance()), flush=True)
+        print(json.dumps(metric_minibatch()), flush=True)
 
 
 if __name__ == '__main__':

@@ -17,6 +17,7 @@ CASES = [
     (2, (9, 11), (3, 4)),
     (2, (8, 8), (8, 8)),       # atom as large as the sample
     (3, (7, 6, 8), (2, 3, 2)),
+    (4, (5, 6, 4, 7), (2, 2, 3, 2)),   # rank > 3: fft strategy only
 ]
 MODES = ['valid', 'full', 'circular', 'reflect']
 STRATEGIES = {'fft': fft, 'conv': conv}
@@ -27,6 +28,8 @@ STRATEGIES = {'fft': fft, 'conv': conv}
 @pytest.mark.parametrize('strategy', list(STRATEGIES))
 def test_strategy_matches_oracle(mode, case, strategy):
     ndim, S, A = case
+    if strategy == 'conv' and ndim > 3:
+        pytest.skip('direct-conv strategy is capped at 3 shift dims (engine routes to fft)')
     if mode == 'full' and any(s < a for s, a in zip(S, A)):
         pytest.skip('atom does not fit sample in full mode')
     if mode == 'reflect' and any(s < a for s, a in zip(S, A)):
@@ -52,6 +55,24 @@ def test_strategy_matches_oracle(mode, case, strategy):
     gw0 = oracle.reconstruction_gradient_W(V, W, H, mode)
     for a, b in zip(gw, gw0):
         np.testing.assert_allclose(np.asarray(a), b, rtol=1e-10, atol=1e-10)
+
+
+def test_rank4_fit_smoke():
+    """A tiny 4-D (e.g. volumetric+time) fit must run end to end: 'auto'
+    routes ndim>3 to the fft strategy (engine.choose_strategy), matching the
+    reference NumPy backends' arbitrary-rank support
+    (/root/reference/tnmf/backends/NumPy_FFT.py:16-40)."""
+    from tnmf_tpu import TransformInvariantNMF
+    rng = np.random.default_rng(0)
+    V = rng.random((2, 1, 5, 6, 4, 7))
+    np.random.seed(0)
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(2, 2, 3, 2))
+    nmf.fit(V, n_iterations=3, record_energies=True)
+    assert nmf._strategy == 'fft'
+    assert nmf.W.shape == (2, 1, 2, 2, 3, 2)
+    assert np.all(np.isfinite(nmf.energies_))
+    assert nmf.energies_[-1] <= nmf.energies_[0]
+    np.testing.assert_allclose(nmf.W.sum(axis=(-4, -3, -2, -1)), 1.0, rtol=1e-12)
 
 
 def test_transform_shapes():

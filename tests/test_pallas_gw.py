@@ -63,9 +63,17 @@ def test_bf16_storage():
 
 def test_supported_gate():
     plan = ConvPlan.create('valid', (64, 64), (7, 7))
-    assert pallas_gw.supported(plan, 16, 6, jnp.float32)
+    # CPU backend: the compiled kernel must report unsupported so the engine
+    # falls back to the XLA conv path
+    assert not pallas_gw.supported(plan, 16, 6, jnp.float32)
+    # geometry itself is feasible for the flagship shape ...
+    _, uc, _, _ = pallas_gw._geometry(plan, 16, 6, 4)
+    assert uc >= 1
+    # ... but not for atom counts whose lhs exceeds the VMEM budget at a
+    # large transform pitch
+    plan_big = ConvPlan.create('valid', (256, 256), (7, 7))
+    _, uc64, _, _ = pallas_gw._geometry(plan_big, 64, 6, 4)
+    assert uc64 == 0
     # rank-1 unsupported
     plan1 = ConvPlan.create('valid', (64,), (7,))
     assert not pallas_gw.supported(plan1, 16, 6, jnp.float32)
-    # f64 unsupported (no TPU f64)
-    assert not pallas_gw.supported(plan, 16, 6, jnp.float64)

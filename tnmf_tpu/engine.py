@@ -157,16 +157,30 @@ def _normalize_W(W, n_shift_axes):
     return W / jnp.where(s == 0, 1, s)
 
 
-def _mu_W(ops, Vp, W, H, *, plan):
+def _mu_W(ops, Vp, W, H, *, plan, use_pallas=False):
     """One multiplicative W update with atom-wise sum normalization
-    (reference ``_update_W`` + ``normalize``, ``TransformInvariantNMF.py:240-244``)."""
+    (reference ``_update_W`` + ``normalize``, ``TransformInvariantNMF.py:240-244``).
+
+    With ``use_pallas`` (conv strategy, TPU, 2-D, supported geometry) the
+    W-gradient statistics run through the blocked-GEMM Pallas kernel
+    (:mod:`tnmf_tpu.ops.pallas_gw`); measured at parity with the XLA conv
+    lowering on the flagship config (benchmarks/pallas_fusion.py), kept
+    opt-in."""
     R = ops.reconstruct(W, H, plan)
-    neg, pos = ops.grad_W_pair(Vp, R, H, plan)
+    if use_pallas and ops is conv_ops:
+        from .ops import pallas_gw
+        if pallas_gw.supported(plan, W.shape[0], 2 * W.shape[1], H.dtype):
+            X2 = jnp.concatenate([Vp, conv_ops.extend_data(R, plan)], axis=1)
+            neg, pos = pallas_gw.grad_w_gemm(X2, H, plan=plan)
+        else:
+            neg, pos = ops.grad_W_pair(Vp, R, H, plan)
+    else:
+        neg, pos = ops.grad_W_pair(Vp, R, H, plan)
     Wn = W * neg / (pos + EPS)
     return _normalize_W(Wn, plan.ndim).astype(W.dtype)
 
 
-_STEP_STATICS = ('plan', 'strategy', 'update_H', 'update_W', 'use_inhibition', 'use_cross', 'use_pallas')
+_STEP_STATICS = ('plan', 'strategy', 'update_H', 'update_W', 'use_inhibition', 'use_cross', 'use_pallas', 'use_pallas_gw')
 
 
 @partial(jax.jit, static_argnames=_STEP_STATICS)
@@ -174,7 +188,7 @@ def update_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
                 plan: ConvPlan, strategy: str,
                 update_H: bool = True, update_W: bool = True,
                 use_inhibition: bool = False, use_cross: bool = False,
-                use_pallas: bool = False):
+                use_pallas: bool = False, use_pallas_gw: bool = False):
     """One full MU iteration: H update then W update (reference
     ``fit_batch`` loop body, ``TransformInvariantNMF.py:334-340``)."""
     ops = get_ops(strategy)
@@ -183,7 +197,7 @@ def update_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
                   kernels, plan=plan, use_inhibition=use_inhibition,
                   use_cross=use_cross, use_pallas=use_pallas)
     if update_W:
-        W = _mu_W(ops, Vp, W, H, plan=plan)
+        W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw)
     return W, H
 
 
@@ -192,7 +206,7 @@ def fit_loop(Vp, W, H, n_iterations, sparsity, inhibition, cross_inhibition, ker
              plan: ConvPlan, strategy: str,
              update_H: bool = True, update_W: bool = True,
              use_inhibition: bool = False, use_cross: bool = False,
-             use_pallas: bool = False):
+             use_pallas: bool = False, use_pallas_gw: bool = False):
     """The no-callback fast path: the whole fit as one on-device loop with
     donated W/H buffers.  ``n_iterations`` is traced, so varying it does not
     recompile."""
@@ -205,7 +219,7 @@ def fit_loop(Vp, W, H, n_iterations, sparsity, inhibition, cross_inhibition, ker
                       kernels, plan=plan, use_inhibition=use_inhibition,
                       use_cross=use_cross, use_pallas=use_pallas)
         if update_W:
-            W = _mu_W(ops, Vp, W, H, plan=plan)
+            W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw)
         return W, H
 
     return jax.lax.fori_loop(0, n_iterations, body, (W, H))
@@ -223,7 +237,7 @@ def _fit_energies_chunk(Vp, V, W, H, k, sparsity, inhibition, cross_inhibition, 
                         plan: ConvPlan, strategy: str,
                         update_H: bool = True, update_W: bool = True,
                         use_inhibition: bool = False, use_cross: bool = False,
-                        use_pallas: bool = False):
+                        use_pallas: bool = False, use_pallas_gw: bool = False):
     """``chunk`` scan steps of the MU loop with per-iteration energies; only
     the first ``k`` (traced) steps actually update, the rest are identity —
     so one compilation covers every iteration count."""
@@ -237,7 +251,7 @@ def _fit_energies_chunk(Vp, V, W, H, k, sparsity, inhibition, cross_inhibition, 
                       kernels, plan=plan, use_inhibition=use_inhibition,
                       use_cross=use_cross, use_pallas=use_pallas)
         if update_W:
-            W = _mu_W(ops, Vp, W, H, plan=plan)
+            W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw)
         R = ops.reconstruct(W, H, plan)
         d = V.astype(acc) - R.astype(acc)
         return (W, H), (0.5 * jnp.sum(d * d)).astype(acc)
@@ -257,7 +271,7 @@ def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition, kerne
                       plan: ConvPlan, strategy: str,
                       update_H: bool = True, update_W: bool = True,
                       use_inhibition: bool = False, use_cross: bool = False,
-                      use_pallas: bool = False):
+                      use_pallas: bool = False, use_pallas_gw: bool = False):
     """Fused fit loop that also records the post-iteration reconstruction
     energy (the trace the reference logs per iteration,
     ``TransformInvariantNMF.py:346``).  Costs one extra reconstruction per
@@ -270,7 +284,7 @@ def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition, kerne
     statics = dict(chunk=ENERGY_CHUNK, plan=plan, strategy=strategy,
                    update_H=update_H, update_W=update_W,
                    use_inhibition=use_inhibition, use_cross=use_cross,
-                   use_pallas=use_pallas)
+                   use_pallas=use_pallas, use_pallas_gw=use_pallas_gw)
     n = int(n_iterations)
     traces = []
     done = 0
@@ -297,10 +311,10 @@ def update_H_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
                  use_cross=use_cross, use_pallas=use_pallas)
 
 
-@partial(jax.jit, static_argnames=('plan', 'strategy'))
-def update_W_step(Vp, W, H, *, plan: ConvPlan, strategy: str):
+@partial(jax.jit, static_argnames=('plan', 'strategy', 'use_pallas'))
+def update_W_step(Vp, W, H, *, plan: ConvPlan, strategy: str, use_pallas: bool = False):
     """W-only update on a (mini)batch slice."""
-    return _mu_W(get_ops(strategy), Vp, W, H, plan=plan)
+    return _mu_W(get_ops(strategy), Vp, W, H, plan=plan, use_pallas=use_pallas)
 
 
 @partial(jax.jit, static_argnames=('plan', 'strategy'))

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from . import engine
 from .ops.modes import ConvPlan
 
-_STATICS = ('plan', 'strategy', 'algorithm', 'use_inhibition', 'use_cross', 'use_pallas')
+_STATICS = ('plan', 'strategy', 'algorithm', 'use_inhibition', 'use_cross',
+            'use_pallas', 'use_pallas_gw')
 
 
 def batchable(n_samples: int, batch_size: Optional[int]) -> bool:
@@ -43,7 +44,7 @@ def minibatch_fit_loop(
     Vp_b, W, H_b, perms, sparsity, inhibition, cross_inhibition, sag_lambda, kernels, *,
     plan: ConvPlan, strategy: str, algorithm: int,
     use_inhibition: bool = False, use_cross: bool = False,
-    use_pallas: bool = False,
+    use_pallas: bool = False, use_pallas_gw: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run ``n_epochs`` minibatch epochs on device.
 
@@ -66,6 +67,11 @@ def minibatch_fit_loop(
 
     def grad_W(Vb, W, Hb):
         R = ops.reconstruct(W, Hb, plan)
+        if use_pallas_gw and strategy == 'conv':
+            from .ops import conv, pallas_gw
+            if pallas_gw.supported(plan, W.shape[0], 2 * W.shape[1], Hb.dtype):
+                X2 = jnp.concatenate([Vb, conv.extend_data(R, plan)], axis=1)
+                return pallas_gw.grad_w_gemm(X2, Hb, plan=plan)
         return ops.grad_W_pair(Vb, R, Hb, plan)
 
     def apply_W(W, neg, pos):

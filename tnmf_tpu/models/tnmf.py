@@ -126,11 +126,16 @@ class TransformInvariantNMF:
         comparable.
     fft_policy : {'5-smooth', 'pow2'}, default '5-smooth'
         FFT padded-length policy for the fft strategy.
-    use_pallas : bool, default False
-        Use the fused Pallas TPU kernel for the inhibited H update (see
-        ``tnmf_tpu.ops.pallas_mu``). Falls back to the XLA path off-TPU or
-        for unsupported shapes. Off by default: XLA fuses this chain well
-        and the default keeps bitwise-stable numerics.
+    use_pallas : bool or None, default None
+        Pallas TPU kernel selection. ``None`` (auto) enables the fused
+        inhibited-H-update kernel (``tnmf_tpu.ops.pallas_mu``) where
+        supported — measured 1.65x faster than the XLA chain on a v5e chip
+        (benchmarks/pallas_fusion.py) — and keeps the blocked-GEMM grad_W
+        kernel (``tnmf_tpu.ops.pallas_gw``) off, since it only reaches
+        parity with XLA's conv lowering. ``True`` forces both kernels on,
+        ``False`` disables both (bitwise-stable XLA-only numerics). All
+        kernels silently fall back to the XLA path off-TPU or for
+        unsupported shapes.
     init : {'host', 'device'}, default 'host'
         'host' draws W/H with NumPy (reference RNG parity). 'device' draws
         them on the accelerator from a JAX PRNG key (seeded by ``seed``) —
@@ -161,7 +166,7 @@ class TransformInvariantNMF:
             mesh=None,
             seed: Optional[int] = None,
             fft_policy: str = '5-smooth',
-            use_pallas: bool = False,
+            use_pallas: Optional[bool] = None,
             init: str = 'host',
             shard_axis: str = 'samples',
             precision: Optional[str] = None,
@@ -182,7 +187,10 @@ class TransformInvariantNMF:
         self._fft_policy = fft_policy
         self._dtype = dtype
         self._mesh = mesh
-        self._use_pallas = bool(use_pallas)
+        # None = auto: fused inhibited-H kernel on (measured win), grad_W
+        # GEMM kernel off (measured parity-only vs XLA conv)
+        self._use_pallas = use_pallas is not False
+        self._use_pallas_gw = use_pallas is True
         self._shard_axis = shard_axis
         self._precision = precision
         if init not in ('host', 'device'):
@@ -383,6 +391,7 @@ class TransformInvariantNMF:
             use_inhibition=inhibition_strength > 0,
             use_cross=cross_atom_inhibition_strength > 0,
             use_pallas=self._use_pallas,
+            use_pallas_gw=self._use_pallas_gw,
         )
         scalars = (jnp.asarray(sparsity_H, self._W.dtype),
                    jnp.asarray(inhibition_strength, self._W.dtype),
@@ -523,7 +532,7 @@ class TransformInvariantNMF:
                 plan=self._plan, strategy=self._strategy, algorithm=algorithm.value,
                 use_inhibition=inhibition_strength > 0,
                 use_cross=cross_atom_inhibition_strength > 0,
-                use_pallas=self._use_pallas)
+                use_pallas=self._use_pallas, use_pallas_gw=self._use_pallas_gw)
             self._W = W
             self._H = H_b.reshape((nb * batch_size,) + H_b.shape[2:])
             self._logger.info('MiniBatch TNMF finished.')
@@ -575,7 +584,8 @@ class TransformInvariantNMF:
 
     def _update_W_batch(self, s: slice):
         self._W = engine.update_W_step(
-            self._Vp[s], self._W, self._H[s], plan=self._plan, strategy=self._strategy)
+            self._Vp[s], self._W, self._H[s], plan=self._plan, strategy=self._strategy,
+            use_pallas=self._use_pallas_gw)
 
     def _grad_W_batch(self, s: slice):
         return engine.grad_W_stats(

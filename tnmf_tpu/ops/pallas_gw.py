@@ -102,8 +102,13 @@ def _geometry(plan: ConvPlan, M: int, C2: int, itemsize: int):
 
 
 def supported(plan: ConvPlan, n_atoms: int, n_channels2: int, dtype) -> bool:
-    """Whether the blocked-GEMM grad_W kernel applies."""
+    """Whether the blocked-GEMM grad_W kernel applies (compiled path)."""
     if plan.ndim != 2:
+        return False
+    try:
+        if jax.devices()[0].platform != 'tpu':
+            return False  # Mosaic lowering requires a TPU backend
+    except Exception:
         return False
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
         return False
