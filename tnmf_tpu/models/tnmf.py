@@ -50,6 +50,16 @@ from ..ops.modes import ConvPlan
 sliceNone = slice(None)
 
 
+def _assert_nonnegative(V):
+    """Reference precondition (TransformInvariantNMF.py:326); checked on
+    device for process-spanning global arrays (the all-reduce result is
+    replicated, hence addressable everywhere)."""
+    if isinstance(V, jax.Array) and not V.is_fully_addressable:
+        assert bool(jnp.all(V >= 0))
+    else:
+        assert np.all(np.asarray(V) >= 0)
+
+
 def _compute_sequential_minibatches(length: int, batch_size: Optional[int]) -> Iterable[slice]:
     """Contiguous sample slices of at most ``batch_size``
     (reference ``TransformInvariantNMF.py:29-37``)."""
@@ -230,6 +240,10 @@ class TransformInvariantNMF:
 
     @property
     def V(self) -> np.ndarray:
+        if self._V is None:
+            raise RuntimeError(
+                'V is not host-addressable under a process-spanning mesh; '
+                'access the per-process shards of the global array instead')
         if self._shuffle_idx is None:
             return self._V
         return self._V[np.argsort(self._shuffle_idx)]
@@ -262,13 +276,27 @@ class TransformInvariantNMF:
         return jnp.dtype(np.float32)
 
     def _initialize_matrices(self, V: np.ndarray, keep_W: bool, shuffle_input: bool = False):
-        V = np.asarray(V)
-        if shuffle_input:
-            self._shuffle_idx = self._rng.permutation(len(V))
-            V = V[self._shuffle_idx]
-        else:
+        # multi-host path: a process-spanning global jax.Array (from
+        # parallel.distributed.distribute_samples) is used as-is — no host
+        # copy exists or is ever materialized
+        global_input = isinstance(V, jax.Array) and not V.is_fully_addressable
+        if global_input:
+            if self._mesh is None or self._init != 'device':
+                raise ValueError(
+                    "a process-spanning global array requires mesh=... and "
+                    "init='device' (no host ever holds the full batch)")
+            if shuffle_input:
+                raise ValueError('input shuffling is unavailable for global arrays')
             self._shuffle_idx = None
-        self._V = V
+            self._V = None  # V property raises; per-shard access via jax APIs
+        else:
+            V = np.asarray(V)
+            if shuffle_input:
+                self._shuffle_idx = self._rng.permutation(len(V))
+                V = V[self._shuffle_idx]
+            else:
+                self._shuffle_idx = None
+            self._V = V
 
         sample_shape = V.shape[2:]
         self._plan = ConvPlan.create(self._reconstruction_mode, sample_shape, self.atom_shape,
@@ -327,13 +355,21 @@ class TransformInvariantNMF:
 
         self._kernels = tuple(jnp.asarray(k, dtype=dtype) for k in self._inhibition_kernels_1D)
 
-        Vd = jnp.asarray(V, dtype=dtype)
         self._W = Wd
         self._H = Hd
-        if self._mesh is not None:
-            from ..parallel.sharding import shard_model_state
-            Vd, self._W, self._H = shard_model_state(
-                self._mesh, Vd, self._W, self._H, axis=self._shard_axis)
+        if global_input:
+            if jnp.dtype(V.dtype) != dtype:
+                raise ValueError(
+                    f'global array dtype {V.dtype} must match the compute dtype {dtype}')
+            Vd = V  # already sharded across the process-spanning mesh
+            from ..parallel.sharding import replicated
+            self._W = jax.device_put(self._W, replicated(self._mesh))
+        else:
+            Vd = jnp.asarray(V, dtype=dtype)
+            if self._mesh is not None:
+                from ..parallel.sharding import shard_model_state
+                Vd, self._W, self._H = shard_model_state(
+                    self._mesh, Vd, self._W, self._H, axis=self._shard_axis)
         self._Vd = Vd
         self._Vp = engine.prepare_data(Vd, plan=self._plan, strategy=self._strategy)
 
@@ -377,7 +413,7 @@ class TransformInvariantNMF:
           is accumulated fully on device; with one, it is recorded alongside
           the callback protocol.
         """
-        assert np.all(np.asarray(V) >= 0)
+        _assert_nonnegative(V)
         assert update_H or update_W
         assert sparsity_H >= 0
         assert inhibition_strength >= 0
@@ -471,7 +507,7 @@ class TransformInvariantNMF:
             progress_callback: Optional[Callable[['TransformInvariantNMF', int], bool]] = None,
             record_energies: bool = False,
     ):
-        assert np.all(np.asarray(V) >= 0)
+        _assert_nonnegative(V)
         assert sparsity_H >= 0
         assert inhibition_strength >= 0
         assert cross_atom_inhibition_strength >= 0
