@@ -21,6 +21,17 @@ jax.config.update('jax_enable_x64', True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# hermetic line coverage (CI uses real coverage.py; see tools/cov_lite.py)
+_COV_OUT = os.environ.get('TNMF_TPU_COVLITE')
+if _COV_OUT:
+    import atexit
+    import json
+    from tools import cov_lite
+    _pkg = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'tnmf_tpu')
+    cov_lite.start(_pkg)
+    atexit.register(lambda: print(json.dumps(
+        {'coverage_pct': cov_lite.report(_COV_OUT)['total_pct']})))
+
 REFERENCE_PATH = '/root/reference'
 
 

@@ -57,7 +57,10 @@ def cmd_example(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    return subprocess.call([sys.executable, os.path.join(REPO_ROOT, 'bench.py')])
+    cmd = [sys.executable, os.path.join(REPO_ROOT, 'bench.py')]
+    if args.all:
+        cmd.append('--all')
+    return subprocess.call(cmd)
 
 
 def main(argv=None) -> int:
@@ -78,6 +81,8 @@ def main(argv=None) -> int:
     p_ex.set_defaults(func=cmd_example)
 
     p_bench = sub.add_parser('bench', help='run the benchmark harness')
+    p_bench.add_argument('--all', action='store_true',
+                         help='measure every BASELINE.md anchor row')
     p_bench.set_defaults(func=cmd_bench)
 
     args = parser.parse_args(argv)
