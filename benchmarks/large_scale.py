@@ -25,7 +25,8 @@ from tnmf_tpu.ops.modes import ConvPlan  # noqa: E402
 
 
 def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
-        dtype='float32', strategy='conv', iters=(20, 120)):
+        dtype='float32', strategy='conv', iters=(20, 120),
+        inhibition=0.0, use_pallas=False, label=''):
     plan = ConvPlan.create('valid', sample, atom)
     dt = jnp.dtype(dtype)
     key = jax.random.PRNGKey(0)
@@ -38,12 +39,19 @@ def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
 
     Vp = engine.prepare_data(V, plan=plan, strategy=strategy)
     z = jnp.zeros((), dt)
+    kernels = ()
+    if inhibition:
+        from tnmf_tpu.ops.inhibition import inhibition_kernels, resolve_inhibition_range
+        kernels = tuple(jnp.asarray(k, dt)
+                        for k in inhibition_kernels(resolve_inhibition_range(None, atom)))
     statics = dict(plan=plan, strategy=strategy, update_H=True, update_W=True,
-                   use_inhibition=False, use_cross=False)
+                   use_inhibition=bool(inhibition), use_cross=False,
+                   use_pallas=use_pallas)
 
     def go(n):
         # fit_loop donates W/H: clone on device (cheap) instead of re-uploading
-        Wn, _ = engine.fit_loop(Vp, W0 + 0, H0 + 0, n, z, z, z, (), **statics)
+        Wn, _ = engine.fit_loop(Vp, W0 + 0, H0 + 0, n, z, jnp.asarray(inhibition, dt),
+                                z, kernels, **statics)
         return float(np.asarray(Wn.astype(jnp.float32)).sum())
 
     go(2)  # compile + settle
@@ -54,8 +62,10 @@ def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
     go(n2)
     t2 = time.perf_counter()
     per_iter = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
+    if per_iter <= 0:  # scheduler noise swamped the subtraction
+        per_iter = (t2 - t1) / n2
     px = n_samples * n_channels * sample[0] * sample[1]
-    print(f'{dtype:9s} {strategy:5s} N={n_samples:4d} {sample}x{atom}: '
+    print(f'{dtype:9s} {strategy:5s} N={n_samples:4d} {sample}x{atom}{label}: '
           f'{per_iter * 1e3:8.2f} ms/iter  {1 / per_iter:8.2f} it/s  '
           f'{px / per_iter / 1e9:6.2f} Gpx/s', flush=True)
     return per_iter
@@ -65,6 +75,10 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     for dtype in ('float32', 'bfloat16'):
         run(n_samples=n, dtype=dtype, strategy='conv')
+    # lateral inhibition at scale: XLA chain vs the fused Pallas epilogue
+    # (the model's default picks the Pallas path where supported)
+    run(n_samples=n, inhibition=0.1, use_pallas=False, label=' +inh(xla)')
+    run(n_samples=n, inhibition=0.1, use_pallas=True, label=' +inh(pallas)')
     # the reference fixture scale, for continuity with bench.py
     run(n_samples=2, sample=(76, 102), atom=(7, 7), n_atoms=10, n_channels=3,
         iters=(200, 1200))

@@ -22,6 +22,7 @@ def test_mu_ratio(shape):
 @pytest.mark.parametrize('dims,ranges', [
     ((2, 4, 20, 24), (3, 2)),
     ((3, 5, 17, 13), (6, 6)),
+    ((1, 3, 300, 40), (4, 3)),   # x > chunk size: multi-chunk tiling + halos
     ((3, 4, 40), (5,)),
 ])
 @pytest.mark.parametrize('use_same,use_cross', [(True, False), (False, True), (True, True)])

@@ -23,7 +23,8 @@ _prefix = ''
 
 # modules whose tests run them in subprocesses only (see test_demos.py,
 # test_examples.py, test_distributed.py) - invisible to in-process tracing
-SUBPROCESS_ONLY = ('utils/demo.py', 'utils/_st_shim.py', 'cli.py')
+SUBPROCESS_ONLY = ('utils/demo.py', 'utils/_st_shim.py', 'cli.py',
+                   'parallel/distributed.py')
 
 
 def _on_line(code, line):
@@ -44,8 +45,35 @@ def start(package_dir: str) -> None:
     mon.set_events(_TOOL_ID, mon.events.LINE)
 
 
+def _excluded_lines(src: str) -> set:
+    """Lines excluded from the metric, mirroring the coverage.py policy in
+    pyproject.toml: precondition raises, import fallbacks, pragmas."""
+    import ast
+    excluded = set()
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Raise):
+            exc = node.exc
+            name = ''
+            if isinstance(exc, ast.Call) and isinstance(exc.func, ast.Name):
+                name = exc.func.id
+            elif isinstance(exc, ast.Name):
+                name = exc.id
+            if name in ('NotImplementedError', 'AssertionError', 'ValueError'):
+                excluded.update(range(node.lineno, (node.end_lineno or node.lineno) + 1))
+        elif isinstance(node, ast.ExceptHandler) and node.type is not None:
+            names = [n.id for n in ast.walk(node.type) if isinstance(n, ast.Name)]
+            if 'ImportError' in names:
+                excluded.update(range(node.lineno, (node.end_lineno or node.lineno) + 1))
+    for i, line in enumerate(src.splitlines(), 1):
+        if 'pragma: no cover' in line:
+            excluded.add(i)
+    return excluded
+
+
 def _executable_lines(path: str) -> set:
-    """All line numbers carrying code, from the compiled code objects."""
+    """All line numbers carrying code, from the compiled code objects,
+    minus the policy exclusions."""
     with open(path) as f:
         src = f.read()
     lines = set()
@@ -58,7 +86,7 @@ def _executable_lines(path: str) -> set:
         for const in code.co_consts:
             if hasattr(const, 'co_lines'):
                 stack.append(const)
-    return lines
+    return lines - _excluded_lines(src)
 
 
 def report(out_path: str) -> dict:
