@@ -34,13 +34,22 @@ def test_scan_matches_python_loop(algorithm, sag_lambda):
     np.testing.assert_allclose(scan.H, loop.H, rtol=1e-10, atol=1e-12)
 
 
-def test_unequal_batches_fall_back():
-    """n_samples not divisible by batch_size must still work (Python path)."""
+@pytest.mark.parametrize('algorithm', list(MiniBatchAlgorithm))
+def test_ragged_batches_scan_matches_python_loop(algorithm):
+    """n_samples not divisible by batch_size rides the scan path via
+    zero-padded virtual samples (zero rows contribute zero to every MU
+    statistic and H=0 is absorbing), reproducing the Python path's short
+    final batch exactly."""
     V = np.random.default_rng(3).random((7, 1, 8, 8))
-    np.random.seed(0)
-    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
-    nmf.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=3, n_epochs=2)
-    assert np.isfinite(nmf._energy_function())
+    kw = dict(batch_size=3, n_epochs=2, sparsity_H=0.1)
+
+    loop = _fit(V, algorithm, force_python_loop=True, **kw)
+    scan = _fit(V, algorithm, force_python_loop=False, **kw)
+
+    assert scan.H.shape[0] == 7  # padding sliced back off
+    np.testing.assert_allclose(scan.W, loop.W, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(scan.H, loop.H, rtol=1e-10, atol=1e-12)
+    assert np.isfinite(scan._energy_function())
 
 
 def test_scan_with_inhibition():

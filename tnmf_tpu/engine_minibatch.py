@@ -14,16 +14,18 @@ multi-epoch minibatch fit into a single ``lax.scan`` program:
   H-then-W updates as the reference algorithms 4-8
   (``TransformInvariantNMF.py:457-504``).
 
-Eligibility: equal-size batches (``n_samples % batch_size == 0``) and no
-per-epoch Python callback.  The trajectory is identical to the Python path
-(same update order, same RNG consumption), verified in
-tests/test_minibatch_scan.py.
+Eligibility: no per-epoch Python callback.  Ragged final batches are
+zero-padded by the caller — zero V rows and zero H rows contribute exactly
+zero to every statistic (plain sums over samples) and H = 0 is absorbing
+under the multiplicative update, so the trajectory is identical to the
+Python path's short final batch (same update order, same RNG consumption),
+verified in tests/test_minibatch_scan.py.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,10 +35,6 @@ from .ops.modes import ConvPlan
 
 _STATICS = ('plan', 'strategy', 'algorithm', 'use_inhibition', 'use_cross',
             'use_pallas', 'use_pallas_gw')
-
-
-def batchable(n_samples: int, batch_size: Optional[int]) -> bool:
-    return batch_size is not None and batch_size > 0 and n_samples % batch_size == 0
 
 
 @partial(jax.jit, static_argnames=_STATICS, donate_argnums=(1, 2))

@@ -550,16 +550,30 @@ class TransformInvariantNMF:
         self.energies_ = None
         if record_energies:
             self.energies_ = []
-        from ..engine_minibatch import batchable, minibatch_fit_loop
-        if use_scan and batchable(len(self._V), batch_size):
-            nb = len(self._V) // batch_size
+        from ..engine_minibatch import minibatch_fit_loop
+        n = len(self._V)
+        nb = -(-n // batch_size) if batch_size else 0
+        n_pad = nb * batch_size - n
+        # a ragged final batch is zero-padded on device: zero V rows and
+        # zero H rows contribute exactly zero to every MU statistic (sums
+        # over samples) and H = 0 is absorbing under the multiplicative
+        # update, so the trajectory is identical to the reference's short
+        # final batch. Under a mesh, padding would break the sample-axis
+        # placement, so the ragged case falls back to the Python loop there.
+        if use_scan and nb > 0 and (n_pad == 0 or self._mesh is None):
             if algorithm is MiniBatchAlgorithm.Cyclic_MU:
                 perms = np.tile(np.arange(nb), (n_epochs, 1))
             else:
                 perms = np.stack([self._rng.permutation(nb) for _ in range(n_epochs)])
             dt = self._W.dtype
-            Vp_b = self._Vp.reshape((nb, batch_size) + self._Vp.shape[1:])
-            H_b = self._H.reshape((nb, batch_size) + self._H.shape[1:])
+            Vp_full, H_full = self._Vp, self._H
+            if n_pad:
+                Vp_full = jnp.concatenate(
+                    [Vp_full, jnp.zeros((n_pad,) + Vp_full.shape[1:], Vp_full.dtype)])
+                H_full = jnp.concatenate(
+                    [H_full, jnp.zeros((n_pad,) + H_full.shape[1:], H_full.dtype)])
+            Vp_b = Vp_full.reshape((nb, batch_size) + Vp_full.shape[1:])
+            H_b = H_full.reshape((nb, batch_size) + H_full.shape[1:])
             W, H_b = minibatch_fit_loop(
                 Vp_b, self._W, H_b, jnp.asarray(perms, jnp.int32),
                 jnp.asarray(sparsity_H, dt), jnp.asarray(inhibition_strength, dt),
@@ -570,7 +584,7 @@ class TransformInvariantNMF:
                 use_cross=cross_atom_inhibition_strength > 0,
                 use_pallas=self._use_pallas, use_pallas_gw=self._use_pallas_gw)
             self._W = W
-            self._H = H_b.reshape((nb * batch_size,) + H_b.shape[2:])
+            self._H = H_b.reshape((nb * batch_size,) + H_b.shape[2:])[:n]
             self._logger.info('MiniBatch TNMF finished.')
             return
 
