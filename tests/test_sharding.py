@@ -209,6 +209,26 @@ def test_both_axis_minibatch_scan_gating():
     np.testing.assert_allclose(b1.W, s1.W, rtol=1e-8, atol=1e-10)
 
 
+@needs_8_devices
+def test_sharded_ragged_minibatch_scan():
+    """Ragged final batch under a mesh: the zero-padded scan path engages
+    (batch_size divides the mesh) and matches the single-device result."""
+    from tnmf_tpu import MiniBatchAlgorithm
+    V = np.random.default_rng(5).random((40, 2, 12, 12))  # 40 = 2x16 + 8
+
+    np.random.seed(42)
+    single = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3))
+    single.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=16, n_epochs=3)
+
+    np.random.seed(42)
+    sharded = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3), mesh=make_mesh(8))
+    sharded.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=16, n_epochs=3)
+
+    assert sharded.H.shape[0] == 40
+    np.testing.assert_allclose(sharded.W, single.W, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(sharded.H, single.H, rtol=1e-8, atol=1e-10)
+
+
 def test_mesh_divisibility_error():
     V = np.random.default_rng(0).random((5, 1, 8, 8))
     mesh = make_mesh(min(8, jax.device_count()))

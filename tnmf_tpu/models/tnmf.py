@@ -558,9 +558,10 @@ class TransformInvariantNMF:
         # zero H rows contribute exactly zero to every MU statistic (sums
         # over samples) and H = 0 is absorbing under the multiplicative
         # update, so the trajectory is identical to the reference's short
-        # final batch. Under a mesh, padding would break the sample-axis
-        # placement, so the ragged case falls back to the Python loop there.
-        if use_scan and nb > 0 and (n_pad == 0 or self._mesh is None):
+        # final batch. Under a mesh the padded total (nb*batch_size) stays
+        # divisible by the sample-axis extent (mesh_ok requires batch_size
+        # to divide it), so the padded arrays are re-placed explicitly.
+        if use_scan and nb > 0:
             if algorithm is MiniBatchAlgorithm.Cyclic_MU:
                 perms = np.tile(np.arange(nb), (n_epochs, 1))
             else:
@@ -572,6 +573,12 @@ class TransformInvariantNMF:
                     [Vp_full, jnp.zeros((n_pad,) + Vp_full.shape[1:], Vp_full.dtype)])
                 H_full = jnp.concatenate(
                     [H_full, jnp.zeros((n_pad,) + H_full.shape[1:], H_full.dtype)])
+                if self._mesh is not None and self._shard_axis in ('samples', 'both'):
+                    from ..parallel.sharding import h_sharding
+                    Vp_full = jax.device_put(
+                        Vp_full, h_sharding(self._mesh, Vp_full.ndim, self._shard_axis))
+                    H_full = jax.device_put(
+                        H_full, h_sharding(self._mesh, H_full.ndim, self._shard_axis))
             Vp_b = Vp_full.reshape((nb, batch_size) + Vp_full.shape[1:])
             H_b = H_full.reshape((nb, batch_size) + H_full.shape[1:])
             W, H_b = minibatch_fit_loop(
