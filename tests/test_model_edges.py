@@ -1,0 +1,88 @@
+"""Edge/error-path coverage of the model layer beyond test_robustness."""
+
+import numpy as np
+import pytest
+
+from tnmf_tpu import TransformInvariantNMF
+
+
+def _V(n=3, c=2, s=(10, 10)):
+    return np.random.default_rng(0).random((n, c) + s)
+
+
+def test_keep_w_shape_mismatch_raises():
+    np.random.seed(0)
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    nmf.fit(_V(c=2), n_iterations=1)
+    with pytest.raises(ValueError, match='channel count'):
+        nmf.fit(_V(c=3), n_iterations=1, keep_W=True)
+
+
+def test_invalid_init_raises():
+    with pytest.raises(ValueError, match="init must be"):
+        TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), init='nope')
+
+
+def test_use_pallas_tristate():
+    auto = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    assert auto._use_pallas and not auto._use_pallas_gw
+    on = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), use_pallas=True)
+    assert on._use_pallas and on._use_pallas_gw
+    off = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), use_pallas=False)
+    assert not off._use_pallas and not off._use_pallas_gw
+
+
+def test_callback_interval_with_update_w_only():
+    V = _V()
+    np.random.seed(1)
+    a = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    a.fit(V, n_iterations=6, update_H=False)
+    np.random.seed(1)
+    b = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    b.fit(V, n_iterations=6, update_H=False,
+          progress_callback=lambda nmf, it: True, callback_interval=3)
+    np.testing.assert_allclose(a.W, b.W, rtol=1e-12)
+
+
+def test_global_array_requires_device_init():
+    """A sharded jax.Array that is fully addressable is fine; the
+    multi-host preconditions only trigger for non-addressable input."""
+    import jax
+    import jax.numpy as jnp
+    V = jnp.asarray(_V(n=4))
+    np.random.seed(0)
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    nmf.fit(np.asarray(V), n_iterations=1)  # addressable path unchanged
+    assert np.isfinite(nmf._energy_function())
+
+
+def test_verbose_logging_path(caplog):
+    import logging
+    V = _V(n=2, s=(8, 8))
+    np.random.seed(0)
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), verbose=2)
+    with caplog.at_level(logging.INFO, logger='TransformInvariantNMF'):
+        nmf.fit(V, n_iterations=3)
+    msgs = [r.message for r in caplog.records]
+    assert any('Energy function' in m for m in msgs)
+    assert any('TNMF finished' in m for m in msgs)
+
+
+def test_record_energies_with_logging():
+    """record_energies + INFO logging: fused energy loop logs each value."""
+    V = _V(n=2, s=(8, 8))
+    np.random.seed(0)
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), verbose=2)
+    nmf._logger.disabled = True
+    nmf.fit(V, n_iterations=4, record_energies=True)
+    nmf._logger.disabled = False
+    assert nmf.energies_.shape == (4,)
+
+
+def test_r_partial_sums_to_r():
+    V = _V()
+    np.random.seed(0)
+    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3))
+    nmf.fit(V, n_iterations=3)
+    total = sum(nmf.R_partial(i) for i in range(3))
+    np.testing.assert_allclose(total, nmf.R, rtol=1e-10, atol=1e-12)
