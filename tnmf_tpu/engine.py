@@ -56,16 +56,21 @@ def choose_strategy(plan: ConvPlan, n_atoms: int, n_channels: int) -> str:
     """Heuristic strategy choice for ``strategy='auto'``.
 
     Direct convolution keeps the contraction on the MXU and avoids FFT
-    padding; measured on a v5e chip (benchmarks/strategies.py) it wins by
-    2-25x for atoms up to 31x31 across 1-D and 2-D sample sizes, while the
-    FFT path takes over for very large atoms (12x faster at 63x63, where
-    the direct cost ~ prod(atom) per output point explodes).  The measured
-    crossover sits between 31^2 and 63^2 atom elements.
+    padding; measured on a v5e chip (benchmarks/strategies.py, r2 sweep)
+    it wins by 2-88x for small/medium atoms across 1-D and 2-D sample
+    sizes, while the FFT path takes over once the per-output-point direct
+    cost (~prod(atom)) outgrows the FFT's roughly sample-independent
+    per-point cost.  The measured crossover grows with the sample size
+    (the FFT transforms get relatively more expensive): ~700 atom elements
+    at 128x128 samples, ~1300 at 256x256, conv everywhere at 64x64.  The
+    ``max(512, prod(sample)/64)`` threshold is the empirical fit to that
+    sweep.
     """
     if plan.ndim > 3:
         return 'fft'  # lax conv supports at most 3 spatial dims here
     atom_elems = math.prod(plan.atom_shape)
-    return 'conv' if atom_elems <= 2048 else 'fft'
+    threshold = max(512, math.prod(plan.sample_shape) // 64)
+    return 'conv' if atom_elems <= threshold else 'fft'
 
 
 # ---------------------------------------------------------------------------
