@@ -35,6 +35,7 @@ References
 from __future__ import annotations
 
 import logging
+import os
 from enum import Enum
 from itertools import count, islice
 from typing import Callable, Iterable, Iterator, Optional, Tuple, Union
@@ -792,21 +793,110 @@ class TransformInvariantNMF:
             model._W = jnp.asarray(W, dtype=dtype)
             if 'H' in data:
                 model._H = jnp.asarray(data['H'], dtype=dtype)
-                # reconstruct the execution plan from the stored geometry so
-                # R / R_partial work immediately after loading
-                tshape = model._H.shape[2:]
-                atom = model.atom_shape
-                mode = model._reconstruction_mode
-                if mode == 'valid':
-                    sample = tuple(t - a + 1 for t, a in zip(tshape, atom))
-                elif mode == 'full':
-                    sample = tuple(t + a - 1 for t, a in zip(tshape, atom))
-                else:
-                    sample = tuple(tshape)
-                model._plan = ConvPlan.create(mode, sample, atom, model._fft_policy,
-                                              precision=model._precision)
-                model._strategy = (model._strategy_request
-                                   if model._strategy_request != 'auto'
-                                   else engine.choose_strategy(model._plan, model.n_atoms,
-                                                               model._W.shape[1]))
+                model._restore_plan()
+        return model
+
+    def _restore_plan(self):
+        """Rebuild the execution plan from the restored W/H geometry so
+        R / R_partial work immediately after loading a checkpoint."""
+        tshape = self._H.shape[2:]
+        atom = self.atom_shape
+        mode = self._reconstruction_mode
+        if mode == 'valid':
+            sample = tuple(t - a + 1 for t, a in zip(tshape, atom))
+        elif mode == 'full':
+            sample = tuple(t + a - 1 for t, a in zip(tshape, atom))
+        else:
+            sample = tuple(tshape)
+        self._plan = ConvPlan.create(mode, sample, atom, self._fft_policy,
+                                     precision=self._precision)
+        self._strategy = (self._strategy_request
+                          if self._strategy_request != 'auto'
+                          else engine.choose_strategy(self._plan, self.n_atoms,
+                                                      self._W.shape[1]))
+
+    # ------------------------------------------------------------------
+    # distributed (sharded) checkpointing via orbax — the at-scale path
+    # where H may exceed any single host's memory
+    # ------------------------------------------------------------------
+
+    def save_sharded(self, path: str, include_H: bool = True):
+        """Distributed checkpoint: every device/host writes its own shards
+        of W and H (orbax/tensorstore), preserving their shardings — no
+        host-side gather, so it works for mesh-sharded and process-spanning
+        (multi-host) state where :meth:`save` cannot.
+
+        ``path`` must be a fresh directory path (absolute paths are
+        normalized here). Restore with :meth:`load_sharded`.
+        """
+        import json
+        import orbax.checkpoint as ocp
+
+        if self._W is None:
+            raise ValueError('nothing to save: the model has not been fit yet')
+        path = os.path.abspath(path)
+        state = {'W': self._W}
+        if include_H and self._H is not None:
+            state['H'] = self._H
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(path, 'state'), state)
+        ckptr.wait_until_finished()
+        meta = dict(
+            n_atoms=self.n_atoms,
+            atom_shape=list(self.atom_shape),
+            inhibition_range=list(self._inhibition_range),
+            reconstruction_mode=self._reconstruction_mode,
+            dtype=str(self._W.dtype),
+            w_shape=list(self._W.shape),
+            h_shape=list(self._H.shape) if 'H' in state else None,
+            version=1,
+        )
+        if jax.process_index() == 0:
+            with open(os.path.join(path, 'tnmf_config.json'), 'w') as f:
+                json.dump(meta, f)
+
+    @classmethod
+    def load_sharded(cls, path: str, mesh=None, shard_axis: str = 'samples',
+                     **kwargs) -> 'TransformInvariantNMF':
+        """Restore a :meth:`save_sharded` checkpoint.
+
+        With ``mesh`` the state is restored *directly into its distributed
+        layout* (H sharded per ``shard_axis``, W replicated) — each
+        device reads only its own shards. Extra ``kwargs`` override
+        constructor arguments.
+        """
+        import json
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        with open(os.path.join(path, 'tnmf_config.json')) as f:
+            meta = json.load(f)
+        cfg = dict(
+            n_atoms=int(meta['n_atoms']),
+            atom_shape=tuple(meta['atom_shape']),
+            inhibition_range=tuple(meta['inhibition_range']),
+            reconstruction_mode=meta['reconstruction_mode'],
+            mesh=mesh,
+            shard_axis=shard_axis,
+        )
+        cfg.update(kwargs)
+        model = cls(**cfg)
+
+        dtype = jnp.dtype(meta['dtype'])
+        if mesh is not None:
+            from ..parallel.sharding import h_sharding, replicated
+            w_sh, h_sh = replicated(mesh), None
+            if meta['h_shape'] is not None:
+                h_sh = h_sharding(mesh, len(meta['h_shape']), shard_axis)
+        else:
+            w_sh = h_sh = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        target = {'W': jax.ShapeDtypeStruct(tuple(meta['w_shape']), dtype, sharding=w_sh)}
+        if meta['h_shape'] is not None:
+            target['H'] = jax.ShapeDtypeStruct(tuple(meta['h_shape']), dtype, sharding=h_sh)
+        ckptr = ocp.StandardCheckpointer()
+        state = ckptr.restore(os.path.join(path, 'state'), target)
+        model._W = state['W']
+        if 'H' in state:
+            model._H = state['H']
+            model._restore_plan()
         return model
