@@ -140,13 +140,15 @@ class TransformInvariantNMF:
     use_pallas : bool or None, default None
         Pallas TPU kernel selection. ``None`` (auto) enables the fused
         inhibited-H-update kernel (``tnmf_tpu.ops.pallas_mu``) where
-        supported — measured 1.65x faster than the XLA chain on a v5e chip
-        (benchmarks/pallas_fusion.py) — and keeps the blocked-GEMM grad_W
-        kernel (``tnmf_tpu.ops.pallas_gw``) off, since it only reaches
-        parity with XLA's conv lowering. ``True`` forces both kernels on,
-        ``False`` disables both (bitwise-stable XLA-only numerics). All
-        kernels silently fall back to the XLA path off-TPU or for
-        unsupported shapes.
+        supported *and* the per-step activation tensor is below the measured
+        size crossover (~8M elements; above it the banded-matmul XLA chain
+        in ``tnmf_tpu.ops.inhibition`` wins by up to 10x on a v5e chip —
+        benchmarks/pallas_fusion.py, benchmarks/large_scale.py), and keeps
+        the blocked-GEMM grad_W kernel (``tnmf_tpu.ops.pallas_gw``) off,
+        since it only reaches parity with XLA's conv lowering. ``True``
+        forces both kernels on, ``False`` disables both (bitwise-stable
+        XLA-only numerics). All kernels silently fall back to the XLA path
+        off-TPU or for unsupported shapes.
     init : {'host', 'device'}, default 'host'
         'host' draws W/H with NumPy (reference RNG parity). 'device' draws
         them on the accelerator from a JAX PRNG key (seeded by ``seed``) —
@@ -198,9 +200,9 @@ class TransformInvariantNMF:
         self._fft_policy = fft_policy
         self._dtype = dtype
         self._mesh = mesh
-        # None = auto: fused inhibited-H kernel on (measured win), grad_W
-        # GEMM kernel off (measured parity-only vs XLA conv)
-        self._use_pallas = use_pallas is not False
+        # tri-state: None = auto (size-dependent, see _pallas_mu_enabled),
+        # True = force both kernels on, False = XLA-only
+        self._use_pallas_mode = use_pallas
         self._use_pallas_gw = use_pallas is True
         self._shard_axis = shard_axis
         self._precision = precision
@@ -374,6 +376,24 @@ class TransformInvariantNMF:
         self._Vd = Vd
         self._Vp = engine.prepare_data(Vd, plan=self._plan, strategy=self._strategy)
 
+    # measured crossover of the fused inhibited-H Pallas kernel vs the
+    # banded-matmul XLA chain (benchmarks/pallas_fusion.py + large_scale.py,
+    # v5e): the kernel wins ~2.4x on fixture-scale activation tensors but
+    # loses ~10x at 63M elements where its tiled tap loops are VPU-bound
+    _PALLAS_MU_AUTO_MAX_ELEMS = 8 * 1024 * 1024
+
+    def _pallas_mu_enabled(self, n_samples: int) -> bool:
+        """Resolve the use_pallas tri-state for the inhibited-H kernel.
+
+        ``n_samples`` is the per-step slice size (full batch or minibatch).
+        Auto (None) enables the kernel only below the measured size
+        crossover; True/False force it on/off.
+        """
+        if self._use_pallas_mode is not None:
+            return self._use_pallas_mode
+        h_elems = n_samples * self.n_atoms * int(np.prod(self._plan.transform_shape))
+        return h_elems <= self._PALLAS_MU_AUTO_MAX_ELEMS
+
     # ------------------------------------------------------------------
     # batch fitting (reference fit_batch, TransformInvariantNMF.py:282-348)
     # ------------------------------------------------------------------
@@ -427,7 +447,7 @@ class TransformInvariantNMF:
             update_H=update_H, update_W=update_W,
             use_inhibition=inhibition_strength > 0,
             use_cross=cross_atom_inhibition_strength > 0,
-            use_pallas=self._use_pallas,
+            use_pallas=self._pallas_mu_enabled(self._H.shape[0]),
             use_pallas_gw=self._use_pallas_gw,
         )
         scalars = (jnp.asarray(sparsity_H, self._W.dtype),
@@ -590,7 +610,8 @@ class TransformInvariantNMF:
                 plan=self._plan, strategy=self._strategy, algorithm=algorithm.value,
                 use_inhibition=inhibition_strength > 0,
                 use_cross=cross_atom_inhibition_strength > 0,
-                use_pallas=self._use_pallas, use_pallas_gw=self._use_pallas_gw)
+                use_pallas=self._pallas_mu_enabled(batch_size),
+                use_pallas_gw=self._use_pallas_gw)
             self._W = W
             self._H = H_b.reshape((nb * batch_size,) + H_b.shape[2:])[:n]
             self._logger.info('MiniBatch TNMF finished.')
@@ -610,7 +631,7 @@ class TransformInvariantNMF:
                             jnp.asarray(cross_atom_inhibition_strength, dt))
         self._mb_flags = dict(use_inhibition=inhibition_strength > 0,
                               use_cross=cross_atom_inhibition_strength > 0,
-                              use_pallas=self._use_pallas)
+                              use_pallas=self._pallas_mu_enabled(batch_size))
 
         inner_stat = None
         for epoch in range(n_epochs):

