@@ -236,3 +236,97 @@ def test_mesh_divisibility_error():
     if mesh.devices.size > 1:
         with pytest.raises(ValueError, match='divisible'):
             nmf.fit(V, n_iterations=1)
+
+
+@needs_8_devices
+@pytest.mark.parametrize('with_cross', [False, True])
+def test_atom_sharding_matches_single_device(with_cross):
+    """'atoms' shard axis (model/tensor parallelism over the dictionary):
+    W and the atom axis of H shard; the reconstruction's atom sum becomes
+    an all-reduce. Cross-atom inhibition adds a second atom-axis reduction.
+    Both must reproduce the single-device trajectory."""
+    from tnmf_tpu.parallel import ATOM_AXIS, make_mesh_atoms
+    V = _make_V()
+    kw = dict(n_iterations=4, sparsity_H=0.1, inhibition_strength=0.1)
+    if with_cross:
+        kw['cross_atom_inhibition_strength'] = 0.2
+
+    np.random.seed(42)
+    single = TransformInvariantNMF(n_atoms=8, atom_shape=(3, 3), backend='jax_conv')
+    single.fit(V, **kw)
+
+    np.random.seed(42)
+    sharded = TransformInvariantNMF(n_atoms=8, atom_shape=(3, 3), backend='jax_conv',
+                                    mesh=make_mesh_atoms(8), shard_axis='atoms')
+    sharded.fit(V, **kw)
+
+    assert sharded._W.sharding.spec[0] == ATOM_AXIS
+    assert sharded._H.sharding.spec[1] == ATOM_AXIS
+    np.testing.assert_allclose(sharded.W, single.W, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(sharded.H, single.H, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(sharded.R, single.R, rtol=1e-8, atol=1e-10)
+
+
+@needs_8_devices
+def test_2d_mesh_data_x_atoms():
+    """'samples+atoms': combined data + model parallelism on a 2x4 mesh.
+
+    conv strategy: the XLA *CPU* runtime's fft thunk RET_CHECKs on the
+    layout-permuted local shards the partitioner produces here (a platform
+    limitation of the virtual test mesh, not of the sharding)."""
+    from tnmf_tpu.parallel import ATOM_AXIS, make_mesh_2d_atoms
+    V = _make_V()
+
+    np.random.seed(42)
+    single = TransformInvariantNMF(n_atoms=4, atom_shape=(3, 3), backend='jax_conv')
+    single.fit(V, n_iterations=4, sparsity_H=0.1)
+
+    np.random.seed(42)
+    sharded = TransformInvariantNMF(n_atoms=4, atom_shape=(3, 3), backend='jax_conv',
+                                    mesh=make_mesh_2d_atoms(2, 4),
+                                    shard_axis='samples+atoms')
+    sharded.fit(V, n_iterations=4, sparsity_H=0.1)
+
+    assert sharded._W.sharding.spec[0] == ATOM_AXIS
+    assert sharded._H.sharding.spec[:2] == (DATA_AXIS, ATOM_AXIS)
+    np.testing.assert_allclose(sharded.W, single.W, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(sharded.H, single.H, rtol=1e-8, atol=1e-10)
+
+
+@needs_8_devices
+def test_atom_sharding_minibatch_and_device_init():
+    """'samples+atoms' under the minibatch scan path and device init: H is
+    created directly in its 2-D-sharded layout, and the minibatch
+    trajectory matches single-device."""
+    from tnmf_tpu import MiniBatchAlgorithm
+    from tnmf_tpu.parallel import ATOM_AXIS, make_mesh_2d_atoms
+    V = np.random.default_rng(5).random((8, 2, 12, 12))
+
+    np.random.seed(42)
+    single = TransformInvariantNMF(n_atoms=4, atom_shape=(3, 3))
+    single.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=4, n_epochs=2)
+
+    np.random.seed(42)
+    sharded = TransformInvariantNMF(n_atoms=4, atom_shape=(3, 3),
+                                    mesh=make_mesh_2d_atoms(2, 4),
+                                    shard_axis='samples+atoms')
+    sharded.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=4, n_epochs=2)
+    np.testing.assert_allclose(sharded.W, single.W, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(sharded.H, single.H, rtol=1e-8, atol=1e-10)
+
+    dev = TransformInvariantNMF(n_atoms=4, atom_shape=(3, 3), init='device', seed=0,
+                                mesh=make_mesh_2d_atoms(2, 4),
+                                shard_axis='samples+atoms')
+    dev.fit(V, n_iterations=2)
+    assert dev._H.sharding.spec[:2] == (DATA_AXIS, ATOM_AXIS)
+    assert dev._W.sharding.spec[0] == ATOM_AXIS
+
+
+@needs_8_devices
+def test_atom_sharding_divisibility_error():
+    from tnmf_tpu.parallel import make_mesh_atoms
+    V = np.random.default_rng(0).random((4, 1, 8, 8))
+    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3),
+                                mesh=make_mesh_atoms(8), shard_axis='atoms')
+    with pytest.raises(ValueError, match='n_atoms'):
+        nmf.fit(V, n_iterations=1)

@@ -154,12 +154,16 @@ class TransformInvariantNMF:
         them on the accelerator from a JAX PRNG key (seeded by ``seed``) —
         required at scales where H exceeds host memory, and materializes H
         directly in its sharded layout under ``mesh``.
-    shard_axis : {'samples', 'spatial', 'both'}, default 'samples'
+    shard_axis : {'samples', 'spatial', 'both', 'atoms', 'samples+atoms'}, default 'samples'
         With ``mesh``: 'samples' is data parallelism over the sample axis;
         'spatial' shards the first spatial axis of V/H instead — for very
         large individual images, with conv halo exchange inserted by the
         SPMD partitioner (use with the 'conv' strategy); 'both' combines the
-        two on a 2-D mesh from ``tnmf_tpu.parallel.make_mesh_2d``.
+        two on a 2-D mesh from ``tnmf_tpu.parallel.make_mesh_2d``. 'atoms'
+        is model (tensor) parallelism over the dictionary — W and the atom
+        axis of H shard, for atom counts too large for one device;
+        'samples+atoms' combines data and atom parallelism on a 2-D mesh
+        from ``tnmf_tpu.parallel.make_mesh_2d_atoms``.
     precision : {None, 'default', 'high', 'highest'}, optional
         Multiply precision of the contraction units. On TPU the default is
         bfloat16 multiplies with float32 accumulation (fastest); 'highest'
@@ -328,9 +332,10 @@ class TransformInvariantNMF:
             h_shape = (V.shape[0], self.n_atoms) + self._plan.transform_shape
             shardings = {}
             if self._mesh is not None:
-                from ..parallel.sharding import h_sharding, replicated
-                shardings = dict(h_sharding=h_sharding(self._mesh, len(h_shape), self._shard_axis),
-                                 w_sharding=replicated(self._mesh))
+                from ..parallel.sharding import h_sharding, w_sharding
+                shardings = dict(
+                    h_sharding=h_sharding(self._mesh, len(h_shape), self._shard_axis),
+                    w_sharding=w_sharding(self._mesh, 2 + self._plan.ndim, self._shard_axis))
             Wd, Hd = engine.init_matrices(
                 sub,
                 w_shape=(self.n_atoms, V.shape[1]) + self.atom_shape,
@@ -555,10 +560,10 @@ class TransformInvariantNMF:
             sample_mesh_extent = 1
         elif self._shard_axis == 'samples':
             sample_mesh_extent = self._mesh.devices.size
-        elif self._shard_axis == 'both':
+        elif self._shard_axis in ('both', 'samples+atoms'):
             from ..parallel.sharding import DATA_AXIS
             sample_mesh_extent = self._mesh.shape[DATA_AXIS]
-        else:  # 'spatial': the sample axis is not sharded
+        else:  # 'spatial' / 'atoms': the sample axis is not sharded
             sample_mesh_extent = 1
         mesh_ok = batch_size is not None and batch_size % sample_mesh_extent == 0
         use_scan = (
@@ -594,10 +599,14 @@ class TransformInvariantNMF:
                     [Vp_full, jnp.zeros((n_pad,) + Vp_full.shape[1:], Vp_full.dtype)])
                 H_full = jnp.concatenate(
                     [H_full, jnp.zeros((n_pad,) + H_full.shape[1:], H_full.dtype)])
-                if self._mesh is not None and self._shard_axis in ('samples', 'both'):
-                    from ..parallel.sharding import h_sharding
-                    Vp_full = jax.device_put(
-                        Vp_full, h_sharding(self._mesh, Vp_full.ndim, self._shard_axis))
+                if self._mesh is not None and self._shard_axis in ('samples', 'both', 'samples+atoms'):
+                    from ..parallel.sharding import data_sharding, h_sharding
+                    # V has a channel (not atom) axis at position 1, so under
+                    # 'samples+atoms' only its sample axis is sharded
+                    v_sh = (data_sharding(self._mesh, Vp_full.ndim)
+                            if self._shard_axis == 'samples+atoms'
+                            else h_sharding(self._mesh, Vp_full.ndim, self._shard_axis))
+                    Vp_full = jax.device_put(Vp_full, v_sh)
                     H_full = jax.device_put(
                         H_full, h_sharding(self._mesh, H_full.ndim, self._shard_axis))
             Vp_b = Vp_full.reshape((nb, batch_size) + Vp_full.shape[1:])
@@ -882,9 +891,9 @@ class TransformInvariantNMF:
         """Restore a :meth:`save_sharded` checkpoint.
 
         With ``mesh`` the state is restored *directly into its distributed
-        layout* (H sharded per ``shard_axis``, W replicated) — each
-        device reads only its own shards. Extra ``kwargs`` override
-        constructor arguments.
+        layout* (H sharded per ``shard_axis``, W atom-sharded under the
+        'atoms' variants and replicated otherwise) — each device reads only
+        its own shards. Extra ``kwargs`` override constructor arguments.
         """
         import json
         import orbax.checkpoint as ocp
@@ -905,8 +914,9 @@ class TransformInvariantNMF:
 
         dtype = jnp.dtype(meta['dtype'])
         if mesh is not None:
-            from ..parallel.sharding import h_sharding, replicated
-            w_sh, h_sh = replicated(mesh), None
+            from ..parallel.sharding import h_sharding, w_sharding
+            w_sh = w_sharding(mesh, len(meta['w_shape']), shard_axis)
+            h_sh = None
             if meta['h_shape'] is not None:
                 h_sh = h_sharding(mesh, len(meta['h_shape']), shard_axis)
         else:

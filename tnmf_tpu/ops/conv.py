@@ -122,8 +122,14 @@ def _block_factors(out_shape, n_out_channels, target=64):
     ``target`` with small factors that divide the output extent.
 
     target=64 with per-axis factors up to 8 measured best on v5e across the
-    fixture and large-batch configs (benchmark sweep in the commit log)."""
-    budget = max(1, target // max(int(n_out_channels), 1))
+    fixture and large-batch configs (benchmark sweep in the commit log).
+    With >= 16 native output channels the MXU already has enough live
+    columns and any blocking only inflates FLOPs — measured 44% slower at
+    (64, 16ch, 248x248) with k=(4,1) vs none — so blocking is skipped."""
+    q = max(int(n_out_channels), 1)
+    if q >= 16:
+        return (1,) * len(out_shape)
+    budget = max(1, target // q)
     ks = []
     for s in out_shape:
         k = 1

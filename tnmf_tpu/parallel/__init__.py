@@ -1,8 +1,10 @@
 from . import distributed
-from .sharding import (DATA_AXIS, SPATIAL_AXIS, data_sharding, h_sharding,
-                       make_mesh, make_mesh_2d, replicated, shard_model_state,
-                       spatial_sharding)
+from .sharding import (ATOM_AXIS, DATA_AXIS, SPATIAL_AXIS, data_sharding,
+                       h_sharding, make_mesh, make_mesh_2d, make_mesh_2d_atoms,
+                       make_mesh_atoms, replicated, shard_model_state,
+                       spatial_sharding, w_sharding)
 
-__all__ = ['DATA_AXIS', 'SPATIAL_AXIS', 'data_sharding', 'distributed',
-           'h_sharding', 'make_mesh', 'make_mesh_2d', 'replicated',
-           'shard_model_state', 'spatial_sharding']
+__all__ = ['ATOM_AXIS', 'DATA_AXIS', 'SPATIAL_AXIS', 'data_sharding',
+           'distributed', 'h_sharding', 'make_mesh', 'make_mesh_2d',
+           'make_mesh_2d_atoms', 'make_mesh_atoms', 'replicated',
+           'shard_model_state', 'spatial_sharding', 'w_sharding']

@@ -1,18 +1,28 @@
-"""Data-parallel execution over a TPU mesh.
+"""Sharded execution over a TPU mesh (data / spatial / atom parallelism).
 
 The reference is strictly single-process (SURVEY.md §2.3); this module is the
-new capability that replaces it at scale: samples (V) and activations (H) are
-sharded along the first axis of a 1-D ``jax.sharding.Mesh``, the dictionary W
-stays replicated.  Nothing else changes — the jitted update steps in
-:mod:`tnmf_tpu.engine` are sharding-polymorphic, and GSPMD turns the
-sample-axis contraction inside ``grad_W_pair`` (``sum_n H[n,m,t] X[n,c,..]``)
-into an ``all-reduce`` over the interconnect automatically.  The H update has
-no cross-sample term, so it runs embarrassingly parallel.
+new capability that replaces it at scale.  Three shardable axes, composable
+on 2-D meshes:
 
-This is valid mathematically because the W statistics are plain sums over
-samples (reference ``_NumPyFFTBackend.py:86-87``): psum of per-shard partial
-sums equals the full-batch statistic, so the data-parallel trajectory is
-bitwise-equivalent to single-device execution up to reduction order.
+* **samples** (data parallelism) — V/H sharded along the sample axis, W
+  replicated; GSPMD turns the sample contraction inside ``grad_W_pair``
+  (``sum_n H[n,m,t] X[n,c,..]``) into an all-reduce, and the H update is
+  embarrassingly parallel (no cross-sample term).
+* **spatial** (context parallelism) — V/H sharded along their first spatial
+  axis for samples too large for one device; the partitioner inserts conv
+  halo exchanges.
+* **atoms** (model/tensor parallelism) — W sharded along its atom axis and
+  H along its atom axis for dictionaries too large for one device; both
+  gradients are atom-local, the reconstruction's sum over atoms becomes the
+  all-reduce.
+
+Nothing else changes — the jitted update steps in :mod:`tnmf_tpu.engine` are
+sharding-polymorphic.  This is valid mathematically because every cross-shard
+term is a plain sum (over samples for W statistics, reference
+``_NumPyFFTBackend.py:86-87``; over atoms for the reconstruction,
+``TransformInvariantNMF.py:58-73``): psum of per-shard partials equals the
+full quantity, so sharded trajectories are bitwise-equivalent to
+single-device execution up to reduction order.
 """
 
 from __future__ import annotations
@@ -25,6 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
 SPATIAL_AXIS = 'space'
+ATOM_AXIS = 'atoms'
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -34,6 +45,29 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def make_mesh_atoms(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D model-parallel mesh over the dictionary (atom) axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (ATOM_AXIS,))
+
+
+def make_mesh_2d_atoms(n_data: int, n_atoms: int, devices=None) -> Mesh:
+    """2-D mesh combining data and atom (model) parallelism: samples shard
+    over ``'data'``, the dictionary over ``'atoms'``. The atom axis is laid
+    innermost so the per-iteration reconstruct all-reduce over atom shards
+    rides the fastest interconnect links."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_atoms
+    if len(devices) < need:
+        raise ValueError(f'mesh {n_data}x{n_atoms} needs {need} devices, have {len(devices)}')
+    return Mesh(np.array(devices[:need]).reshape(n_data, n_atoms),
+                (DATA_AXIS, ATOM_AXIS))
 
 
 def make_mesh_2d(n_data: int, n_space: int, devices=None) -> Mesh:
@@ -90,7 +124,22 @@ def h_sharding(mesh: Mesh, ndim: int, axis: str = 'samples') -> NamedSharding:
         return spatial_sharding(mesh, ndim)
     if axis == 'both':
         return NamedSharding(mesh, P(DATA_AXIS, None, SPATIAL_AXIS, *([None] * (ndim - 3))))
-    raise ValueError(f"shard axis must be 'samples', 'spatial' or 'both', got {axis!r}")
+    if axis == 'atoms':
+        return NamedSharding(mesh, P(None, ATOM_AXIS, *([None] * (ndim - 2))))
+    if axis == 'samples+atoms':
+        return NamedSharding(mesh, P(DATA_AXIS, ATOM_AXIS, *([None] * (ndim - 2))))
+    raise ValueError(
+        f"shard axis must be 'samples', 'spatial', 'both', 'atoms' or "
+        f"'samples+atoms', got {axis!r}")
+
+
+def w_sharding(mesh: Mesh, ndim: int, axis: str = 'samples') -> NamedSharding:
+    """The sharding W takes under :func:`shard_model_state` for ``axis``:
+    sharded along its atom axis (axis 0) under atom/model parallelism,
+    replicated everywhere else."""
+    if axis in ('atoms', 'samples+atoms'):
+        return NamedSharding(mesh, P(ATOM_AXIS, *([None] * (ndim - 1))))
+    return replicated(mesh)
 
 
 def shard_model_state(mesh: Mesh, V, W, H, axis: str = 'samples') -> Tuple:
@@ -107,6 +156,19 @@ def shard_model_state(mesh: Mesh, V, W, H, axis: str = 'samples') -> Tuple:
     exchanges that the direct convolutions need at shard boundaries; W
     stays replicated. Works with the 'conv' strategy (the FFT strategy
     would transform along the sharded axis, forcing all-to-alls).
+
+    ``axis='atoms'`` — model (tensor) parallelism over the dictionary, for
+    atom counts whose W/H exceed one device: W shards along its atom axis
+    (axis 0), H along its atom axis (axis 1), V is replicated. Both
+    gradients are embarrassingly parallel over atoms (grad_W[m] and
+    grad_H[..., m, ...] read only shard-local W/H); the only collective is
+    the reconstruction's sum over atoms, which GSPMD turns into an
+    all-reduce. The cross-atom inhibition sum over atoms reduces the same
+    way.
+
+    ``axis='samples+atoms'`` — 2-D data x model parallelism on a mesh from
+    :func:`make_mesh_2d_atoms`: V sample-sharded, W atom-sharded, H sharded
+    along both.
     """
     n_dev = mesh.devices.size
     if axis == 'samples':
@@ -150,7 +212,31 @@ def shard_model_state(mesh: Mesh, V, W, H, axis: str = 'samples') -> Tuple:
         v_spatial = SPATIAL_AXIS if V.shape[2] % n_space == 0 else None
         V = jax.device_put(V, NamedSharding(mesh, P(DATA_AXIS, None, v_spatial, *rest)))
         H = jax.device_put(H, NamedSharding(mesh, P(DATA_AXIS, None, SPATIAL_AXIS, *rest)))
+    elif axis in ('atoms', 'samples+atoms'):
+        if axis == 'samples+atoms':
+            if ATOM_AXIS not in mesh.axis_names or DATA_AXIS not in mesh.axis_names:
+                raise ValueError("axis='samples+atoms' needs a 2-D mesh from make_mesh_2d_atoms")
+            n_data = mesh.shape[DATA_AXIS]
+            n_atom_shards = mesh.shape[ATOM_AXIS]
+            if V.shape[0] % n_data:
+                raise ValueError(
+                    f'n_samples ({V.shape[0]}) must divide the data axis ({n_data})')
+        else:
+            n_atom_shards = n_dev
+        if W.shape[0] % n_atom_shards:
+            raise ValueError(
+                f'n_atoms ({W.shape[0]}) must be divisible by the atom mesh '
+                f'axis ({n_atom_shards}); pad the dictionary or resize the mesh')
+        if axis == 'atoms':
+            V = jax.device_put(V, replicated(mesh))
+        else:
+            V = jax.device_put(V, data_sharding(mesh, V.ndim))
+        H = jax.device_put(H, h_sharding(mesh, H.ndim, axis))
+        W = jax.device_put(W, w_sharding(mesh, W.ndim, axis))
+        return V, W, H
     else:
-        raise ValueError(f"shard axis must be 'samples', 'spatial' or 'both', got {axis!r}")
+        raise ValueError(
+            f"shard axis must be 'samples', 'spatial', 'both', 'atoms' or "
+            f"'samples+atoms', got {axis!r}")
     W = jax.device_put(W, replicated(mesh))
     return V, W, H
