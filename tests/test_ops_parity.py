@@ -57,6 +57,32 @@ def test_strategy_matches_oracle(mode, case, strategy):
         np.testing.assert_allclose(np.asarray(a), b, rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.parametrize('mode', MODES)
+def test_matmul_dft_matches_fft(mode, monkeypatch):
+    """The TPU matmul-DFT transform path (forced on here) must be exact
+    against the oracle: same contract as the jnp.fft path it replaces on
+    TPU, where XLA's FFT lowering is ~25x slower than MXU DFT matmuls."""
+    monkeypatch.setattr(fft, '_use_matmul_dft', lambda plan: True)
+    rng = np.random.default_rng(3)
+    for S, A in [((9, 11), (3, 4)), ((13,), (4,)), ((6, 5, 7), (2, 3, 2))]:
+        if mode in ('full', 'reflect') and any(s < a for s, a in zip(S, A)):
+            continue
+        plan = ConvPlan.create(mode, S, A)
+        N, C, M = 2, 3, 4
+        V = rng.random((N, C) + S)
+        W = rng.random((M, C) + A)
+        H = rng.random((N, M) + plan.transform_shape)
+        Vp = fft.prepare_data(V, plan)
+        R = np.asarray(fft.reconstruct(W, H, plan))
+        np.testing.assert_allclose(R, oracle.reconstruct(W, H, mode), rtol=1e-9, atol=1e-11)
+        for a, b in zip(fft.grad_H_pair(Vp, R, W, plan),
+                        oracle.reconstruction_gradient_H(V, W, H, mode)):
+            np.testing.assert_allclose(np.asarray(a), b, rtol=1e-9, atol=1e-11)
+        for a, b in zip(fft.grad_W_pair(Vp, R, H, plan),
+                        oracle.reconstruction_gradient_W(V, W, H, mode)):
+            np.testing.assert_allclose(np.asarray(a), b, rtol=1e-9, atol=1e-11)
+
+
 def test_rank4_fit_smoke():
     """A tiny 4-D (e.g. volumetric+time) fit must run end to end: 'auto'
     routes ndim>3 to the fft strategy (engine.choose_strategy), matching the

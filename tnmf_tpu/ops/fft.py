@@ -33,18 +33,118 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .modes import ConvPlan
+
+
+# ---------------------------------------------------------------------------
+# matmul-DFT transforms (TPU)
+#
+# XLA's TPU FFT lowering is extremely slow (measured 98 ms for ONE fft-path
+# reconstruction at the 64x256x256 scale — dozens of times the conv path).
+# On TPU, moderate-length transforms therefore run as dense DFT matrix
+# contractions instead: O(L/log L) more FLOPs than an FFT, but executed on
+# the MXU at ~2 orders of magnitude higher throughput.  Measured on v5e:
+# a full fft-strategy MU iteration at 64x256x256 drops to 135 ms (the
+# XLA-FFT route spent 98 ms on reconstruct alone).  CPU keeps jnp.fft
+# (exact, f64-capable — the oracle-parity and golden tests run there).
+#
+# Precision: DFT matmuls default to bf16x3 passes (Precision.HIGH,
+# ~8e-5 roundtrip error — measured) rather than the engine-wide bf16
+# default (2.7e-2 roundtrip, too lossy for spectral transforms); an
+# explicit plan precision overrides ('highest' -> 3e-6, 'default' ->
+# single-pass bf16 speed).
+# ---------------------------------------------------------------------------
+
+_DFT_MAX_LEN = 4096  # largest-axis D matrix: 4096 x 2049 c64 = 67 MB
+
+
+def _use_matmul_dft(plan: ConvPlan) -> bool:
+    try:
+        return (jax.devices()[0].platform == 'tpu'
+                and max(plan.fft_shape) <= _DFT_MAX_LEN)
+    except Exception:  # pragma: no cover - uninitialized backend
+        return False
+
+
+def _dft_precision(plan: ConvPlan):
+    # accuracy-first default: bf16x3 passes ~ full f32 products.  An explicit
+    # plan precision (incl. 'default' = fastest single-pass) takes over.
+    return plan.lax_precision if plan.precision is not None else lax.Precision.HIGH
+
+
+def _angles(n_out: int, n_in: int, period: int, rdtype) -> jnp.ndarray:
+    """(n_out, n_in) angles 2*pi*k*n/period, reduced mod period in exact
+    integer arithmetic first (f32 cos/sin of ~1e8 radians would be pure
+    noise)."""
+    k = jnp.arange(n_out, dtype=jnp.int32)[:, None]
+    n = jnp.arange(n_in, dtype=jnp.int32)[None, :]
+    red = (k * n) % period
+    return red.astype(rdtype) * jnp.asarray(2.0 * jnp.pi / period, rdtype)
+
+
+def _contract_axis(x, M, axis, precision):
+    """Contract ``M[k, u]`` against axis ``axis`` of ``x``, output index k
+    in place of u."""
+    ins = list('abcdefgh'[:x.ndim])
+    ins[axis] = 'u'
+    outs = list(ins)
+    outs[axis] = 'k'
+    return jnp.einsum(f"{''.join(ins)},ku->{''.join(outs)}", x, M,
+                      precision=precision)
+
+
+def _dft_rfftn(x: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
+    rdt = x.dtype
+    prec = _dft_precision(plan)
+    axes = plan.shift_axes
+    for axis, L in zip(axes, plan.fft_shape):
+        last = axis == axes[-1]
+        n_out = L // 2 + 1 if last else L
+        ang = _angles(n_out, x.shape[axis], L, rdt)
+        M = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))
+        x = _contract_axis(x, M, axis, prec)
+    return x
+
+
+def _dft_irfftn(x: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
+    rdt = jnp.float32 if x.dtype == jnp.complex64 else jnp.float64
+    prec = _dft_precision(plan)
+    axes = plan.shift_axes
+    for axis, L in zip(axes[:-1], plan.fft_shape[:-1]):
+        ang = _angles(L, x.shape[axis], L, rdt)
+        M = jax.lax.complex(jnp.cos(ang), jnp.sin(ang)) / L
+        x = _contract_axis(x, M, axis, prec)
+    # last axis: half spectrum -> real output.  x[n] = (1/L) sum_k w_k *
+    # Re(X[k] e^{2 pi i k n / L}), w = 1 at k=0 (and k=L/2 for even L), 2
+    # in between (the conjugate-symmetric upper half folded in).
+    axis = axes[-1]
+    L = plan.fft_shape[-1]
+    K = x.shape[axis]
+    ang = _angles(L, K, L, rdt)  # (L, K) with [n, k] = 2 pi k n / L
+    w = jnp.full((K,), 2.0, rdt).at[0].set(1.0)
+    if L % 2 == 0 and K == L // 2 + 1:
+        w = w.at[K - 1].set(1.0)
+    C = jnp.cos(ang) * (w / L)
+    S = jnp.sin(ang) * (-w / L)
+    return (_contract_axis(jnp.real(x), C, axis, prec)
+            + _contract_axis(jnp.imag(x), S, axis, prec))
 
 
 def _rfftn(x: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
     if jnp.dtype(x.dtype).itemsize < 4:
         x = x.astype(jnp.float32)  # FFT needs >= single precision
+    if _use_matmul_dft(plan):
+        return _dft_rfftn(x, plan)
     return jnp.fft.rfftn(x, s=plan.fft_shape, axes=plan.shift_axes)
 
 
 def _irfftn(x: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
+    if _use_matmul_dft(plan):
+        return _dft_irfftn(x, plan)
     return jnp.fft.irfftn(x, s=plan.fft_shape, axes=plan.shift_axes)
 
 
