@@ -125,14 +125,23 @@ def test_fast_fft_len():
     assert fast_fft_len(128) == 128
 
 
-def test_inhibition_matches_scipy():
+@pytest.mark.parametrize('shape,ranges,axes', [
+    ((2, 3, 12, 14), (2, 3), (-2, -1)),    # small path: single-channel conv
+    ((4, 4, 40, 40), (2, 3), (-2, -1)),    # fused full-band einsum path
+    ((8, 4, 700), (8,), (-1,)),            # blocked band path (long axis)
+    ((2, 2, 5, 300, 6), (1, 8, 2), (-3, -2, -1)),  # mixed blocked + fused
+], ids=['small-conv', 'full-band', 'blocked', 'mixed'])
+def test_inhibition_matches_scipy(shape, ranges, axes):
+    """All three dispatch tiers of convolve_multi_1d (small single-channel
+    conv, fused full-band einsum, windowed blocked band) must match scipy's
+    zero-padded convolve1d."""
     from scipy.ndimage import convolve1d
     from tnmf_tpu.ops.inhibition import convolve_multi_1d, inhibition_kernels
     rng = np.random.default_rng(0)
-    H = rng.random((2, 3, 12, 14))
-    kernels = inhibition_kernels((2, 3))
-    got = np.asarray(convolve_multi_1d(H, kernels, (-2, -1)))
+    H = rng.random(shape)
+    kernels = inhibition_kernels(ranges)
+    got = np.asarray(convolve_multi_1d(H, kernels, axes))
     want = H
-    for ax, k in zip((-2, -1), kernels):
+    for ax, k in zip(axes, kernels):
         want = convolve1d(want, k, axis=ax, mode='constant', cval=0.0)
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)

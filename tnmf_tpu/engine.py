@@ -56,15 +56,15 @@ def choose_strategy(plan: ConvPlan, n_atoms: int, n_channels: int) -> str:
     """Heuristic strategy choice for ``strategy='auto'``.
 
     Direct convolution keeps the contraction on the MXU and avoids FFT
-    padding; measured on a v5e chip (benchmarks/strategies.py, r2 sweep)
-    it wins by 2-88x for small/medium atoms across 1-D and 2-D sample
-    sizes, while the FFT path takes over once the per-output-point direct
-    cost (~prod(atom)) outgrows the FFT's roughly sample-independent
-    per-point cost.  The measured crossover grows with the sample size
-    (the FFT transforms get relatively more expensive): ~700 atom elements
-    at 128x128 samples, ~1300 at 256x256, conv everywhere at 64x64.  The
-    ``max(512, prod(sample)/64)`` threshold is the empirical fit to that
-    sweep.
+    padding; measured on a v5e chip (benchmarks/strategies.py) it wins by
+    2-20x for small/medium atoms across 1-D and 2-D sample sizes, while
+    the FFT path takes over once the per-output-point direct cost
+    (~prod(atom)) outgrows the FFT's roughly sample-independent per-point
+    cost.  Re-swept after the matmul-DFT transforms (which sped the fft
+    strategy up ~4x): the measured crossover sits near ~500 atom elements
+    at 128x128 samples and ~1000 at 256x256 (31x31 atoms flip to fft at
+    both), conv everywhere at 64x64 — the ``max(512, prod(sample)/64)``
+    threshold fits that sweep within measurement noise.
     """
     if plan.ndim > 3:
         return 'fft'  # lax conv supports at most 3 spatial dims here

@@ -48,23 +48,57 @@ def resolve_inhibition_range(
 # at (_BLOCK + 2r)/taps instead of axis_len/taps
 _BLOCK = 256
 
+# below this tensor size the constant costs of the banded-matmul path (band
+# build + GEMM dispatch) exceed its bandwidth win and the plain
+# single-channel conv is faster (measured 2x at the 1-D fixture scale);
+# above it the banded path wins up to 10x (see convolve_multi_1d)
+_BAND_MIN_ELEMS = 1 << 14
+
 
 def _band_matrix(kernel: jnp.ndarray, n_out: int, n_in: int, shift: int) -> jnp.ndarray:
     """Banded matrix ``B[x, u] = kernel[u - x - shift]`` (zero off the band).
 
     ``g = B @ window`` realizes the zero-padded 1-D correlation: boundary
     zeros are encoded by the band simply running off the matrix edge.
+
+    Built gather-free (one fused masked-add per tap): the construction sits
+    inside the jitted fit loop, where XLA does not hoist it out of the
+    ``while``-loop body, and a ``kernel[indices]`` gather runs on the TPU
+    scalar unit — measured 11x slower per MU iteration on small problems.
     """
     x = jnp.arange(n_out)[:, None]
     u = jnp.arange(n_in)[None, :]
     t = u - x - shift
-    taps = kernel.shape[0]
+    taps = int(kernel.shape[0])
+    if taps <= 128:
+        B = jnp.zeros((n_out, n_in), kernel.dtype)
+        for i in range(taps):
+            B = B + jnp.where(t == i, kernel[i], 0)
+        return B
     inside = (t >= 0) & (t < taps)
     return jnp.where(inside, kernel[jnp.clip(t, 0, taps - 1)], 0)
 
 
 _LETTERS = 'abcdefghijklm'
 _OUT_LETTERS = 'nopqrstuvwxyz'
+
+
+def _conv_1d_small(arr: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Zero-padded 1-D convolution as a single-channel ``lax.conv`` — the
+    small-tensor path (constant cost beats the band build + GEMM there)."""
+    from jax import lax
+    r = (k.shape[0] - 1) // 2
+    moved = jnp.moveaxis(arr, axis, -1)
+    lead_shape = moved.shape[:-1]
+    flat = moved.reshape((-1, 1, moved.shape[-1]))
+    res = lax.conv_general_dilated(
+        flat, k.reshape((1, 1, -1)),
+        window_strides=(1,),
+        padding=[(r, r)],
+        dimension_numbers=('NCH', 'OIH', 'NCH'),
+        preferred_element_type=arr.dtype,
+    )
+    return jnp.moveaxis(res.reshape(lead_shape + (res.shape[-1],)), -1, axis)
 
 
 def _band_convolve_blocked(arr: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -117,6 +151,10 @@ def convolve_multi_1d(
     """
     assert len(kernels) == len(axes)
     out = arr
+    if out.size < _BAND_MIN_ELEMS:
+        for axis, kernel in zip(axes, kernels):
+            out = _conv_1d_small(out, jnp.asarray(kernel, out.dtype), axis % out.ndim)
+        return out
     # long axes first, one at a time (windowed); short axes collected
     fused = []
     for axis, kernel in zip(axes, kernels):
