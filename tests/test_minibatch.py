@@ -54,3 +54,21 @@ def test_strategies_agree():
         b = fit_nmf('jax_conv', algorithm)
         np.testing.assert_allclose(a.W, b.W, rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(a.H, b.H, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize('algorithm', [a.name for a in MiniBatchAlgorithm])
+def test_python_loop_matches_scan(algorithm):
+    """A progress callback forces the per-epoch Python loop (the scan fast
+    path cannot dispatch callbacks); its trajectory must be identical to
+    the fused on-device scan program."""
+    scan = fit_nmf('jax_fft', algorithm)
+    np.random.seed(seed=42)
+    nmf = TransformInvariantNMF(n_atoms=10, atom_shape=(7, 7), backend='jax_fft')
+    epochs = []
+    nmf.fit_minibatches(patches_2d(), sparsity_H=0.1,
+                        algorithm=MiniBatchAlgorithm[algorithm],
+                        batch_size=5, n_epochs=3, sag_lambda=0.8,
+                        progress_callback=lambda m, e: epochs.append(e) or True)
+    assert epochs == [0, 1, 2]
+    np.testing.assert_allclose(nmf.W, scan.W, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(nmf.H, scan.H, rtol=1e-8, atol=1e-10)

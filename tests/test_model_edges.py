@@ -95,3 +95,48 @@ def test_r_partial_sums_to_r():
     nmf.fit(V, n_iterations=3)
     total = sum(nmf.R_partial(i) for i in range(3))
     np.testing.assert_allclose(total, nmf.R, rtol=1e-10, atol=1e-12)
+
+
+def test_fit_loop_energies_zero_iterations():
+    """n_iterations=0 yields an empty on-device energy trace (no chunk is
+    ever dispatched)."""
+    import jax.numpy as jnp
+    from tnmf_tpu import engine
+    from tnmf_tpu.ops.modes import ConvPlan
+    plan = ConvPlan.create('valid', (8, 8), (3, 3))
+    rng = np.random.default_rng(0)
+    V = jnp.asarray(rng.random((2, 1, 8, 8)), jnp.float32)
+    W = jnp.asarray(rng.random((2, 1, 3, 3)), jnp.float32)
+    H = jnp.asarray(rng.random((2, 2, 10, 10)), jnp.float32)
+    Vp = engine.prepare_data(V, plan=plan, strategy='conv')
+    z = jnp.float32(0.0)
+    Wn, Hn, es = engine.fit_loop_energies(
+        Vp, V, W, H, z, z, z, (), n_iterations=0, plan=plan, strategy='conv')
+    assert es.shape == (0,)
+    np.testing.assert_allclose(np.asarray(Wn), np.asarray(W))
+
+
+def test_pallas_gw_flag_falls_back_off_tpu():
+    """use_pallas=True requests the grad_W GEMM kernel; on CPU supported()
+    rejects it and the conv path must produce identical results."""
+    V = _V()
+    np.random.seed(3)
+    a = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), backend='jax_conv',
+                              use_pallas=True)
+    a.fit(V, n_iterations=3)
+    np.random.seed(3)
+    b = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), backend='jax_conv',
+                              use_pallas=False)
+    b.fit(V, n_iterations=3)
+    np.testing.assert_allclose(a.W, b.W, rtol=1e-12)
+
+    from tnmf_tpu import MiniBatchAlgorithm
+    np.random.seed(3)
+    c = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), backend='jax_conv',
+                              use_pallas=True)
+    c.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=2, n_epochs=2)
+    np.random.seed(3)
+    d = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), backend='jax_conv',
+                              use_pallas=False)
+    d.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=2, n_epochs=2)
+    np.testing.assert_allclose(c.W, d.W, rtol=1e-12)

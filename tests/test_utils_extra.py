@@ -70,3 +70,31 @@ def test_trace_context_writes_profile(tmp_path):
         pytest.skip(f'jax.profiler unavailable here: {e!r}')
     produced = glob.glob(os.path.join(str(tmp_path), '**', '*'), recursive=True)
     assert produced, 'profiler produced no trace files'
+
+
+def test_racoon_image_scale_without_pil(monkeypatch):
+    """With PIL unavailable the loader falls back to stride subsampling."""
+    import builtins
+    real_import = builtins.__import__
+
+    def no_pil(name, *a, **k):
+        if name == 'PIL' or name.startswith('PIL.'):
+            raise ImportError('PIL disabled for test')
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, '__import__', no_pil)
+    img = racoon_image(gray=True, scale=0.5)
+    full = racoon_image(gray=True, scale=1.0)
+    assert img.shape[0] == -(-full.shape[0] // 2)
+    assert 0.0 <= img.min() and img.max() <= 1.0
+
+
+def test_colored_patches_and_block_image_defaults():
+    from tnmf_tpu.utils.signals import generate_block_image, generate_patch
+    p = generate_patch('x', size=8, color='r')
+    assert p.shape == (3, 8, 8)
+    assert p[0].sum() > 0 and p[1].sum() == 0 and p[2].sum() == 0
+    img, W = generate_block_image(symbol_size=6, n_symbols=3)
+    assert img.shape == (3, 18, 18)
+    assert W.shape[1:] == (3, 6, 6)
+    assert np.all(img >= 0)

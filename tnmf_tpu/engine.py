@@ -185,7 +185,8 @@ def _mu_W(ops, Vp, W, H, *, plan, use_pallas=False):
     return _normalize_W(Wn, plan.ndim).astype(W.dtype)
 
 
-_STEP_STATICS = ('plan', 'strategy', 'update_H', 'update_W', 'use_inhibition', 'use_cross', 'use_pallas', 'use_pallas_gw')
+_STEP_STATICS = ('plan', 'strategy', 'update_H', 'update_W', 'use_inhibition',
+                 'use_cross', 'use_pallas', 'use_pallas_gw')
 
 
 @partial(jax.jit, static_argnames=_STEP_STATICS)

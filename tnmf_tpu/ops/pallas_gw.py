@@ -105,11 +105,6 @@ def supported(plan: ConvPlan, n_atoms: int, n_channels2: int, dtype) -> bool:
     """Whether the blocked-GEMM grad_W kernel applies (compiled path)."""
     if plan.ndim != 2:
         return False
-    try:
-        if jax.devices()[0].platform != 'tpu':
-            return False  # Mosaic lowering requires a TPU backend
-    except Exception:
-        return False
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
         return False
     Tx, _ = plan.transform_shape
@@ -117,7 +112,12 @@ def supported(plan: ConvPlan, n_atoms: int, n_channels2: int, dtype) -> bool:
     _, uc, _, _ = _geometry(plan, n_atoms, n_channels2, jnp.dtype(dtype).itemsize)
     # UC never shrinks below 2*(Ax-1) (half-block overlap requirement), so
     # the x-extent must cover at least one chunk
-    return uc >= 1 and Tx + Ax - 1 >= 1
+    if not (uc >= 1 and Tx + Ax - 1 >= 1):
+        return False
+    try:
+        return jax.devices()[0].platform == 'tpu'  # Mosaic needs a TPU backend
+    except Exception:
+        return False
 
 
 def _make_kernel(Mp, C2p, Ax, Ay, K, P):

@@ -125,11 +125,6 @@ def inhibited_mu_h_supported(h_shape: Tuple[int, ...], n_shift: int,
     1-D holds whole samples)."""
     if n_shift not in (1, 2):
         return False
-    try:
-        if jax.devices()[0].platform != 'tpu':
-            return False  # Mosaic lowering requires a TPU backend
-    except Exception:
-        return False
     M = h_shape[1]
     spatial = h_shape[2:]
     # gradient pairs and scratches may be f32 even under bf16 storage
@@ -138,10 +133,16 @@ def inhibited_mu_h_supported(h_shape: Tuple[int, ...], n_shift: int,
     pads = [t - 1 for t in taps]
     if n_shift == 2:
         rx, ry = pads[0] // 2, pads[1] // 2
-        return _chunk_rows_2d(M, spatial[1], rx, ry, itemsize) >= 1
-    scratch = M * (spatial[0] + pads[0])
-    per_sample = (4 * M * math.prod(spatial) + scratch) * itemsize
-    return per_sample <= _VMEM_BUDGET
+        feasible = _chunk_rows_2d(M, spatial[1], rx, ry, itemsize) >= 1
+    else:
+        scratch = M * (spatial[0] + pads[0])
+        feasible = (4 * M * math.prod(spatial) + scratch) * itemsize <= _VMEM_BUDGET
+    if not feasible:
+        return False
+    try:
+        return jax.devices()[0].platform == 'tpu'  # Mosaic needs a TPU backend
+    except Exception:
+        return False
 
 
 def _make_kernel_2d(M, XC, HB, Y, tx, ty, use_same, use_cross, cdtype):

@@ -105,7 +105,8 @@ def report(out_path: str) -> dict:
             executable = _executable_lines(path)
             hit = hit_by_file.get(path, set()) & executable
             entry = {'executable': len(executable), 'hit': len(hit),
-                     'pct': round(100 * len(hit) / max(len(executable), 1), 1)}
+                     'pct': round(100 * len(hit) / max(len(executable), 1), 1),
+                     'missing': sorted(executable - hit)}
             if any(rel.endswith(s) for s in SUBPROCESS_ONLY):
                 entry['note'] = 'exercised via subprocess tests (not traced in-process)'
             else:
