@@ -28,8 +28,10 @@ from __future__ import annotations
 
 import itertools
 import math
+from functools import lru_cache
 from typing import Tuple
 
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -142,16 +144,35 @@ def _block_factors(out_shape, n_out_channels, target=64):
     return tuple(ks)
 
 
+@lru_cache(maxsize=None)
+def _placement(ks, A):
+    """Constant one-hot placement tensor P[(j), (e), (a)] = 1 iff e = a + j
+    (flattened multi-indices), mapping an atom kernel onto its ks-shifted
+    copies in one contraction."""
+    eshape = tuple(a + k - 1 for a, k in zip(A, ks))
+    P = np.zeros((math.prod(ks), math.prod(eshape), math.prod(A)), np.float32)
+    for jf, j in enumerate(itertools.product(*(range(k) for k in ks))):
+        for af, a in enumerate(itertools.product(*(range(x) for x in A))):
+            e = tuple(ji + ai for ji, ai in zip(j, a))
+            ef = 0
+            for ei, es in zip(e, eshape):
+                ef = ef * es + ei
+            P[jf, ef, af] = 1.0
+    return P, eshape
+
+
 def _expand_kernel(K, ks):
-    """Ke[(q, j1..jn), f, d'...] = K[q, f, d' - j] (zero outside support)."""
+    """Ke[(q, j1..jn), f, d'...] = K[q, f, d' - j] (zero outside support).
+
+    Built as ONE einsum against a constant one-hot placement tensor: the
+    expansion is rebuilt every MU iteration (it depends on W), and the
+    previous ``prod(ks)`` dynamic-update-slice formulation paid a fixed
+    per-op cost that dominated small-problem iterations (~10 us x up to 64
+    ops per conv on v5e)."""
     Q, F = K.shape[:2]
     A = K.shape[2:]
-    eshape = tuple(a + k - 1 for a, k in zip(A, ks))
-    Ke = jnp.zeros((Q,) + ks + (F,) + eshape, K.dtype)
-    for j in itertools.product(*(range(k) for k in ks)):
-        idx = (slice(None),) + j + (slice(None),) + tuple(
-            slice(ji, ji + a) for ji, a in zip(j, A))
-        Ke = Ke.at[idx].set(K)
+    P, eshape = _placement(ks, A)
+    Ke = jnp.einsum('qfa,jea->qjfe', K.reshape(Q, F, -1), jnp.asarray(P, K.dtype))
     return Ke.reshape((Q * math.prod(ks), F) + eshape)
 
 
