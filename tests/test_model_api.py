@@ -134,3 +134,35 @@ def test_fft_policy_pow2():
     b.fit(V, n_iterations=3)
     # the padded FFT length must not change the math
     np.testing.assert_allclose(a.W, b.W, rtol=1e-10, atol=1e-12)
+
+
+def test_transform_frozen_dictionary():
+    """transform() encodes new data against the learned atoms without
+    touching W (the serving path)."""
+    V = _V((4, 1, 12, 12))
+    np.random.seed(0)
+    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 5))
+    nmf.fit(V, n_iterations=5)
+    W0 = nmf.W.copy()
+
+    V_new = _V((2, 1, 12, 12), seed=7)
+    np.random.seed(1)
+    H = nmf.transform(V_new, n_iterations=20, sparsity_H=0.05)
+    np.testing.assert_allclose(nmf.W, W0, rtol=0, atol=0)  # frozen
+    assert H.shape == (2, 3, 15, 16)
+    # the encoding must actually approximate the new data
+    err = np.square(V_new - nmf.R).sum() / np.square(V_new).sum()
+    assert err < 0.1
+
+    # inverse_transform: default = own R; explicit H round-trips through
+    # the reconstruction operator
+    np.testing.assert_allclose(nmf.inverse_transform(), nmf.R, rtol=1e-12)
+    np.testing.assert_allclose(nmf.inverse_transform(H), nmf.R, rtol=1e-8, atol=1e-12)
+
+
+def test_transform_requires_fit():
+    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 5))
+    with pytest.raises(RuntimeError, match='transform'):
+        nmf.transform(_V())
+    with pytest.raises(RuntimeError, match='inverse_transform'):
+        nmf.inverse_transform(np.zeros((1, 3, 15, 16)))

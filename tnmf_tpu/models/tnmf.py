@@ -764,6 +764,40 @@ class TransformInvariantNMF:
             self.fit_batch(V, **kwargs)
 
     # ------------------------------------------------------------------
+    # inference / serving (extension over the reference, which has no
+    # frozen-dictionary encoding API)
+    # ------------------------------------------------------------------
+
+    def transform(self, V, n_iterations: int = 100, **kwargs) -> np.ndarray:
+        """Infer activations for new data with the dictionary **frozen**
+        (sklearn-style encoding — the serving path: fit once, then encode
+        batches against the learned atoms).
+
+        Equivalent to ``fit_batch(V, update_W=False, keep_W=True, ...)``;
+        accepts the same regularizer/callback kwargs.  Returns the
+        activations ``H`` as a NumPy array.
+        """
+        if self._W is None:
+            raise RuntimeError(
+                'transform() requires a fitted or loaded dictionary; '
+                'call fit() or load() first')
+        self.fit_batch(V, n_iterations=n_iterations, update_W=False,
+                       keep_W=True, **kwargs)
+        return self.H
+
+    def inverse_transform(self, H: Optional[np.ndarray] = None) -> np.ndarray:
+        """Reconstruction from activations (default: the last fit's /
+        transform's own activations, i.e. ``self.R``)."""
+        if H is None:
+            return self.R
+        if self._plan is None:
+            raise RuntimeError('inverse_transform(H) requires a fitted model')
+        R = engine.reconstruct(
+            jnp.asarray(self._W), jnp.asarray(H, self._W.dtype),
+            plan=self._plan, strategy=self._strategy)
+        return np.asarray(R.astype(jnp.float32) if R.dtype == jnp.bfloat16 else R)
+
+    # ------------------------------------------------------------------
     # checkpointing (extension over the reference, which only supports
     # in-memory keep_W warm restarts; SURVEY.md §5)
     # ------------------------------------------------------------------
