@@ -1,13 +1,16 @@
 """Per-op time breakdown of one MU iteration at the large-batch scale.
 
 Answers "where do the milliseconds go" for the conv strategy on real
-hardware: reconstruct, grad_H pair, H ratio, grad_W pair, W ratio, each
-measured with the same dispatch-amortized scan methodology as
-``benchmarks/pallas_fusion.py``, plus the fused full iteration for
-comparison (XLA fuses elementwise work into the convs, so the parts can
-legitimately sum to more than the whole).
+hardware.  Every step is a *real MU sub-update* whose full output feeds the
+next iteration's carry: scalar-sum or sliced consumers are NOT used because
+XLA algebraically rewrites ``sum(conv(...))`` and windows convolutions
+under sliced consumers, silently under-measuring the op (observed up to
+"51 TF/s" for a conv that runs at ~14 TF/s when its full output is
+consumed).  For the same reason the sub-step times legitimately overlap
+(each includes the reconstruction it depends on); the FULL row is the
+ground truth the parts explain.
 
-Usage: python benchmarks/op_breakdown.py [n_samples] [side]
+Usage: python benchmarks/op_breakdown.py [n_samples] [side] [dtype]
 """
 
 import os
@@ -41,17 +44,20 @@ def overhead():
     return min(ts)
 
 
-def bench(step_fn, carry0, ovh):
+def bench(step_fn, carry0, ovh, *consts):
+    """``consts`` are loop-invariant big tensors, passed as jit *arguments*
+    (closure constants of this size get serialized into the compile request
+    and blow the remote-compile body limit)."""
     @jax.jit
-    def loop(c):
-        return lax.scan(lambda c, _: (step_fn(c), None), c, None, length=K_ITERS)[0]
+    def loop(c, *k):
+        return lax.scan(lambda c, _: (step_fn(c, *k), None), c, None, length=K_ITERS)[0]
 
-    out = loop(carry0)
+    out = loop(carry0, *consts)
     jax.tree.map(lambda x: np.asarray(x.reshape(-1)[:1]), out)
     ts = []
     for _ in range(4):
         t0 = time.perf_counter()
-        out = loop(carry0)
+        out = loop(carry0, *consts)
         jax.tree.map(lambda x: np.asarray(x.reshape(-1)[:1]), out)
         ts.append(time.perf_counter() - t0)
     return (min(ts) - ovh) / K_ITERS
@@ -66,47 +72,52 @@ def main():
     T = plan.transform_shape
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     V = jax.random.uniform(k1, (n, C) + S, dtype)
-    W = jax.random.uniform(k2, (M, C) + A, dtype)
-    H = jax.random.uniform(k3, (n, M) + T, dtype)
+    W0 = jax.random.uniform(k2, (M, C) + A, dtype)
+    H0 = jax.random.uniform(k3, (n, M) + T, dtype)
     Vp = conv.prepare_data(V, plan)
-    R = conv.reconstruct(W, H, plan)
-    np.asarray(R[0, 0, 0, :1])
+    np.asarray(Vp[0, 0, 0, :1])
     ovh = overhead()
     print(f'device={jax.devices()[0]}, N={n} S={S} A={A} M={M} C={C} {dtype}; '
           f'overhead {ovh*1e3:.1f} ms')
 
     tA = np.prod(T) * np.prod(A)
     fl_rec = 2 * n * C * M * tA
-    fl_gh = 2 * fl_rec   # stacked V/R
-    fl_gw = 2 * fl_rec
+    fl_g = 2 * fl_rec  # stacked V/R pair
 
-    def row(name, t, fl):
-        print(f'  {name:24s} {t*1e3:8.2f} ms  {fl/t/1e12:6.2f} TF/s')
+    def row(name, t, fl=None):
+        tf = f'  {fl/t/1e12:6.2f} TF/s' if fl else ''
+        print(f'  {name:34s} {t*1e3:8.2f} ms{tf}')
 
-    t = bench(lambda H: H + 1e-30 * conv.reconstruct(W, H, plan).sum(), H, ovh)
-    row('reconstruct', t, fl_rec)
-    t = bench(lambda H: H + 1e-30 * sum(g.sum() for g in conv.grad_H_pair(Vp, R, W, plan)), H, ovh)
-    row('grad_H pair', t, fl_gh)
-    t = bench(lambda H: H + 1e-30 * sum(g.sum() for g in conv.grad_W_pair(Vp, R, H, plan)), H, ovh)
-    row('grad_W pair', t, fl_gw)
+    eps = jnp.asarray(engine.EPS, dtype)
 
-    neg = jnp.abs(H) + 1
-    pos = jnp.abs(H) + 2
-    # pass neg/pos through the carry: closure constants of this size blow up
-    # the serialized computation (HTTP 413 behind the remote-compile tunnel)
-    t = bench(lambda c: (c[0] * c[1] / (c[2] + 1e-9), c[1], c[2]), (H, neg, pos), ovh)
-    row('H ratio (elementwise)', t, 0.0 * fl_rec + 1)
+    # mu_H sub-update: reconstruct + grad_H pair + ratio
+    def step_mu_h(H, Vp):
+        R = conv.reconstruct(W0, H, plan)
+        neg, pos = conv.grad_H_pair(Vp, R, W0, plan)
+        return (H * neg / (pos + eps)).astype(dtype)
+
+    # mu_W sub-update: reconstruct + grad_W pair + ratio + normalize
+    def step_mu_w(W, Vp, H):
+        R = conv.reconstruct(W, H, plan)
+        neg, pos = conv.grad_W_pair(Vp, R, H, plan)
+        Wn = W * neg / (pos + eps)
+        return (Wn / jnp.sum(Wn, axis=(-2, -1), keepdims=True)).astype(dtype)
+
+    t_h = bench(step_mu_h, H0, ovh, Vp)
+    row('mu_H (rec + grad_H pair + ratio)', t_h, fl_rec + fl_g)
+    t_w = bench(step_mu_w, W0, ovh, Vp, H0)
+    row('mu_W (rec + grad_W pair + ratio)', t_w, fl_rec + fl_g)
 
     z = jnp.zeros((), dtype)
     statics = dict(plan=plan, strategy='conv', update_H=True, update_W=True,
                    use_inhibition=False, use_cross=False)
 
-    def full(carry):
+    def full(carry, Vp):
         W, H = carry
         return engine.update_step(Vp, W, H, z, z, z, (), **statics)
 
-    t = bench(full, (W, H), ovh)
-    row('FULL MU iteration', t, fl_rec * 2 + fl_gh + fl_gw)
+    t = bench(full, (W0, H0), ovh, Vp)
+    row('FULL MU iteration', t, 2 * fl_rec + 2 * fl_g)
 
 
 if __name__ == '__main__':

@@ -56,18 +56,22 @@ def measure_dispatch_overhead():
     return min(ts)
 
 
-def bench(step_fn, carry0, overhead):
-    """Amortized per-op time: K_ITERS dependent runs in one scan dispatch."""
-    @jax.jit
-    def loop(c):
-        return lax.scan(lambda c, _: (step_fn(c), None), c, None, length=K_ITERS)[0]
+def bench(step_fn, carry0, overhead, *consts):
+    """Amortized per-op time: K_ITERS dependent runs in one scan dispatch.
 
-    out = loop(carry0)
+    ``consts`` are loop-invariant big tensors passed as jit *arguments*
+    (closure constants beyond ~100 MB blow the remote-compile body limit).
+    """
+    @jax.jit
+    def loop(c, *k):
+        return lax.scan(lambda c, _: (step_fn(c, *k), None), c, None, length=K_ITERS)[0]
+
+    out = loop(carry0, *consts)
     jax.tree.map(lambda x: np.asarray(x.reshape(-1)[:1]), out)
     ts = []
     for _ in range(4):
         t0 = time.perf_counter()
-        out = loop(carry0)
+        out = loop(carry0, *consts)
         jax.tree.map(lambda x: np.asarray(x.reshape(-1)[:1]), out)
         ts.append(time.perf_counter() - t0)
     return (min(ts) - overhead) / K_ITERS
@@ -111,26 +115,37 @@ def bench_grad_w(overhead):
     Vp = conv.prepare_data(V, plan)
     results = {}
     for M in (16, 32):
-        W = jax.random.uniform(k2, (M, C) + A, jnp.float32)
+        W0 = jax.random.uniform(k2, (M, C) + A, jnp.float32)
         H = jax.random.uniform(k3, (N, M) + plan.transform_shape, jnp.float32)
-        R = conv.reconstruct(W, H, plan)
-        X2 = jnp.concatenate([Vp, conv.extend_data(R, plan)], axis=1)
-        np.asarray(X2[0, 0, 0, :1])
+        np.asarray(H[0, 0, 0, :1])
         flops = 2 * 2 * N * C * M * np.prod(plan.transform_shape) * np.prod(A)
 
-        t_conv = bench(lambda H: H + 1e-30 * conv.grad_W_pair(Vp, R, H, plan)[0].sum(),
-                       H, overhead)
-        line = f'  M={M:3d}: XLA conv {t_conv*1e3:7.2f} ms ({flops/t_conv/1e12:5.2f} TF/s)'
+        # both steps are the real mu_W sub-update (carry = W, full output
+        # feeds the next iteration): scalar-sum consumers are unsound here
+        # because XLA rewrites sum(conv) algebraically and under-measures
+        def mu_w_conv(W, Vp, H):
+            R = conv.reconstruct(W, H, plan)
+            neg, pos = conv.grad_W_pair(Vp, R, H, plan)
+            Wn = W * neg / (pos + 1e-9)
+            return Wn / jnp.sum(Wn, axis=(-2, -1), keepdims=True)
+
+        t_conv = bench(mu_w_conv, W0, overhead, Vp, H)
+        line = f'  M={M:3d}: XLA conv {t_conv*1e3:7.2f} ms ({flops/t_conv/1e12:5.2f} TF/s*)'
         if pallas_gw.supported(plan, M, 2 * C, jnp.float32):
-            t_pl = bench(
-                lambda H: H + 1e-30 * pallas_gw.grad_w_gemm(X2, H, plan=plan)[0].sum(),
-                H, overhead)
-            line += (f' | Pallas {t_pl*1e3:7.2f} ms ({flops/t_pl/1e12:5.2f} TF/s)'
+            def mu_w_pallas(W, Vp, H):
+                R = conv.reconstruct(W, H, plan)
+                X2 = jnp.concatenate([Vp, conv.extend_data(R, plan)], axis=1)
+                neg, pos = pallas_gw.grad_w_gemm(X2, H, plan=plan)
+                Wn = W * neg / (pos + 1e-9)
+                return Wn / jnp.sum(Wn, axis=(-2, -1), keepdims=True)
+
+            t_pl = bench(mu_w_pallas, W0, overhead, Vp, H)
+            line += (f' | Pallas {t_pl*1e3:7.2f} ms ({flops/t_pl/1e12:5.2f} TF/s*)'
                      f' | speedup {t_conv/t_pl:.2f}x')
             results[M] = t_conv / t_pl
         else:
             line += ' | Pallas unsupported on this backend'
-        print(line)
+        print(line + '   (*grad_W-pair FLOPs over the whole mu_W step)')
     return results
 
 

@@ -24,20 +24,14 @@ def test_invalid_init_raises():
 
 
 def test_use_pallas_tristate():
-    from tnmf_tpu.ops.modes import ConvPlan
-
+    # auto resolves to the XLA paths (measured winners at every scale);
+    # True forces both Pallas kernels on, False is explicit XLA-only
     auto = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
-    auto._plan = ConvPlan.create('valid', (10, 10), (3, 3))
     assert auto._use_pallas_mode is None and not auto._use_pallas_gw
-    # auto resolves by per-step activation size: on below the crossover...
-    assert auto._pallas_mu_enabled(4)
-    # ...off above it (8M elements; here 70k samples x 2 x 12x12)
-    assert not auto._pallas_mu_enabled(70_000)
+    assert not auto._pallas_mu_enabled(4)
     on = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), use_pallas=True)
-    on._plan = ConvPlan.create('valid', (10, 10), (3, 3))
     assert on._pallas_mu_enabled(70_000) and on._use_pallas_gw
     off = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), use_pallas=False)
-    off._plan = ConvPlan.create('valid', (10, 10), (3, 3))
     assert not off._pallas_mu_enabled(4) and not off._use_pallas_gw
 
 

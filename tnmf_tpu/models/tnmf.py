@@ -138,16 +138,15 @@ class TransformInvariantNMF:
     fft_policy : {'5-smooth', 'pow2'}, default '5-smooth'
         FFT padded-length policy for the fft strategy.
     use_pallas : bool or None, default None
-        Pallas TPU kernel selection. ``None`` (auto) enables the fused
-        inhibited-H-update kernel (``tnmf_tpu.ops.pallas_mu``) where
-        supported *and* the per-step activation tensor is below the measured
-        size crossover (~8M elements; above it the banded-matmul XLA chain
-        in ``tnmf_tpu.ops.inhibition`` wins by up to 10x on a v5e chip —
-        benchmarks/pallas_fusion.py, benchmarks/large_scale.py), and keeps
-        the blocked-GEMM grad_W kernel (``tnmf_tpu.ops.pallas_gw``) off,
-        since it only reaches parity with XLA's conv lowering. ``True``
-        forces both kernels on, ``False`` disables both (bitwise-stable
-        XLA-only numerics). All kernels silently fall back to the XLA path
+        Pallas TPU kernel selection. ``None`` (auto) uses the XLA paths:
+        the banded-matmul inhibition chain (``tnmf_tpu.ops.inhibition``)
+        beats the fused inhibited-H Pallas kernel ~5x at every measured
+        scale once benchmarked with full data-dependent consumers
+        (benchmarks/pallas_fusion.py, benchmarks/large_scale.py on v5e),
+        and the blocked-GEMM grad_W kernel (``tnmf_tpu.ops.pallas_gw``)
+        loses to XLA's conv lowering in realistic mu_W use. ``True``
+        forces both Pallas kernels on (for experimentation), ``False`` is
+        explicit XLA-only. The kernels silently fall back to the XLA path
         off-TPU or for unsupported shapes.
     init : {'host', 'device'}, default 'host'
         'host' draws W/H with NumPy (reference RNG parity). 'device' draws
@@ -381,23 +380,19 @@ class TransformInvariantNMF:
         self._Vd = Vd
         self._Vp = engine.prepare_data(Vd, plan=self._plan, strategy=self._strategy)
 
-    # measured crossover of the fused inhibited-H Pallas kernel vs the
-    # banded-matmul XLA chain (benchmarks/pallas_fusion.py + large_scale.py,
-    # v5e): the kernel wins ~2.4x on fixture-scale activation tensors but
-    # loses ~10x at 63M elements where its tiled tap loops are VPU-bound
-    _PALLAS_MU_AUTO_MAX_ELEMS = 8 * 1024 * 1024
-
     def _pallas_mu_enabled(self, n_samples: int) -> bool:
         """Resolve the use_pallas tri-state for the inhibited-H kernel.
 
-        ``n_samples`` is the per-step slice size (full batch or minibatch).
-        Auto (None) enables the kernel only below the measured size
-        crossover; True/False force it on/off.
+        Auto (None) resolves to the XLA banded-matmul chain: measured with
+        full data-dependent consumers (benchmarks/pallas_fusion.py +
+        large_scale.py, v5e) the chain beats the fused Pallas kernel at
+        every scale — ~5x at both fixture size and 63M-element activations
+        — since the gather-free band construction landed.  ``True`` still
+        forces the kernel on (``n_samples``, the per-step slice size, is
+        kept for signature stability).
         """
-        if self._use_pallas_mode is not None:
-            return self._use_pallas_mode
-        h_elems = n_samples * self.n_atoms * int(np.prod(self._plan.transform_shape))
-        return h_elems <= self._PALLAS_MU_AUTO_MAX_ELEMS
+        del n_samples
+        return bool(self._use_pallas_mode)
 
     # ------------------------------------------------------------------
     # batch fitting (reference fit_batch, TransformInvariantNMF.py:282-348)

@@ -22,11 +22,13 @@ For the flagship config (M=16 atoms, 7x7 atoms, C=3 channels with neg/pos
 stacked to 6) that is a (112 x 56) output per chunk GEMM instead of the
 conv's (16 x 6) - an order of magnitude more live MXU rows/cols.
 
-Measured (v5e, dispatch-amortized, 64x256x256): op-level the kernel wins
-where XLA's conv is most output-starved - 1.27x at C=1/M=16, 1.22x at
-C=2/M=16 - and loses at M=32 (0.76-0.9x).  End-to-end the win shrinks to
-~2% because both paths pay the same extended-R + stacked-X staging, so the
-kernel stays opt-in (``use_pallas=True``).
+Measured (v5e, dispatch-amortized, 64x256x256, full data-dependent mu_W
+steps — scalar-sum consumers let XLA shrink the conv algebraically and
+must not be used): XLA's conv lowering wins in realistic use (kernel at
+0.4-0.6x for C=3, M=16/32); with prebuilt stacked inputs the kernel
+shows op-level wins at C<=2 (up to ~1.3x) that shrink to ~2% end to end
+because both paths pay the same extended-R + stacked-X staging.  The
+kernel therefore stays opt-in (``use_pallas=True``).
 
 Identity used (u = tx + ax, with H zero outside [0, Tx)):
 

@@ -23,12 +23,13 @@ zero-chunk-padded array), so arbitrarily large samples stream through
 VMEM; all atoms stay in the block so the cross-atom reduction is local.
 The 1-D kernel holds whole samples (1-D problems are small).  Eligibility
 (platform, shapes, tiling feasibility) is checked by
-:func:`inhibited_mu_h_supported`.  Measured on v5e
-(benchmarks/pallas_fusion.py): 2.4x over the banded-matmul XLA chain at
-fixture scale (16x16x128x128), but the tiled tap loops are VPU-bound and
-lose ~10x to that chain at large batch scale (64x16x248x248) — so the
-model's auto mode (``use_pallas=None``) enables this kernel only below a
-~8M-element activation size (``TransformInvariantNMF._pallas_mu_enabled``).
+:func:`inhibited_mu_h_supported`.  Measured on v5e with full
+data-dependent consumers (benchmarks/pallas_fusion.py): the XLA
+banded-matmul chain (:mod:`tnmf_tpu.ops.inhibition`) beats this kernel
+~5x at both fixture scale (16x16x128x128) and large batch scale
+(64x16x248x248) — the kernel's unrolled tap loops are VPU-bound while the
+band contraction rides the MXU — so the model's auto mode keeps it OFF;
+``use_pallas=True`` forces it on for experimentation.
 
 Gradient note: these kernels are *update rules*, not differentiated
 through — no custom VJP is required (the MU algorithm never
