@@ -75,8 +75,8 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     for dtype in ('float32', 'bfloat16'):
         run(n_samples=n, dtype=dtype, strategy='conv')
-    # lateral inhibition at scale: XLA chain vs the fused Pallas epilogue
-    # (the model's default picks the Pallas path where supported)
+    # lateral inhibition at scale: the XLA banded-matmul chain (the model
+    # default) vs the opt-in fused Pallas epilogue
     run(n_samples=n, inhibition=0.1, use_pallas=False, label=' +inh(xla)')
     run(n_samples=n, inhibition=0.1, use_pallas=True, label=' +inh(pallas)')
     # the reference fixture scale, for continuity with bench.py

@@ -5,9 +5,9 @@ Two kernels are measured with dispatch-amortized methodology:
 * ``ops.pallas_mu.inhibited_mu_h`` — the fused inhibited H-update epilogue
   (separable inhibition field + same/cross-atom terms + MU ratio in one
   VMEM pass) vs the XLA chain (banded-matmul separable conv + elementwise
-  ops).  The kernel wins ~2.4x at this fixture scale; at large batch scale
-  (63M-element H) the XLA chain wins ~10x (see benchmarks/large_scale.py),
-  which sets the model's auto-mode size crossover.
+  ops).  The XLA chain wins ~5x at every measured scale (see also
+  benchmarks/large_scale.py), so the model's auto mode runs it and the
+  kernel is opt-in.
 * ``ops.pallas_gw.grad_w_gemm`` — the blocked-GEMM W-gradient statistics
   vs the XLA huge-kernel conv (``ops.conv.grad_W_pair``).
 
