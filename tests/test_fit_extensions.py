@@ -118,3 +118,24 @@ def test_minibatch_record_energies():
     assert len(nmf.energies_) == 4
     assert nmf.energies_[-1] <= nmf.energies_[0]
     assert np.isclose(nmf.energies_[-1], nmf._energy_function())
+
+
+def test_minibatch_scan_energy_trace_matches_python_loop():
+    """record_energies now runs inside the on-device minibatch scan; its
+    per-epoch trace must equal the Python loop's (forced via callback)."""
+    from tnmf_tpu import MiniBatchAlgorithm
+    V = np.random.default_rng(0).random((7, 1, 10, 10))  # ragged: 7 = 2*3+1
+    for alg in (MiniBatchAlgorithm.ASG_MU, MiniBatchAlgorithm.GSAG_MU):
+        np.random.seed(1)
+        scan = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+        scan.fit(V, algorithm=alg, batch_size=3, n_epochs=3,
+                 record_energies=True)
+        np.random.seed(1)
+        pyloop = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+        pyloop.fit(V, algorithm=alg, batch_size=3, n_epochs=3,
+                   record_energies=True,
+                   progress_callback=lambda m, e: True)
+        np.testing.assert_allclose(np.asarray(scan.energies_, np.float64),
+                                   np.asarray(pyloop.energies_, np.float64),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(scan.W, pyloop.W, rtol=1e-9, atol=1e-11)

@@ -34,7 +34,7 @@ from . import engine
 from .ops.modes import ConvPlan
 
 _STATICS = ('plan', 'strategy', 'algorithm', 'use_inhibition', 'use_cross',
-            'use_pallas', 'use_pallas_gw')
+            'use_pallas', 'use_pallas_gw', 'record_energies')
 
 
 @partial(jax.jit, static_argnames=_STATICS, donate_argnums=(1, 2))
@@ -43,7 +43,8 @@ def minibatch_fit_loop(
     plan: ConvPlan, strategy: str, algorithm: int,
     use_inhibition: bool = False, use_cross: bool = False,
     use_pallas: bool = False, use_pallas_gw: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    record_energies: bool = False, V_flat=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run ``n_epochs`` minibatch epochs on device.
 
     Args:
@@ -52,8 +53,14 @@ def minibatch_fit_loop(
       H_b: activations regrouped to (n_batches, batch, n_atoms, ...).
       perms: (n_epochs, n_batches) int32 batch visit order per epoch.
       algorithm: MiniBatchAlgorithm value (4-8).
+      record_energies: with ``V_flat`` (the *data-space* samples, flattened
+        over batches, zero rows for ragged padding), also record the
+        post-epoch reconstruction energy on device — one extra
+        reconstruction per epoch, like the reference's per-epoch logging
+        (``TransformInvariantNMF.py:440``).
     Returns:
-      (W, H_b) after all epochs.
+      (W, H_b, energies) after all epochs; ``energies`` is (n_epochs,) in
+      the accumulation dtype (zeros when not recording).
     """
     ops = engine.get_ops(strategy)
     norm_axes = tuple(range(-plan.ndim, 0))
@@ -126,7 +133,14 @@ def minibatch_fit_loop(
             neg, pos = grad_W(Vp_b[last], W, H_b[last])
             acc = sag_update(acc, neg, pos)
             W = apply_W(W, *acc)
-        return (W, H_b, acc), None
+        if record_energies:
+            # zero-padded ragged rows have V = 0 and H = 0, so R = 0 there
+            # and they contribute nothing to the energy
+            H_flat = H_b.reshape((-1,) + H_b.shape[2:])
+            R = ops.reconstruct(W, H_flat, plan)
+            d = V_flat.astype(acc_dtype) - R.astype(acc_dtype)
+            return (W, H_b, acc), 0.5 * jnp.sum(d * d)
+        return (W, H_b, acc), jnp.zeros((), acc_dtype)
 
-    (W, H_b, _), _ = jax.lax.scan(epoch_step, (W, H_b, zero_stat), perms)
-    return W, H_b
+    (W, H_b, _), energies = jax.lax.scan(epoch_step, (W, H_b, zero_stat), perms)
+    return W, H_b, energies

@@ -563,7 +563,6 @@ class TransformInvariantNMF:
         mesh_ok = batch_size is not None and batch_size % sample_mesh_extent == 0
         use_scan = (
             progress_callback is None
-            and not record_energies
             and not self._logger.isEnabledFor(logging.INFO)
             and mesh_ok
             and len(batches) > 0
@@ -606,7 +605,19 @@ class TransformInvariantNMF:
                         H_full, h_sharding(self._mesh, H_full.ndim, self._shard_axis))
             Vp_b = Vp_full.reshape((nb, batch_size) + Vp_full.shape[1:])
             H_b = H_full.reshape((nb, batch_size) + H_full.shape[1:])
-            W, H_b = minibatch_fit_loop(
+            V_flat = None
+            if record_energies:
+                # data-space samples for the on-device per-epoch energy
+                V_flat = self._Vd
+                if n_pad:
+                    V_flat = jnp.concatenate(
+                        [V_flat, jnp.zeros((n_pad,) + V_flat.shape[1:], V_flat.dtype)])
+                    if self._mesh is not None and self._shard_axis in (
+                            'samples', 'both', 'samples+atoms'):
+                        from ..parallel.sharding import data_sharding
+                        V_flat = jax.device_put(
+                            V_flat, data_sharding(self._mesh, V_flat.ndim))
+            W, H_b, energies = minibatch_fit_loop(
                 Vp_b, self._W, H_b, jnp.asarray(perms, jnp.int32),
                 jnp.asarray(sparsity_H, dt), jnp.asarray(inhibition_strength, dt),
                 jnp.asarray(cross_atom_inhibition_strength, dt),
@@ -615,9 +626,12 @@ class TransformInvariantNMF:
                 use_inhibition=inhibition_strength > 0,
                 use_cross=cross_atom_inhibition_strength > 0,
                 use_pallas=self._pallas_mu_enabled(batch_size),
-                use_pallas_gw=self._use_pallas_gw)
+                use_pallas_gw=self._use_pallas_gw,
+                record_energies=record_energies, V_flat=V_flat)
             self._W = W
             self._H = H_b.reshape((nb * batch_size,) + H_b.shape[2:])[:n]
+            if record_energies:
+                self.energies_ = [float(e) for e in np.asarray(energies)]
             self._logger.info('MiniBatch TNMF finished.')
             return
 
