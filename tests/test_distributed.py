@@ -46,6 +46,18 @@ distributed.fit_distributed(nmf, V_local, n_iterations=4, sparsity_H=0.1)
 W = np.asarray(nmf._W)  # W is replicated, hence addressable everywhere
 print('WSUM', rank, repr(float(W.sum())), flush=True)
 np.save(%(out)r + f'/W_{rank}.npy', W)
+
+# minibatch fitting on a process-spanning global array (the stochastic
+# ASG_MU schedule; seed=0 makes every process draw the same batch order)
+from tnmf_tpu import MiniBatchAlgorithm
+V2_global = rng.random((16, 2, 12, 12))
+V2_local = V2_global[rank * 8:(rank + 1) * 8]
+nmf2 = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3), mesh=mesh,
+                             init='device', seed=0, dtype='float64')
+V2 = distributed.distribute_samples(mesh, V2_local)
+nmf2.fit(V2, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=8, n_epochs=3,
+         sparsity_H=0.1)
+np.save(%(out)r + f'/Wmb_{rank}.npy', np.asarray(nmf2._W))
 '''
 
 
@@ -86,3 +98,16 @@ def test_two_process_fit_matches_single_process(tmp_path):
                                 init='device', seed=0, dtype='float64')
     nmf.fit(V, n_iterations=4, sparsity_H=0.1)
     np.testing.assert_allclose(W0, np.asarray(nmf._W), rtol=1e-12, atol=1e-14)
+
+    # minibatch (ASG_MU) on global arrays: both processes agree with each
+    # other and with the single-process 8-device trajectory
+    Wmb0 = np.load(tmp_path / 'Wmb_0.npy')
+    Wmb1 = np.load(tmp_path / 'Wmb_1.npy')
+    np.testing.assert_array_equal(Wmb0, Wmb1)
+    from tnmf_tpu import MiniBatchAlgorithm
+    V2 = rng.random((16, 2, 12, 12))
+    nmf2 = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3), mesh=make_mesh(8),
+                                 init='device', seed=0, dtype='float64')
+    nmf2.fit(V2, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=8, n_epochs=3,
+             sparsity_H=0.1)
+    np.testing.assert_allclose(Wmb0, np.asarray(nmf2._W), rtol=1e-12, atol=1e-14)

@@ -83,6 +83,40 @@ def test_matmul_dft_matches_fft(mode, monkeypatch):
             np.testing.assert_allclose(np.asarray(a), b, rtol=1e-9, atol=1e-11)
 
 
+@pytest.mark.parametrize('mode', ['valid', 'circular'])
+def test_two_stage_dft_long_axis(mode, monkeypatch):
+    """Axes beyond _DFT_MAX_LEN run as a two-stage Cooley-Tukey matmul-DFT
+    (fft.py:_full_dft_axis) instead of falling back to XLA's slow TPU FFT —
+    the round-2 >4096 cliff.  Forced on here and pinned to the oracle at a
+    >4096 length."""
+    monkeypatch.setattr(fft, '_use_matmul_dft', lambda plan: True)
+    rng = np.random.default_rng(11)
+    S, A = (5000,), (4,)
+    plan = ConvPlan.create(mode, S, A)
+    assert max(plan.fft_shape) > fft._DFT_MAX_LEN
+    assert all(fft._split_len(L) is not None for L in plan.fft_shape)
+    N, C, M = 2, 2, 3
+    V = rng.random((N, C) + S)
+    W = rng.random((M, C) + A)
+    H = rng.random((N, M) + plan.transform_shape)
+    Vp = fft.prepare_data(V, plan)
+    R = np.asarray(fft.reconstruct(W, H, plan))
+    np.testing.assert_allclose(R, oracle.reconstruct(W, H, mode), rtol=1e-9, atol=1e-9)
+    for a, b in zip(fft.grad_H_pair(Vp, R, W, plan),
+                    oracle.reconstruction_gradient_H(V, W, H, mode)):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-9, atol=1e-9)
+    for a, b in zip(fft.grad_W_pair(Vp, R, H, plan),
+                    oracle.reconstruction_gradient_W(V, W, H, mode)):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-9, atol=1e-9)
+
+
+def test_split_len():
+    assert fft._split_len(4096) == (4096, 1)
+    L1, L2 = fft._split_len(10125)
+    assert L1 * L2 == 10125 and max(L1, L2) <= fft._DFT_MAX_LEN
+    assert fft._split_len(5003) is None  # prime > 4096: no MXU split exists
+
+
 def test_rank4_fit_smoke():
     """A tiny 4-D (e.g. volumetric+time) fit must run end to end: 'auto'
     routes ndim>3 to the fft strategy (engine.choose_strategy), matching the

@@ -303,6 +303,7 @@ class TransformInvariantNMF:
             else:
                 self._shuffle_idx = None
             self._V = V
+        self._global_input = global_input
 
         sample_shape = V.shape[2:]
         self._plan = ConvPlan.create(self._reconstruction_mode, sample_shape, self.atom_shape,
@@ -541,7 +542,22 @@ class TransformInvariantNMF:
         # shuffling below is still active for algorithms 5-8.
         self._initialize_matrices(V, keep_W, shuffle_input=False)
 
-        batches = list(_compute_sequential_minibatches(len(self._V), batch_size))
+        # sample count from the device array: under a process-spanning mesh
+        # self._V is None (no host copy exists), but the global jax.Array
+        # always knows its global shape
+        n = int(self._Vd.shape[0])
+        batches = list(_compute_sequential_minibatches(n, batch_size))
+
+        if self._global_input and self._rng is np.random and \
+                algorithm is not MiniBatchAlgorithm.Cyclic_MU:
+            # stochastic algorithms draw the batch order host-side; under a
+            # process-spanning mesh every process must draw the SAME order or
+            # the SPMD programs diverge (deadlock), so a common seed is
+            # mandatory
+            raise ValueError(
+                'multi-host fit_minibatches with a stochastic algorithm '
+                '(ASG_MU/GSG_MU/ASAG_MU/GSAG_MU) requires seed=... so that '
+                'every process draws the same batch order')
 
         # Fully on-device fast path: the entire multi-epoch fit as one scan
         # program (engine_minibatch).  Eligible when there is no per-epoch
@@ -571,9 +587,13 @@ class TransformInvariantNMF:
         if record_energies:
             self.energies_ = []
         from ..engine_minibatch import minibatch_fit_loop
-        n = len(self._V)
         nb = -(-n // batch_size) if batch_size else 0
         n_pad = nb * batch_size - n
+        if self._global_input and n_pad:
+            # zero-padding a ragged final batch would concatenate a
+            # process-local array onto the global one; the Python loop path
+            # below handles the short final slice correctly instead
+            use_scan = False
         # a ragged final batch is zero-padded on device: zero V rows and
         # zero H rows contribute exactly zero to every MU statistic (sums
         # over samples) and H = 0 is absorbing under the multiplicative
@@ -797,10 +817,12 @@ class TransformInvariantNMF:
     def inverse_transform(self, H: Optional[np.ndarray] = None) -> np.ndarray:
         """Reconstruction from activations (default: the last fit's /
         transform's own activations, i.e. ``self.R``)."""
+        if self._plan is None:
+            raise RuntimeError(
+                'inverse_transform() requires a fitted model; call fit() '
+                '(or load a checkpoint that includes H) first')
         if H is None:
             return self.R
-        if self._plan is None:
-            raise RuntimeError('inverse_transform(H) requires a fitted model')
         R = engine.reconstruct(
             jnp.asarray(self._W), jnp.asarray(H, self._W.dtype),
             plan=self._plan, strategy=self._strategy)

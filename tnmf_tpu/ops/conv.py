@@ -119,7 +119,13 @@ def _conv(lhs, rhs, dn, preferred, precision=None, strides=None):
 # reconstruction conv at k=(4,4).
 # ---------------------------------------------------------------------------
 
-def _block_factors(out_shape, n_out_channels, target=64):
+# skip blocking when the cached one-hot placement tensor would exceed this
+# many f32 elements (8 MB): large atoms with blocking would otherwise retain
+# a few-hundred-MB host constant in the lru_cache for the process lifetime
+_PLACEMENT_MAX_ELEMS = 2 ** 21
+
+
+def _block_factors(out_shape, n_out_channels, atom_shape, target=64):
     """Per-axis blocking factors: grow the effective channel count toward
     ``target`` with small factors that divide the output extent.
 
@@ -141,7 +147,11 @@ def _block_factors(out_shape, n_out_channels, target=64):
                 break
         ks.append(k)
         budget //= k
-    return tuple(ks)
+    ks = tuple(ks)
+    eshape = tuple(a + k - 1 for a, k in zip(atom_shape, ks))
+    if math.prod(ks) * math.prod(eshape) * math.prod(atom_shape) > _PLACEMENT_MAX_ELEMS:
+        return (1,) * len(out_shape)
+    return ks
 
 
 @lru_cache(maxsize=None)
@@ -194,7 +204,7 @@ def _corr_blocked(Xp, K, dn, preferred, precision, out_shape):
     """Stride-1 correlation of ``Xp`` with ``K`` (already mode-extended),
     using space-to-depth output blocking when profitable."""
     Q = K.shape[0]
-    ks = _block_factors(out_shape, Q)
+    ks = _block_factors(out_shape, Q, K.shape[2:])
     if math.prod(ks) == 1 or len(out_shape) > 3:
         return _conv(Xp, K, dn, preferred, precision)
     Ke = _expand_kernel(K, ks)

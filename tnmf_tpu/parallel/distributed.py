@@ -18,11 +18,14 @@ several CPU processes in tests):
    DCN across hosts, exactly like the single-host path.
 
 Requirements under a process-spanning mesh: ``init='device'`` (W/H are
-created directly in their sharded layout; no host holds global H) and no
-input shuffling (the stochastic minibatch algorithms shuffle batch *order*
-only, which remains fine).  The ``V``/``H`` gather properties raise on
-non-addressable arrays — at this scale pull per-shard results via
-``jax.experimental.multihost_utils`` instead.
+created directly in their sharded layout; no host holds global H), no
+input shuffling, and — for the stochastic minibatch algorithms
+(ASG_MU/GSG_MU/ASAG_MU/GSAG_MU), which draw the batch *order* host-side —
+a ``seed=...`` so every process draws the same order (enforced with a
+clear error; divergent orders would deadlock the SPMD programs).  The
+``V``/``H`` gather properties raise on non-addressable arrays — at this
+scale pull per-shard results via ``jax.experimental.multihost_utils``
+instead.
 
 Verified by ``tests/test_distributed.py``, which spawns two CPU processes
 with four virtual devices each and pins the 2x4-process fit to the

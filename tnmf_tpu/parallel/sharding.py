@@ -203,11 +203,12 @@ def shard_model_state(mesh: Mesh, V, W, H, axis: str = 'samples') -> Tuple:
         n_space = mesh.shape[SPATIAL_AXIS]
         if V.shape[0] % n_data:
             raise ValueError(
-                f'n_samples ({V.shape[0]}) must divide the data axis ({n_data})')
+                f'n_samples ({V.shape[0]}) must be divisible by the data '
+                f'mesh axis ({n_data})')
         if H.shape[2] % n_space:
             raise ValueError(
-                f'first spatial axis of H ({H.shape[2]}) must divide the '
-                f'spatial mesh axis ({n_space})')
+                f'first spatial axis of H ({H.shape[2]}) must be divisible '
+                f'by the spatial mesh axis ({n_space})')
         rest = [None] * (V.ndim - 3)
         v_spatial = SPATIAL_AXIS if V.shape[2] % n_space == 0 else None
         V = jax.device_put(V, NamedSharding(mesh, P(DATA_AXIS, None, v_spatial, *rest)))
@@ -220,7 +221,8 @@ def shard_model_state(mesh: Mesh, V, W, H, axis: str = 'samples') -> Tuple:
             n_atom_shards = mesh.shape[ATOM_AXIS]
             if V.shape[0] % n_data:
                 raise ValueError(
-                    f'n_samples ({V.shape[0]}) must divide the data axis ({n_data})')
+                    f'n_samples ({V.shape[0]}) must be divisible by the data '
+                    f'mesh axis ({n_data})')
         else:
             n_atom_shards = n_dev
         if W.shape[0] % n_atom_shards:
