@@ -21,8 +21,11 @@ per metric):
   patches (tnmf/tests/test_minibatch.py shapes).
 
 The reference publishes no performance numbers (BASELINE.md), so baselines
-are measured here, on this machine, taking the most favorable of
-{float32, float64} x repetitions for the reference.
+were measured once on this machine (idle CPU, most favorable of
+{float32, float64} x repetitions) and PINNED into ``BASELINE.json``
+(``pinned_reference``): ``vs_baseline`` is stable round over round instead
+of moving +-30% with CPU load.  ``--remeasure-reference`` re-measures the
+reference live and reports against the fresh numbers instead.
 
 Timing methodology: our fits run as fused on-device loops; per-metric
 timing subtracts a smaller run from a larger one to cancel the fixed
@@ -78,6 +81,15 @@ def make_patches(dtype, n=144, size=32):
 # ---------------------------------------------------------------------------
 # timing helpers
 # ---------------------------------------------------------------------------
+
+def pinned(name):
+    """The pinned reference-side number from BASELINE.json (or None)."""
+    try:
+        with open(os.path.join(HERE, 'BASELINE.json')) as f:
+            return json.load(f)['pinned_reference'][name]
+    except Exception:
+        return None
+
 
 def subtractive_rate(run, n_small, target_seconds=2.0, floor=30):
     """Iterations/sec of ``run(n)`` with the fixed overhead cancelled by
@@ -158,13 +170,14 @@ def bench_reference_2d():
     return best
 
 
-def metric_2d():
+def metric_2d(remeasure=False):
     ours = bench_ours_2d()
-    try:
-        ref = bench_reference_2d()
-    except Exception as e:
-        print(f'reference baseline unavailable: {e!r}', file=sys.stderr)
-        ref = None
+    ref = None if remeasure else pinned('mu_iterations_per_sec_2d_conv_nmf')
+    if ref is None:
+        try:
+            ref = bench_reference_2d()
+        except Exception as e:
+            print(f'reference baseline unavailable: {e!r}', file=sys.stderr)
     return {'metric': 'mu_iterations_per_sec_2d_conv_nmf',
             'value': round(ours, 3), 'unit': 'iter/s',
             'vs_baseline': round(ours / ref, 3) if ref else None}
@@ -174,7 +187,7 @@ def metric_2d():
 # metric: 1-D pulse train with inhibition
 # ---------------------------------------------------------------------------
 
-def metric_1d():
+def metric_1d(remeasure=False):
     import jax.numpy as jnp
     from tnmf_tpu import engine
     from tnmf_tpu.ops.inhibition import inhibition_kernels, resolve_inhibition_range
@@ -204,24 +217,25 @@ def metric_1d():
 
     ours = subtractive_rate(run, n_small=200)
 
-    ref = None
-    try:
-        sys.path.insert(0, REFERENCE_PATH)
-        from tnmf.TransformInvariantNMF import TransformInvariantNMF
-        best = 0.0
-        for dtype in (np.float32, np.float64):
-            Vr = make_V_1d(dtype)
-            for _ in range(3):
-                def fit(cb, n):
-                    np.random.seed(42)
-                    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(20,),
-                                                backend='numpy_fft')
-                    nmf.fit(Vr, inhibition_strength=0.1, n_iterations=n,
-                            progress_callback=cb)
-                best = max(best, callback_rate(fit, 25))
-        ref = best
-    except Exception as e:
-        print(f'reference 1-D baseline unavailable: {e!r}', file=sys.stderr)
+    ref = None if remeasure else pinned('mu_iterations_per_sec_1d_pulse_train')
+    if ref is None:
+        try:
+            sys.path.insert(0, REFERENCE_PATH)
+            from tnmf.TransformInvariantNMF import TransformInvariantNMF
+            best = 0.0
+            for dtype in (np.float32, np.float64):
+                Vr = make_V_1d(dtype)
+                for _ in range(3):
+                    def fit(cb, n):
+                        np.random.seed(42)
+                        nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(20,),
+                                                    backend='numpy_fft')
+                        nmf.fit(Vr, inhibition_strength=0.1, n_iterations=n,
+                                progress_callback=cb)
+                    best = max(best, callback_rate(fit, 25))
+            ref = best
+        except Exception as e:
+            print(f'reference 1-D baseline unavailable: {e!r}', file=sys.stderr)
 
     return {'metric': 'mu_iterations_per_sec_1d_pulse_train',
             'value': round(ours, 3), 'unit': 'iter/s',
@@ -232,7 +246,7 @@ def metric_1d():
 # metric: time-to-tolerance on the sparsity+inhibition patch config
 # ---------------------------------------------------------------------------
 
-def metric_time_to_tolerance(n_iterations=25):
+def metric_time_to_tolerance(n_iterations=25, remeasure=False):
     from tnmf_tpu import TransformInvariantNMF as OursNMF
 
     V = make_patches(np.float32, n=64)
@@ -249,22 +263,23 @@ def metric_time_to_tolerance(n_iterations=25):
     run_ours()
     ours_sec = time.perf_counter() - t0
 
-    ref_sec = None
-    try:
-        sys.path.insert(0, REFERENCE_PATH)
-        from tnmf.TransformInvariantNMF import TransformInvariantNMF as RefNMF
-        best = float('inf')
-        for dtype in (np.float32, np.float64):
-            Vr = V.astype(dtype)
-            for _ in range(2):
-                np.random.seed(42)
-                nmf = RefNMF(n_atoms=10, atom_shape=(7, 7), backend='numpy_fft')
-                t0 = time.perf_counter()
-                nmf.fit(Vr, **kw)
-                best = min(best, time.perf_counter() - t0)
-        ref_sec = best
-    except Exception as e:
-        print(f'reference tolerance baseline unavailable: {e!r}', file=sys.stderr)
+    ref_sec = None if remeasure else pinned('time_to_tolerance_sparsity_inhibition_sec')
+    if ref_sec is None:
+        try:
+            sys.path.insert(0, REFERENCE_PATH)
+            from tnmf.TransformInvariantNMF import TransformInvariantNMF as RefNMF
+            best = float('inf')
+            for dtype in (np.float32, np.float64):
+                Vr = V.astype(dtype)
+                for _ in range(2):
+                    np.random.seed(42)
+                    nmf = RefNMF(n_atoms=10, atom_shape=(7, 7), backend='numpy_fft')
+                    t0 = time.perf_counter()
+                    nmf.fit(Vr, **kw)
+                    best = min(best, time.perf_counter() - t0)
+            ref_sec = best
+        except Exception as e:
+            print(f'reference tolerance baseline unavailable: {e!r}', file=sys.stderr)
 
     return {'metric': 'time_to_tolerance_sparsity_inhibition_sec',
             'value': round(ours_sec, 4), 'unit': 's (25 MU iters, same trajectory)',
@@ -275,7 +290,7 @@ def metric_time_to_tolerance(n_iterations=25):
 # metric: minibatch ASG_MU epochs/sec
 # ---------------------------------------------------------------------------
 
-def metric_minibatch(n_epochs=5, batch_size=12):
+def metric_minibatch(n_epochs=5, batch_size=12, remeasure=False):
     from tnmf_tpu import MiniBatchAlgorithm, TransformInvariantNMF as OursNMF
 
     V = make_patches(np.float32, n=144)
@@ -292,28 +307,30 @@ def metric_minibatch(n_epochs=5, batch_size=12):
     run_ours()
     ours = n_epochs / (time.perf_counter() - t0)
 
-    ref = None
-    try:
-        sys.path.insert(0, REFERENCE_PATH)
-        from tnmf.TransformInvariantNMF import (MiniBatchAlgorithm as RefAlg,
-                                                TransformInvariantNMF as RefNMF)
-        best = 0.0
-        for _ in range(2):
-            stamps = []
+    ref = None if remeasure else pinned('minibatch_asg_mu_epochs_per_sec')
+    if ref is None:
+        try:
+            sys.path.insert(0, REFERENCE_PATH)
+            from tnmf.TransformInvariantNMF import (MiniBatchAlgorithm as RefAlg,
+                                                    TransformInvariantNMF as RefNMF)
+            best = 0.0
+            for dtype in (np.float32, np.float64):
+                for _ in range(2):
+                    stamps = []
 
-            def cb(nmf, epoch):
-                stamps.append(time.perf_counter())
-                return True
+                    def cb(nmf, epoch):
+                        stamps.append(time.perf_counter())
+                        return True
 
-            np.random.seed(42)
-            nmf = RefNMF(n_atoms=10, atom_shape=(7, 7), backend='numpy_fft')
-            nmf.fit_minibatches(V.astype(np.float64), algorithm=RefAlg.ASG_MU,
-                                batch_size=batch_size, n_epochs=n_epochs,
-                                sparsity_H=0.1, progress_callback=cb)
-            best = max(best, 1.0 / float(np.median(np.diff(stamps))))
-        ref = best
-    except Exception as e:
-        print(f'reference minibatch baseline unavailable: {e!r}', file=sys.stderr)
+                    np.random.seed(42)
+                    nmf = RefNMF(n_atoms=10, atom_shape=(7, 7), backend='numpy_fft')
+                    nmf.fit_minibatches(V.astype(dtype), algorithm=RefAlg.ASG_MU,
+                                        batch_size=batch_size, n_epochs=n_epochs,
+                                        sparsity_H=0.1, progress_callback=cb)
+                    best = max(best, 1.0 / float(np.median(np.diff(stamps))))
+            ref = best
+        except Exception as e:
+            print(f'reference minibatch baseline unavailable: {e!r}', file=sys.stderr)
 
     return {'metric': 'minibatch_asg_mu_epochs_per_sec',
             'value': round(ours, 3), 'unit': 'epoch/s',
@@ -324,13 +341,17 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument('--all', action='store_true',
                         help='measure every BASELINE.md row (one JSON line each)')
+    parser.add_argument('--remeasure-reference', action='store_true',
+                        help='re-measure the reference baselines live instead '
+                             'of using the pinned BASELINE.json numbers')
     args = parser.parse_args()
+    rm = args.remeasure_reference
 
-    print(json.dumps(metric_2d()), flush=True)
+    print(json.dumps(metric_2d(remeasure=rm)), flush=True)
     if args.all:
-        print(json.dumps(metric_1d()), flush=True)
-        print(json.dumps(metric_time_to_tolerance()), flush=True)
-        print(json.dumps(metric_minibatch()), flush=True)
+        print(json.dumps(metric_1d(remeasure=rm)), flush=True)
+        print(json.dumps(metric_time_to_tolerance(remeasure=rm)), flush=True)
+        print(json.dumps(metric_minibatch(remeasure=rm)), flush=True)
 
 
 if __name__ == '__main__':

@@ -65,8 +65,9 @@ def main(progress_bar=None, verbose: bool = True):
         ax.axis('off')
     st.pyplot(fig)
 
-    # activation energy per atom + partial reconstructions
-    for i_atom in range(min(n, 4)):
+    # activation maps + partial reconstructions — the full atom gallery,
+    # like the reference image demo (reference demos/demo_image.py:49-101)
+    for i_atom in range(n):
         fig, axes = plt.subplots(1, 2, figsize=(8, 3))
         Hmap = nmf.H[0, i_atom]
         axes[0].imshow(Hmap, cmap='viridis')

@@ -31,7 +31,11 @@ def V_2d():
     return rng.random((3, 2, 16, 14))
 
 
-@pytest.mark.parametrize('mode', ['valid', 'full', 'circular'])
+# 'reflect' included: the reference implements it in every backend
+# (tnmf/backends/_NumPyBackend.py:38-48) and merely leaves its own
+# cross-backend tests disabled (tnmf/tests/test_backends.py:21); both our
+# strategies match its numpy_fft reflect trajectories to ~1e-16
+@pytest.mark.parametrize('mode', ['valid', 'full', 'circular', 'reflect'])
 @pytest.mark.parametrize('strategy', ['jax_fft', 'jax_conv'])
 def test_fit_batch_parity(ref_tnmf, V_2d, mode, strategy):
     from tnmf.TransformInvariantNMF import TransformInvariantNMF as RefNMF
@@ -131,7 +135,7 @@ def test_1d_parity(ref_tnmf):
     rng = np.random.default_rng(11)
     V = rng.random((3, 1, 40))
 
-    for mode in ['valid', 'full', 'circular']:
+    for mode in ['valid', 'full', 'circular', 'reflect']:
         np.random.seed(42)
         ref = RefNMF(n_atoms=3, atom_shape=(5,), backend='numpy_fft',
                      reconstruction_mode=mode, inhibition_range=3)

@@ -294,6 +294,34 @@ def test_2d_mesh_data_x_atoms():
 
 
 @needs_8_devices
+def test_2d_mesh_data_x_atoms_fft_strategy(monkeypatch):
+    """'samples+atoms' x fft strategy — the TPU program.  On TPU the fft
+    strategy lowers to matmul-DFT contractions (no FFT HLO at all), which is
+    exactly what is forced on here, so the partitioned program this verifies
+    on the virtual mesh is the one a real TPU mesh runs.  (The CPU-only
+    jnp.fft route is the one whose fft thunk RET_CHECKs under this mesh —
+    a platform limitation that TPU execution never hits.)"""
+    from tnmf_tpu.ops import fft as fft_ops
+    from tnmf_tpu.parallel import ATOM_AXIS, make_mesh_2d_atoms
+    monkeypatch.setattr(fft_ops, '_use_matmul_dft', lambda plan: True)
+    V = _make_V()
+
+    np.random.seed(42)
+    single = TransformInvariantNMF(n_atoms=4, atom_shape=(3, 3), backend='jax_fft')
+    single.fit(V, n_iterations=4, sparsity_H=0.1)
+
+    np.random.seed(42)
+    sharded = TransformInvariantNMF(n_atoms=4, atom_shape=(3, 3), backend='jax_fft',
+                                    mesh=make_mesh_2d_atoms(2, 4),
+                                    shard_axis='samples+atoms')
+    sharded.fit(V, n_iterations=4, sparsity_H=0.1)
+
+    assert sharded._W.sharding.spec[0] == ATOM_AXIS
+    np.testing.assert_allclose(sharded.W, single.W, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(sharded.H, single.H, rtol=1e-8, atol=1e-10)
+
+
+@needs_8_devices
 def test_atom_sharding_minibatch_and_device_init():
     """'samples+atoms' under the minibatch scan path and device init: H is
     created directly in its 2-D-sharded layout, and the minibatch

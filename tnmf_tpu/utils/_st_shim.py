@@ -36,7 +36,9 @@ class StreamlitShim:
         return value
 
     @staticmethod
-    def slider(label, min_value=None, max_value=None, value=0, **_):
+    def slider(label, min_value=None, max_value=None, value=None, **_):
+        if value is None:
+            return min_value if min_value is not None else 0
         return value
 
     @staticmethod
@@ -81,6 +83,13 @@ class StreamlitShim:
     def columns(n, **_):
         count = n if isinstance(n, int) else len(n)
         return [StreamlitShim() for _ in range(count)]
+
+    # ---- layout context manager (``with st.columns(3)[0]: ...``) ------
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
 
 
 def get_streamlit():

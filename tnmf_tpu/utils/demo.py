@@ -111,25 +111,59 @@ class SignalTool(ABC):
 
     # -- output ---------------------------------------------------------
     def st_compare_signals(self, V: np.ndarray, R: np.ndarray, verbose: bool = True):
+        """Global reconstruction view: energy, the whole batch as
+        input / reconstruction / error matrices (every sample flattened to
+        one row — reference gallery role: ``tnmf/utils/demo.py:257-295``),
+        plus the first sample as a signal-space pair."""
         explanation('## Reconstruction quality', verbose)
         err = float(0.5 * np.sum((V - R) ** 2))
         st.markdown(f'Reconstruction energy: **{err:.4f}**')
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(1, 3, figsize=(12, 3.5))
+        for ax, X, title in zip(axes, (V, R, V - R),
+                                ('Input', 'Reconstruction', 'Error')):
+            ax.imshow(np.asarray(X).reshape(len(X), -1), aspect='auto',
+                      interpolation='nearest')
+            ax.set_title(title)
+            ax.set_ylabel('sample')
+        st.pyplot(fig)
         self._plot_pair(V[0], R[0], labels=('input', 'reconstruction'))
 
     def st_compare_individual_signals(self, V: np.ndarray, R: np.ndarray, verbose: bool = True):
+        """Per-sample comparison: interactive sample selector under
+        streamlit, the full gallery when headless (reference role:
+        ``tnmf/utils/demo.py:297-319``)."""
         explanation('## Per-sample comparison', verbose)
-        for i in range(min(len(V), 4)):
+        if HAVE_STREAMLIT and len(V) > 1:
+            idx = [int(st.slider('Sample number', 1, len(V))) - 1]
+        else:
+            idx = range(len(V))
+        for i in idx:
             self._plot_pair(V[i], R[i], labels=(f'V[{i}]', f'R[{i}]'))
 
     def st_plot_partial_reconstructions(self, V: np.ndarray, nmf: TransformInvariantNMF,
                                         verbose: bool = True):
+        """Atom gallery: for EVERY atom, the learned dictionary atom next to
+        its partial contribution to the selected sample's reconstruction
+        (reference gallery role: ``tnmf/utils/demo.py:321-355``)."""
         explanation('## Atom-wise partial reconstructions', verbose)
+        if HAVE_STREAMLIT and len(V) > 1:
+            i_signal = int(st.slider('Sample number', 1, len(V),
+                                     key='i_signal_partial')) - 1
+        else:
+            i_signal = 0
         for i_atom in range(nmf.n_atoms):
-            self._plot_pair(V[0], nmf.R_partial(i_atom)[0],
-                            labels=('input', f'atom {i_atom}'))
+            self._plot_atom_row(nmf.W[i_atom], V[i_signal],
+                                nmf.R_partial(i_atom)[i_signal], i_atom)
 
     @abstractmethod
     def _plot_pair(self, a: np.ndarray, b: np.ndarray, labels):
+        ...
+
+    @abstractmethod
+    def _plot_atom_row(self, w: np.ndarray, v: np.ndarray, r: np.ndarray, i_atom: int):
+        """One gallery row: dictionary atom ``w``, sample ``v``, and the
+        atom's partial contribution ``r`` to its reconstruction."""
         ...
 
 
@@ -162,6 +196,21 @@ class SignalTool1D(SignalTool):
             axes[c, 0].legend(loc='upper right', fontsize=7)
         st.pyplot(fig)
 
+    def _plot_atom_row(self, w, v, r, i_atom):
+        import matplotlib.pyplot as plt
+        n_channels = v.shape[0]
+        fig, axes = plt.subplots(n_channels, 2, squeeze=False,
+                                 figsize=(9, 1.8 * n_channels),
+                                 gridspec_kw={'width_ratios': [1, 3]})
+        for c in range(n_channels):
+            axes[c, 0].plot(w[c], color='tab:red')
+            axes[c, 1].plot(v[c], label='signal', zorder=-1)
+            axes[c, 1].plot(r[c], '--', color='tab:red', label='atom contribution')
+            axes[c, 1].legend(loc='upper right', fontsize=7)
+        axes[0, 0].set_title(f'Atom {i_atom + 1}', fontsize=9)
+        axes[0, 1].set_title('Contribution to the reconstruction', fontsize=9)
+        st.pyplot(fig)
+
 
 class SignalTool2D(SignalTool):
     def __init__(self, n_dims: int = 2):
@@ -175,13 +224,32 @@ class SignalTool2D(SignalTool):
         V = image[np.newaxis]
         return V, dict(n_atoms=len(W), atom_shape=(symbol_size, symbol_size))
 
+    @staticmethod
+    def _as_image(img):
+        return (np.clip(np.moveaxis(img, 0, -1), 0, 1)
+                if img.shape[0] in (3, 4) else img[0])
+
     def _plot_pair(self, a, b, labels):
         import matplotlib.pyplot as plt
         fig, axes = plt.subplots(1, 2, figsize=(8, 4))
         for ax, img, title in zip(axes, (a, b), labels):
-            im = np.clip(np.moveaxis(img, 0, -1), 0, 1) if img.shape[0] in (3, 4) else img[0]
+            im = self._as_image(img)
             ax.imshow(im, cmap='gray' if im.ndim == 2 else None)
             ax.set_title(title)
+            ax.axis('off')
+        st.pyplot(fig)
+
+    def _plot_atom_row(self, w, v, r, i_atom):
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(1, 3, figsize=(10, 3.2),
+                                 gridspec_kw={'width_ratios': [1, 2, 2]})
+        wmax = float(np.max(w)) or 1.0
+        for ax, img, title in zip(
+                axes, (w / wmax, v, r),
+                (f'Atom {i_atom + 1}', 'Input', 'Atom contribution')):
+            im = self._as_image(np.asarray(img))
+            ax.imshow(im, cmap='gray' if im.ndim == 2 else None)
+            ax.set_title(title, fontsize=9)
             ax.axis('off')
         st.pyplot(fig)
 
