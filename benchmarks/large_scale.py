@@ -26,8 +26,11 @@ from tnmf_tpu.ops.modes import ConvPlan  # noqa: E402
 
 def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
         dtype='float32', strategy='conv', iters=(20, 120),
-        inhibition=0.0, use_pallas=False, label=''):
+        inhibition=0.0, use_pallas=False, label='', resolve=True):
     plan = ConvPlan.create('valid', sample, atom)
+    if resolve:  # the model's strategy resolution (phased upgrade on TPU)
+        strategy = engine.resolve_strategy(strategy, plan, n_channels, n_atoms,
+                                           allow_phased=not use_pallas)
     dt = jnp.dtype(dtype)
     key = jax.random.PRNGKey(0)
     kv, ki = jax.random.split(key)
@@ -74,7 +77,8 @@ def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     for dtype in ('float32', 'bfloat16'):
-        run(n_samples=n, dtype=dtype, strategy='conv')
+        run(n_samples=n, dtype=dtype, strategy='conv')           # phased on TPU
+    run(n_samples=n, strategy='conv', resolve=False, label=' (plain conv)')
     # lateral inhibition at scale: the XLA banded-matmul chain (the model
     # default) vs the opt-in fused Pallas epilogue
     run(n_samples=n, inhibition=0.1, use_pallas=False, label=' +inh(xla)')

@@ -1,0 +1,179 @@
+"""The phase-decomposed conv lowering (tnmf_tpu.ops.phased).
+
+On TPU the engine silently upgrades the 'conv' strategy to the phased
+lowering for channel-poor 2-D 'valid' problems (engine.resolve_strategy);
+these tests force the platform gate on and pin the phased operators to the
+oracle and the phased end-to-end trajectories to the plain conv strategy,
+on CPU in float64 — the compiled program is the same one TPU runs.
+"""
+
+import numpy as np
+import pytest
+
+from tnmf_tpu import engine
+from tnmf_tpu.ops import conv, oracle, phased
+from tnmf_tpu.ops.modes import ConvPlan
+
+import jax.numpy as jnp
+
+
+CASES = [
+    ((24, 24), (9, 9), 1, 4),    # divisible, the flagship geometry family
+    ((17, 23), (9, 9), 2, 3),    # absorbing padding on both axes
+    ((19, 21), (7, 7), 3, 5),    # (a-1) % 4 != 0 -> phase factor 2
+    ((16, 14), (5, 9), 1, 2),    # mixed factors
+]
+
+
+@pytest.mark.parametrize('case', CASES, ids=lambda c: f'{c[0]}x{c[1]}c{c[2]}m{c[3]}')
+def test_phased_ops_match_oracle(case):
+    S, A, C, M = case
+    N = 2
+    plan = ConvPlan.create('valid', S, A)
+    assert phased.applicable(plan, C, M)
+    rng = np.random.default_rng(sum(S) + sum(A))
+    V = rng.random((N, C) + S)
+    W = rng.random((M, C) + A)
+    H = rng.random((N, M) + plan.transform_shape)
+
+    Hph = phased.encode_h(jnp.asarray(H), plan)
+    np.testing.assert_array_equal(
+        np.asarray(phased.decode_h(Hph, plan, M)), H)
+
+    Vs = phased.prepare_data(jnp.asarray(V), plan)
+    R = np.asarray(phased.reconstruct(jnp.asarray(W), Hph, plan))
+    np.testing.assert_allclose(R, oracle.reconstruct(W, H, 'valid'),
+                               rtol=1e-10, atol=1e-10)
+
+    neg, pos = phased.grad_H_pair(Vs, jnp.asarray(R), jnp.asarray(W), plan)
+    on, op = oracle.reconstruction_gradient_H(V, W, H, 'valid')
+    np.testing.assert_allclose(np.asarray(phased.decode_h(neg, plan, M)), on,
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(phased.decode_h(pos, plan, M)), op,
+                               rtol=1e-10, atol=1e-10)
+
+    gn, gp = phased.grad_W_pair(Vs, jnp.asarray(R), Hph, plan)
+    ogn, ogp = oracle.reconstruction_gradient_W(V, W, H, 'valid')
+    np.testing.assert_allclose(np.asarray(gn), ogn, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gp), ogp, rtol=1e-10, atol=1e-10)
+
+
+def test_applicable_gating():
+    p_valid = ConvPlan.create('valid', (24, 24), (9, 9))
+    assert phased.applicable(p_valid, 1, 16)
+    assert not phased.applicable(p_valid, 16, 16)       # channel-rich: plain conv
+    assert not phased.applicable(ConvPlan.create('circular', (24, 24), (9, 9)), 1, 16)
+    assert not phased.applicable(ConvPlan.create('valid', (24,), (9,)), 1, 16)
+    # even atoms on both axes leave no phase structure
+    assert not phased.applicable(ConvPlan.create('valid', (24, 24), (8, 8)), 1, 16)
+
+
+def test_resolve_strategy_platform_gate(monkeypatch):
+    plan = ConvPlan.create('valid', (24, 24), (9, 9))
+    assert engine.resolve_strategy('conv', plan, 1, 16) == 'conv'  # CPU: off
+    monkeypatch.setattr(engine, '_phased_platform_ok', lambda: True)
+    assert engine.resolve_strategy('conv', plan, 1, 16) == 'phased'
+    assert engine.resolve_strategy('fft', plan, 1, 16) == 'fft'
+    assert engine.resolve_strategy('conv', plan, 1, 16, allow_phased=False) == 'conv'
+
+
+@pytest.fixture
+def force_phased(monkeypatch):
+    monkeypatch.setattr(engine, '_phased_platform_ok', lambda: True)
+
+
+def _fit_pair(fit_kwargs, backend_pair=('jax_conv', 'jax_conv'), V=None,
+              n_atoms=4, atom_shape=(5, 9), ctor=()):
+    """Fit the same problem with and without the phased upgrade."""
+    from tnmf_tpu import TransformInvariantNMF
+    if V is None:
+        V = np.random.default_rng(5).random((4, 1, 16, 14))
+    out = []
+    for allow, backend in zip((False, True), backend_pair):
+        np.random.seed(42)
+        nmf = TransformInvariantNMF(n_atoms=n_atoms, atom_shape=atom_shape,
+                                    backend=backend, **dict(ctor))
+        if not allow:
+            nmf._use_pallas_mode = True  # disables the phased upgrade
+            nmf._use_pallas_gw = False
+        nmf.fit(V, **fit_kwargs)
+        out.append(nmf)
+    return out
+
+
+@pytest.mark.parametrize('kw', [
+    dict(n_iterations=5, sparsity_H=0.1),
+    dict(n_iterations=5, inhibition_strength=0.2,
+         cross_atom_inhibition_strength=0.1),
+    dict(n_iterations=5, record_energies=True),
+], ids=['sparsity', 'inhibition', 'energies'])
+def test_phased_fit_matches_conv(force_phased, kw):
+    plain, ph = _fit_pair(kw)
+    assert plain._strategy == 'conv' and ph._strategy == 'phased'
+    np.testing.assert_allclose(ph.W, plain.W, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(ph.H, plain.H, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(ph.R, plain.R, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(ph.R_partial(1), plain.R_partial(1),
+                               rtol=1e-10, atol=1e-12)
+    if kw.get('record_energies'):
+        np.testing.assert_allclose(ph.energies_, plain.energies_, rtol=1e-10)
+
+
+def test_phased_minibatch_and_callback_paths(force_phased):
+    from tnmf_tpu import MiniBatchAlgorithm, TransformInvariantNMF
+    V = np.random.default_rng(5).random((6, 1, 16, 14))
+
+    # scan fast path
+    res = []
+    for allow in (False, True):
+        np.random.seed(42)
+        nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 9), backend='jax_conv',
+                                    seed=0)
+        if not allow:
+            nmf._use_pallas_mode = True
+            nmf._use_pallas_gw = False
+        nmf.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=2,
+                            n_epochs=3, sparsity_H=0.1)
+        res.append(nmf)
+    assert res[1]._strategy == 'phased'
+    np.testing.assert_allclose(res[1].W, res[0].W, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(res[1].H, res[0].H, rtol=1e-10, atol=1e-12)
+
+    # Python per-batch path (callback forces it) exercises
+    # update_H_step/update_W_step/grad_W_stats with encode/decode
+    res = []
+    for allow in (False, True):
+        np.random.seed(42)
+        nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 9), backend='jax_conv',
+                                    seed=0)
+        if not allow:
+            nmf._use_pallas_mode = True
+            nmf._use_pallas_gw = False
+        nmf.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASAG_MU, batch_size=2,
+                            n_epochs=2, sparsity_H=0.1,
+                            progress_callback=lambda n, e: True)
+        res.append(nmf)
+    np.testing.assert_allclose(res[1].W, res[0].W, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(res[1].H, res[0].H, rtol=1e-10, atol=1e-12)
+
+
+def test_phased_sharded_fit(force_phased):
+    """Phased lowering under the data-parallel mesh: same trajectory as
+    single-device."""
+    import jax
+    from tnmf_tpu import TransformInvariantNMF
+    from tnmf_tpu.parallel import make_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    V = np.random.default_rng(5).random((8, 1, 16, 14))
+    np.random.seed(42)
+    single = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 9), backend='jax_conv')
+    single.fit(V, n_iterations=4, sparsity_H=0.1)
+    assert single._strategy == 'phased'
+    np.random.seed(42)
+    sharded = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 9), backend='jax_conv',
+                                    mesh=make_mesh(8))
+    sharded.fit(V, n_iterations=4, sparsity_H=0.1)
+    assert sharded._strategy == 'phased'
+    np.testing.assert_allclose(sharded.W, single.W, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(sharded.H, single.H, rtol=1e-8, atol=1e-10)

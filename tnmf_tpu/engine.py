@@ -43,13 +43,58 @@ EPS = 1.0e-9  # reference: TransformInvariantNMF.py:166
 
 
 def get_ops(strategy: str):
-    """The operator module ('fft' or 'conv') implementing the backend
-    contract: prepare_data / reconstruct / grad_H_pair / grad_W_pair."""
+    """The operator module ('fft', 'conv' or 'phased') implementing the
+    backend contract: prepare_data / reconstruct / grad_H_pair /
+    grad_W_pair."""
     if strategy == 'fft':
         return fft_ops
     if strategy == 'conv':
         return conv_ops
+    if strategy == 'phased':
+        from .ops import phased
+        return phased
     raise ValueError(f'unknown strategy {strategy!r}; choose "fft" or "conv"')
+
+
+def _enc_h(H, plan: ConvPlan, strategy: str):
+    """Canonical H -> the strategy's loop-carried representation (the
+    phase-blocked layout for 'phased', identity otherwise)."""
+    if strategy == 'phased':
+        from .ops import phased
+        return phased.encode_h(H, plan)
+    return H
+
+
+def _dec_h(H, plan: ConvPlan, strategy: str, n_atoms: int):
+    """Inverse of :func:`_enc_h`."""
+    if strategy == 'phased':
+        from .ops import phased
+        return phased.decode_h(H, plan, n_atoms)
+    return H
+
+
+def _phased_platform_ok() -> bool:  # separate hook so tests can force it on CPU
+    try:
+        return jax.devices()[0].platform == 'tpu'
+    except Exception:  # pragma: no cover - uninitialized backend
+        return False
+
+
+def resolve_strategy(strategy: str, plan: ConvPlan, n_channels: int,
+                     n_atoms: int, allow_phased: bool = True) -> str:
+    """Upgrade 'conv' to the phase-decomposed lowering where it wins.
+
+    The phased path (:mod:`tnmf_tpu.ops.phased`) re-lowers the MU iteration
+    with phase-multiplied channel counts; measured 2.4x faster at the
+    flagship 64x256x256 scale on v5e.  It applies on TPU for 'valid'-mode
+    2-D problems with few channels; trajectories match the plain conv
+    strategy to float roundoff (tests/test_phased.py).
+    """
+    if strategy == 'conv' and allow_phased and _phased_platform_ok():
+        from .ops import phased
+        if phased.applicable(plan, n_channels, n_atoms):
+            return 'phased'
+    return strategy
 
 
 def choose_strategy(plan: ConvPlan, n_atoms: int, n_channels: int) -> str:
@@ -111,20 +156,21 @@ def prepare_data(V, *, plan: ConvPlan, strategy: str):
 
 @partial(jax.jit, static_argnames=('plan', 'strategy'))
 def reconstruct(W, H, *, plan: ConvPlan, strategy: str):
-    return get_ops(strategy).reconstruct(W, H, plan)
+    return get_ops(strategy).reconstruct(W, _enc_h(H, plan, strategy), plan)
 
 
 @partial(jax.jit, static_argnames=('plan', 'strategy', 'i_atom'))
 def partial_reconstruct(W, H, *, plan: ConvPlan, strategy: str, i_atom: int):
     """Reconstruction restricted to one atom (reference ``_Backend.py:124``)."""
     return get_ops(strategy).reconstruct(
-        W[i_atom:i_atom + 1], H[:, i_atom:i_atom + 1], plan)
+        W[i_atom:i_atom + 1],
+        _enc_h(H[:, i_atom:i_atom + 1], plan, strategy), plan)
 
 
 @partial(jax.jit, static_argnames=('plan', 'strategy'))
 def energy(V, W, H, *, plan: ConvPlan, strategy: str):
     """0.5 * sum((V - R)^2)  (reference ``_Backend.py:127-130``)."""
-    R = get_ops(strategy).reconstruct(W, H, plan)
+    R = get_ops(strategy).reconstruct(W, _enc_h(H, plan, strategy), plan)
     acc = jnp.promote_types(V.dtype, jnp.float32)  # f32 accumulation for bf16
     d = V.astype(acc) - R.astype(acc)
     return 0.5 * jnp.sum(d * d)
@@ -133,21 +179,33 @@ def energy(V, W, H, *, plan: ConvPlan, strategy: str):
 def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
           plan, use_inhibition, use_cross, use_pallas=False):
     """One multiplicative H update (reference ``_update_H``,
-    ``TransformInvariantNMF.py:246-271``)."""
+    ``TransformInvariantNMF.py:246-271``).  ``H`` is in the strategy's
+    loop-carried representation (phase-blocked for 'phased')."""
     R = ops.reconstruct(W, H, plan)
     neg, pos = ops.grad_H_pair(Vp, R, W, plan)
     if use_inhibition or use_cross:
-        if use_pallas:
+        phased_mod = getattr(ops, 'encode_h', None) is not None
+        if use_pallas and not phased_mod:
             from .ops import pallas_mu
             taps = tuple(k.shape[0] for k in kernels)
             if pallas_mu.inhibited_mu_h_supported(H.shape, plan.ndim, taps, H.dtype):
                 return pallas_mu.inhibited_mu_h(
                     H, neg, pos, kernels, inhibition, cross_inhibition,
                     EPS + sparsity, use_same=use_inhibition, use_cross=use_cross)
-        pos = pos + inhibition_positive_term(
-            H, kernels, plan.ndim, inhibition, cross_inhibition,
-            n_atoms=H.shape[1],
-            with_same_atom=use_inhibition, with_cross_atom=use_cross)
+        if phased_mod:
+            # the separable inhibition convolutions run in canonical shift
+            # space; its positive term is re-encoded (zero rows stay zero)
+            Hc = ops.decode_h(H, plan, W.shape[0])
+            term = inhibition_positive_term(
+                Hc, kernels, plan.ndim, inhibition, cross_inhibition,
+                n_atoms=Hc.shape[1],
+                with_same_atom=use_inhibition, with_cross_atom=use_cross)
+            pos = pos + ops.encode_h(term.astype(pos.dtype), plan)
+        else:
+            pos = pos + inhibition_positive_term(
+                H, kernels, plan.ndim, inhibition, cross_inhibition,
+                n_atoms=H.shape[1],
+                with_same_atom=use_inhibition, with_cross_atom=use_cross)
     # neg/pos are float32 under bfloat16 storage; the ratio is formed in the
     # accumulation dtype and cast back for storage
     return (H * neg / (pos + (EPS + sparsity))).astype(H.dtype)
@@ -196,15 +254,18 @@ def update_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
                 use_inhibition: bool = False, use_cross: bool = False,
                 use_pallas: bool = False, use_pallas_gw: bool = False):
     """One full MU iteration: H update then W update (reference
-    ``fit_batch`` loop body, ``TransformInvariantNMF.py:334-340``)."""
+    ``fit_batch`` loop body, ``TransformInvariantNMF.py:334-340``).
+    ``H`` is canonical at the boundary; the phased strategy encodes/decodes
+    around the update."""
     ops = get_ops(strategy)
+    H = _enc_h(H, plan, strategy)
     if update_H:
         H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
                   kernels, plan=plan, use_inhibition=use_inhibition,
                   use_cross=use_cross, use_pallas=use_pallas)
     if update_W:
         W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw)
-    return W, H
+    return W, _dec_h(H, plan, strategy, W.shape[0])
 
 
 @partial(jax.jit, static_argnames=_STEP_STATICS, donate_argnums=(1, 2))
@@ -215,7 +276,8 @@ def fit_loop(Vp, W, H, n_iterations, sparsity, inhibition, cross_inhibition, ker
              use_pallas: bool = False, use_pallas_gw: bool = False):
     """The no-callback fast path: the whole fit as one on-device loop with
     donated W/H buffers.  ``n_iterations`` is traced, so varying it does not
-    recompile."""
+    recompile.  The phased strategy encodes H once before the loop and
+    decodes once after — zero per-iteration relayout cost."""
     ops = get_ops(strategy)
 
     def body(_, WH):
@@ -228,7 +290,8 @@ def fit_loop(Vp, W, H, n_iterations, sparsity, inhibition, cross_inhibition, ker
             W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw)
         return W, H
 
-    return jax.lax.fori_loop(0, n_iterations, body, (W, H))
+    W, H = jax.lax.fori_loop(0, n_iterations, body, (W, _enc_h(H, plan, strategy)))
+    return W, _dec_h(H, plan, strategy, W.shape[0])
 
 
 # scan-chunk length of the energy-recording loop: one compiled graph serves
@@ -268,8 +331,9 @@ def _fit_energies_chunk(Vp, V, W, H, k, sparsity, inhibition, cross_inhibition, 
     def body(WH, i):
         return jax.lax.cond(i < k, active, idle, WH)
 
-    (W, H), energies = jax.lax.scan(body, (W, H), jnp.arange(chunk))
-    return W, H, energies
+    (W, H), energies = jax.lax.scan(body, (W, _enc_h(H, plan, strategy)),
+                                    jnp.arange(chunk))
+    return W, _dec_h(H, plan, strategy, W.shape[0]), energies
 
 
 def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
@@ -310,17 +374,19 @@ def update_H_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
                   plan: ConvPlan, strategy: str,
                   use_inhibition: bool = False, use_cross: bool = False,
                   use_pallas: bool = False):
-    """H-only update on a (mini)batch slice."""
+    """H-only update on a (mini)batch slice (canonical H in/out)."""
     ops = get_ops(strategy)
-    return _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
-                 kernels, plan=plan, use_inhibition=use_inhibition,
-                 use_cross=use_cross, use_pallas=use_pallas)
+    H = _mu_H(ops, Vp, W, _enc_h(H, plan, strategy), sparsity, inhibition,
+              cross_inhibition, kernels, plan=plan, use_inhibition=use_inhibition,
+              use_cross=use_cross, use_pallas=use_pallas)
+    return _dec_h(H, plan, strategy, W.shape[0])
 
 
 @partial(jax.jit, static_argnames=('plan', 'strategy', 'use_pallas'))
 def update_W_step(Vp, W, H, *, plan: ConvPlan, strategy: str, use_pallas: bool = False):
     """W-only update on a (mini)batch slice."""
-    return _mu_W(get_ops(strategy), Vp, W, H, plan=plan, use_pallas=use_pallas)
+    return _mu_W(get_ops(strategy), Vp, W, _enc_h(H, plan, strategy),
+                 plan=plan, use_pallas=use_pallas)
 
 
 @partial(jax.jit, static_argnames=('plan', 'strategy'))
@@ -329,6 +395,7 @@ def grad_W_stats(Vp, W, H, *, plan: ConvPlan, strategy: str):
     accumulators (reference ``_accumulate_gradient_W``,
     ``TransformInvariantNMF.py:444-455``)."""
     ops = get_ops(strategy)
+    H = _enc_h(H, plan, strategy)
     R = ops.reconstruct(W, H, plan)
     return ops.grad_W_pair(Vp, R, H, plan)
 

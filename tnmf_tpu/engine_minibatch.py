@@ -64,6 +64,19 @@ def minibatch_fit_loop(
     """
     ops = engine.get_ops(strategy)
     norm_axes = tuple(range(-plan.ndim, 0))
+    n_atoms = W.shape[0]
+    nb, bs = H_b.shape[:2]
+
+    def enc_b(H_b):
+        H = engine._enc_h(H_b.reshape((nb * bs,) + H_b.shape[2:]), plan, strategy)
+        return H.reshape((nb, bs) + H.shape[1:])
+
+    def dec_b(H_b):
+        H = engine._dec_h(H_b.reshape((nb * bs,) + H_b.shape[2:]), plan,
+                          strategy, n_atoms)
+        return H.reshape((nb, bs) + H.shape[1:])
+
+    H_b = enc_b(H_b)
 
     def mu_H(Vb, W, Hb):
         return engine._mu_H(ops, Vb, W, Hb, sparsity, inhibition, cross_inhibition,
@@ -143,4 +156,4 @@ def minibatch_fit_loop(
         return (W, H_b, acc), jnp.zeros((), acc_dtype)
 
     (W, H_b, _), energies = jax.lax.scan(epoch_step, (W, H_b, zero_stat), perms)
-    return W, H_b, energies
+    return W, dec_b(H_b), energies

@@ -311,6 +311,16 @@ class TransformInvariantNMF:
         strategy = self._strategy_request
         if strategy == 'auto':
             strategy = engine.choose_strategy(self._plan, self.n_atoms, V.shape[1])
+        # on TPU, channel-poor 'valid'-mode 2-D problems run the
+        # phase-decomposed lowering (tnmf_tpu.ops.phased; 2.4x at scale).
+        # Excluded: forced Pallas kernels (they expect canonical H) and
+        # spatially-sharded meshes (halo exchange is validated on the
+        # canonical grid only).
+        allow_phased = (self._use_pallas_mode is not True
+                        and not (self._mesh is not None
+                                 and self._shard_axis in ('spatial', 'both')))
+        strategy = engine.resolve_strategy(strategy, self._plan, V.shape[1],
+                                           self.n_atoms, allow_phased)
         self._strategy = strategy
         dtype = self._resolve_dtype(V)
 
@@ -905,10 +915,13 @@ class TransformInvariantNMF:
             sample = tuple(tshape)
         self._plan = ConvPlan.create(mode, sample, atom, self._fft_policy,
                                      precision=self._precision)
-        self._strategy = (self._strategy_request
-                          if self._strategy_request != 'auto'
-                          else engine.choose_strategy(self._plan, self.n_atoms,
-                                                      self._W.shape[1]))
+        strategy = (self._strategy_request
+                    if self._strategy_request != 'auto'
+                    else engine.choose_strategy(self._plan, self.n_atoms,
+                                                self._W.shape[1]))
+        self._strategy = engine.resolve_strategy(
+            strategy, self._plan, self._W.shape[1], self.n_atoms,
+            self._use_pallas_mode is not True)
 
     # ------------------------------------------------------------------
     # distributed (sharded) checkpointing via orbax — the at-scale path
