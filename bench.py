@@ -337,6 +337,73 @@ def metric_minibatch(n_epochs=5, batch_size=12, remeasure=False):
             'vs_baseline': round(ours / ref, 3) if ref else None}
 
 
+# ---------------------------------------------------------------------------
+# compiled-mode gate for the experimental Pallas kernels
+# ---------------------------------------------------------------------------
+
+def pallas_check():
+    """Run both experimental Pallas kernels COMPILED (Mosaic, not the
+    interpreter the CPU test suite uses) and check parity against the XLA
+    paths.  Emits one JSON line; the kernels are measured negative results
+    (tnmf_tpu/experimental/__init__.py) and this gate keeps their compiled
+    path from rotting undetected (round-2 verdict weak #4)."""
+    import jax
+    import jax.numpy as jnp
+    from tnmf_tpu import engine
+    from tnmf_tpu.experimental import pallas_gw, pallas_mu
+    from tnmf_tpu.ops import conv
+    from tnmf_tpu.ops.inhibition import (inhibition_kernels,
+                                         inhibition_positive_term,
+                                         resolve_inhibition_range)
+    from tnmf_tpu.ops.modes import ConvPlan
+
+    result = {'metric': 'pallas_compiled_parity', 'unit': 'bool',
+              'platform': jax.devices()[0].platform}
+    if result['platform'] != 'tpu':
+        result.update(value=None, detail='no TPU: compiled Mosaic path unavailable')
+        print(json.dumps(result), flush=True)
+        return
+
+    rng = np.random.default_rng(0)
+    plan = ConvPlan.create('valid', (24, 20), (5, 5))
+    N, M, C = 3, 4, 2
+    V = jnp.asarray(rng.random((N, C, 24, 20)), jnp.float32)
+    W = jnp.asarray(rng.random((M, C, 5, 5)), jnp.float32)
+    H = jnp.asarray(rng.random((N, M) + plan.transform_shape), jnp.float32)
+    Vp = conv.prepare_data(V, plan)
+    R = conv.reconstruct(W, H, plan)
+    ok, detail = True, []
+
+    # grad_W blocked-GEMM kernel, compiled
+    assert pallas_gw.supported(plan, M, 2 * C, jnp.float32)
+    X2 = jnp.concatenate([Vp, conv.extend_data(R, plan)], axis=1)
+    got = pallas_gw.grad_w_gemm(X2, H, plan=plan)
+    want = conv.grad_W_pair(Vp, R, H, plan)
+    for g, w, name in zip(got, want, ('neg', 'pos')):
+        err = float(jnp.max(jnp.abs(g - w)) / jnp.max(jnp.abs(w)))
+        detail.append(f'gw_{name}_relerr={err:.2e}')
+        ok &= err < 1e-4
+
+    # fused inhibited H-update kernel, compiled
+    kernels = tuple(jnp.asarray(k, jnp.float32) for k in inhibition_kernels(
+        resolve_inhibition_range(None, (5, 5))))
+    taps = tuple(k.shape[0] for k in kernels)
+    assert pallas_mu.inhibited_mu_h_supported(H.shape, plan.ndim, taps, H.dtype)
+    neg, pos = conv.grad_H_pair(Vp, R, W, plan)
+    inh = jnp.float32(0.1)
+    got_h = pallas_mu.inhibited_mu_h(H, neg, pos, kernels, inh, jnp.float32(0.0),
+                                     engine.EPS, use_same=True, use_cross=False)
+    want_h = H * neg / (pos + inhibition_positive_term(
+        H, kernels, plan.ndim, inh, 0.0, n_atoms=M,
+        with_same_atom=True, with_cross_atom=False) + engine.EPS)
+    err = float(jnp.max(jnp.abs(got_h - want_h)) / jnp.max(jnp.abs(want_h)))
+    detail.append(f'mu_h_relerr={err:.2e}')
+    ok &= err < 1e-4
+
+    result.update(value=bool(ok), detail=' '.join(detail))
+    print(json.dumps(result), flush=True)
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument('--all', action='store_true',
@@ -344,7 +411,13 @@ def main():
     parser.add_argument('--remeasure-reference', action='store_true',
                         help='re-measure the reference baselines live instead '
                              'of using the pinned BASELINE.json numbers')
+    parser.add_argument('--pallas-check', action='store_true',
+                        help='compiled-mode parity gate for the experimental '
+                             'Pallas kernels (TPU)')
     args = parser.parse_args()
+    if args.pallas_check:
+        pallas_check()
+        return
     rm = args.remeasure_reference
 
     print(json.dumps(metric_2d(remeasure=rm)), flush=True)

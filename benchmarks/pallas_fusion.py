@@ -2,13 +2,13 @@
 
 Two kernels are measured with dispatch-amortized methodology:
 
-* ``ops.pallas_mu.inhibited_mu_h`` — the fused inhibited H-update epilogue
+* ``experimental.pallas_mu.inhibited_mu_h`` — the fused inhibited H-update epilogue
   (separable inhibition field + same/cross-atom terms + MU ratio in one
   VMEM pass) vs the XLA chain (banded-matmul separable conv + elementwise
   ops).  The XLA chain wins ~5x at every measured scale (see also
   benchmarks/large_scale.py), so the model's auto mode runs it and the
   kernel is opt-in.
-* ``ops.pallas_gw.grad_w_gemm`` — the blocked-GEMM W-gradient statistics
+* ``experimental.pallas_gw.grad_w_gemm`` — the blocked-GEMM W-gradient statistics
   vs the XLA huge-kernel conv (``ops.conv.grad_W_pair``).
 
 Methodology note (important on remote-dispatch platforms): a single
@@ -36,7 +36,8 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 from jax import lax  # noqa: E402
 
-from tnmf_tpu.ops import conv, pallas_gw, pallas_mu  # noqa: E402
+from tnmf_tpu.experimental import pallas_gw, pallas_mu  # noqa: E402
+from tnmf_tpu.ops import conv  # noqa: E402
 from tnmf_tpu.ops.inhibition import inhibition_kernels, inhibition_positive_term  # noqa: E402
 from tnmf_tpu.ops.modes import ConvPlan  # noqa: E402
 

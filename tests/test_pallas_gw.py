@@ -7,7 +7,8 @@ import pytest
 
 import jax.numpy as jnp
 
-from tnmf_tpu.ops import conv, pallas_gw
+from tnmf_tpu.experimental import pallas_gw
+from tnmf_tpu.ops import conv
 from tnmf_tpu.ops.modes import ConvPlan
 
 MODES = ['valid', 'full', 'circular', 'reflect']

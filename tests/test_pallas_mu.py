@@ -6,7 +6,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from tnmf_tpu.ops import pallas_mu
+from tnmf_tpu.experimental import pallas_mu
 from tnmf_tpu.ops.inhibition import inhibition_kernels, inhibition_positive_term
 
 

@@ -4,8 +4,9 @@ This module owns every jitted function of the framework.  The algorithm layer
 (:mod:`tnmf_tpu.models.tnmf`) is a thin stateful wrapper that calls into
 these pure functions, mirroring the algorithm/backend split of the reference
 (``/root/reference/tnmf/TransformInvariantNMF.py`` vs ``tnmf/backends/``) —
-except that the five interchangeable CPU backends collapse into two XLA
-strategies ('fft' and 'conv') behind one functional interface.
+except that the five interchangeable CPU backends collapse into three XLA
+strategies ('fft', 'conv', and the TPU 'phased' lowering that
+:func:`resolve_strategy` auto-selects) behind one functional interface.
 
 Design notes (TPU):
 
@@ -186,21 +187,19 @@ def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
     if use_inhibition or use_cross:
         phased_mod = getattr(ops, 'encode_h', None) is not None
         if use_pallas and not phased_mod:
-            from .ops import pallas_mu
+            from .experimental import pallas_mu
             taps = tuple(k.shape[0] for k in kernels)
             if pallas_mu.inhibited_mu_h_supported(H.shape, plan.ndim, taps, H.dtype):
                 return pallas_mu.inhibited_mu_h(
                     H, neg, pos, kernels, inhibition, cross_inhibition,
                     EPS + sparsity, use_same=use_inhibition, use_cross=use_cross)
         if phased_mod:
-            # the separable inhibition convolutions run in canonical shift
-            # space; its positive term is re-encoded (zero rows stay zero)
-            Hc = ops.decode_h(H, plan, W.shape[0])
-            term = inhibition_positive_term(
-                Hc, kernels, plan.ndim, inhibition, cross_inhibition,
-                n_atoms=Hc.shape[1],
+            # banded inhibition contraction directly in the phased layout —
+            # no decode/encode transposes (ops.phased docstring)
+            pos = pos + ops.inhibition_positive_term_phased(
+                H.astype(pos.dtype), kernels, plan, W.shape[0],
+                inhibition, cross_inhibition,
                 with_same_atom=use_inhibition, with_cross_atom=use_cross)
-            pos = pos + ops.encode_h(term.astype(pos.dtype), plan)
         else:
             pos = pos + inhibition_positive_term(
                 H, kernels, plan.ndim, inhibition, cross_inhibition,
@@ -226,12 +225,12 @@ def _mu_W(ops, Vp, W, H, *, plan, use_pallas=False):
 
     With ``use_pallas`` (conv strategy, TPU, 2-D, supported geometry) the
     W-gradient statistics run through the blocked-GEMM Pallas kernel
-    (:mod:`tnmf_tpu.ops.pallas_gw`); measured at parity with the XLA conv
+    (:mod:`tnmf_tpu.experimental.pallas_gw`); measured at parity with the XLA conv
     lowering on the flagship config (benchmarks/pallas_fusion.py), kept
     opt-in."""
     R = ops.reconstruct(W, H, plan)
     if use_pallas and ops is conv_ops:
-        from .ops import pallas_gw
+        from .experimental import pallas_gw
         if pallas_gw.supported(plan, W.shape[0], 2 * W.shape[1], H.dtype):
             X2 = jnp.concatenate([Vp, conv_ops.extend_data(R, plan)], axis=1)
             neg, pos = pallas_gw.grad_w_gemm(X2, H, plan=plan)

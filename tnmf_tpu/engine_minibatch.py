@@ -86,7 +86,8 @@ def minibatch_fit_loop(
     def grad_W(Vb, W, Hb):
         R = ops.reconstruct(W, Hb, plan)
         if use_pallas_gw and strategy == 'conv':
-            from .ops import conv, pallas_gw
+            from .ops import conv
+            from .experimental import pallas_gw
             if pallas_gw.supported(plan, W.shape[0], 2 * W.shape[1], Hb.dtype):
                 X2 = jnp.concatenate([Vb, conv.extend_data(R, plan)], axis=1)
                 return pallas_gw.grad_w_gemm(X2, Hb, plan=plan)

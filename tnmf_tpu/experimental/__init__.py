@@ -1,0 +1,25 @@
+"""Experimental TPU kernels — measured negative results, kept opt-in.
+
+Both Pallas kernels here were built for the MU hot loop and benchmarked
+honestly against the XLA lowerings with full data-dependent consumers
+(benchmarks/pallas_fusion.py, one v5e chip):
+
+* :mod:`.pallas_mu` — fused inhibited H-update epilogue; loses ~5x to the
+  XLA banded-matmul inhibition chain (:mod:`tnmf_tpu.ops.inhibition`) at
+  every measured scale.
+* :mod:`.pallas_gw` — blocked-GEMM W-gradient statistics; 0.4-1.0x XLA's
+  conv lowering in realistic mu_W use, and superseded outright by the
+  phase-decomposed lowering (:mod:`tnmf_tpu.ops.phased`), which reaches
+  the same statistics ~1.7x faster than even XLA's plain conv at the
+  flagship scale.
+
+They remain available via ``TransformInvariantNMF(use_pallas=True)`` for
+experimentation, fall back silently off-TPU or for unsupported shapes, and
+their compiled-mode parity is checked on real TPU by
+``python bench.py --pallas-check`` (the CI suite runs them in interpreter
+mode on CPU).
+"""
+
+from . import pallas_gw, pallas_mu  # noqa: F401
+
+__all__ = ['pallas_gw', 'pallas_mu']

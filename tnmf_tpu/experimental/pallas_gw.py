@@ -72,7 +72,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .modes import ConvPlan
+from ..ops.modes import ConvPlan
 
 _LANE = 128
 _VMEM_BUDGET = 12 * 1024 * 1024

@@ -14,7 +14,8 @@ What changed relative to the reference:
 
 * The five interchangeable single-process backends (NumPy, NumPy_FFT,
   NumPy_CachingFFT, PyTorch, PyTorch_FFT) collapse into one jit-compiled
-  XLA engine with two internal strategies ('fft' and 'conv'); the reference
+  XLA engine with internal strategies ('fft', 'conv', and the TPU
+  phase-decomposed 'phased' lowering, auto-selected); the reference
   backend names are still accepted and mapped onto it.
 * When no progress callback and no per-iteration logging are requested, the
   whole fit runs as a single fused on-device loop
@@ -143,7 +144,7 @@ class TransformInvariantNMF:
         beats the fused inhibited-H Pallas kernel ~5x at every measured
         scale once benchmarked with full data-dependent consumers
         (benchmarks/pallas_fusion.py, benchmarks/large_scale.py on v5e),
-        and the blocked-GEMM grad_W kernel (``tnmf_tpu.ops.pallas_gw``)
+        and the blocked-GEMM grad_W kernel (``tnmf_tpu.experimental.pallas_gw``)
         loses to XLA's conv lowering in realistic mu_W use. ``True``
         forces both Pallas kernels on (for experimentation), ``False`` is
         explicit XLA-only. The kernels silently fall back to the XLA path

@@ -305,6 +305,51 @@ def grad_H_pair(Vs: jnp.ndarray, R: jnp.ndarray, W: jnp.ndarray,
     return G2[:n], G2[n:]
 
 
+def inhibition_positive_term_phased(
+        Hph: jnp.ndarray, kernels, plan: ConvPlan, n_atoms: int,
+        inhibition, cross_inhibition,
+        with_same_atom: bool, with_cross_atom: bool) -> jnp.ndarray:
+    """The lateral-inhibition positive term, computed directly in the phased
+    layout (same semantics as :func:`tnmf_tpu.ops.inhibition
+    .inhibition_positive_term` on the zero-padded canonical H).
+
+    Each separable 1-D banded contraction runs on phased data by reshaping
+    the banded matrix ``B[y, u]`` into phase blocks ``B[Y, p, U, q]``
+    (``y = r*Y + p``) and contracting (phase, position) jointly — zero
+    decode/encode transposes, and the absorbing zero padding reproduces the
+    reference's zero-padded boundary exactly.
+    """
+    from .inhibition import _band_matrix
+    g = geometry(plan)
+    r = g['r']
+    N = Hph.shape[0]
+    pp = r[0] * r[1]
+    M = Hph.shape[1] // pp
+    Y, X = Hph.shape[2], Hph.shape[3]
+    x = Hph.reshape(N, M, r[0], r[1], Y, X)
+    # axis 0 (canonical y = r0*Y + a)
+    k0 = jnp.asarray(kernels[0], Hph.dtype)
+    rad0 = (k0.shape[0] - 1) // 2
+    B0 = _band_matrix(k0, g['t_pad'][0], g['t_pad'][0], -rad0)
+    B0 = B0.reshape(Y, r[0], Y, r[0])          # [Yo, p, Yi, q]
+    x = jnp.einsum('nmqbvx,zpvq->nmpbzx', x, B0)
+    # axis 1 (canonical x = r1*X + b)
+    k1 = jnp.asarray(kernels[1], Hph.dtype)
+    rad1 = (k1.shape[0] - 1) // 2
+    B1 = _band_matrix(k1, g['t_pad'][1], g['t_pad'][1], -rad1)
+    B1 = B1.reshape(X, r[1], X, r[1])          # [Xo, p, Xi, q]
+    x = jnp.einsum('nmaqyv,zpvq->nmapyz', x, B1)
+    conv = x.reshape(N, M * pp, Y, X)
+    term = jnp.zeros_like(Hph)
+    if with_same_atom:
+        term = term + inhibition * (conv - Hph)
+    if with_cross_atom:
+        c = conv.reshape(N, M, pp, Y, X)
+        cross = (c.sum(axis=1, keepdims=True) - c).reshape(N, M * pp, Y, X)
+        term = term + (cross_inhibition / (n_atoms - 1)) * cross
+    return term
+
+
 def grad_W_pair(Vs: jnp.ndarray, R: jnp.ndarray, Hph: jnp.ndarray,
                 plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(neg, pos) of dE/dW from phased operands.
