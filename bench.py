@@ -133,7 +133,9 @@ def bench_ours_2d():
     V = make_V_2d(np.float32)
     n_atoms, atom_shape, sparsity = 10, (7, 7), 0.1
     plan = ConvPlan.create('valid', V.shape[2:], atom_shape)
-    strategy = engine.choose_strategy(plan, n_atoms, V.shape[1])
+    strategy = engine.resolve_strategy(
+        engine.choose_strategy(plan, n_atoms, V.shape[1]),
+        plan, V.shape[1], n_atoms)  # the model's real path (phased on TPU)
 
     rng = np.random.default_rng(42)
     W = rng.random((n_atoms, V.shape[1]) + atom_shape).astype(np.float32)
@@ -196,7 +198,9 @@ def metric_1d(remeasure=False):
     V = make_V_1d(np.float32)
     n_atoms, atom_shape = 3, (20,)
     plan = ConvPlan.create('valid', V.shape[2:], atom_shape)
-    strategy = engine.choose_strategy(plan, n_atoms, V.shape[1])
+    strategy = engine.resolve_strategy(
+        engine.choose_strategy(plan, n_atoms, V.shape[1]),
+        plan, V.shape[1], n_atoms)
     kernels = tuple(jnp.asarray(k, jnp.float32)
                     for k in inhibition_kernels(resolve_inhibition_range(None, atom_shape)))
 

@@ -119,42 +119,59 @@ def test_phased_fit_matches_conv(force_phased, kw):
         np.testing.assert_allclose(ph.energies_, plain.energies_, rtol=1e-10)
 
 
-def test_phased_minibatch_and_callback_paths(force_phased):
+def test_minibatch_defaults_to_conv(force_phased):
+    """Policy: minibatch fitting keeps the plain conv lowering (phased
+    measured ~8x slower per small batch step on v5e, bench.py minibatch
+    row) while fit_batch upgrades."""
     from tnmf_tpu import MiniBatchAlgorithm, TransformInvariantNMF
     V = np.random.default_rng(5).random((6, 1, 16, 14))
+    np.random.seed(42)
+    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 9), backend='jax_conv')
+    nmf.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=2,
+                        n_epochs=1)
+    assert nmf._strategy == 'conv'
+    nmf.fit_batch(V, n_iterations=1)
+    assert nmf._strategy == 'phased'
+
+
+def test_phased_minibatch_and_callback_paths(force_phased, monkeypatch):
+    """The engine minibatch paths stay phased-capable (encode/decode in the
+    scan loop and the per-batch step functions): force the resolver past
+    the minibatch policy and pin parity with the conv lowering."""
+    from tnmf_tpu import MiniBatchAlgorithm, TransformInvariantNMF
+    V = np.random.default_rng(5).random((6, 1, 16, 14))
+    orig = engine.resolve_strategy
+
+    def run(phased, algorithm, callback):
+        if phased:
+            monkeypatch.setattr(
+                engine, 'resolve_strategy',
+                lambda s, p, c, m, allow_phased=True: orig(s, p, c, m, True))
+        else:
+            monkeypatch.setattr(
+                engine, 'resolve_strategy',
+                lambda s, p, c, m, allow_phased=True: s)
+        np.random.seed(42)
+        nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 9),
+                                    backend='jax_conv', seed=0)
+        nmf.fit_minibatches(V, algorithm=algorithm, batch_size=2,
+                            n_epochs=2, sparsity_H=0.1,
+                            progress_callback=callback)
+        return nmf
 
     # scan fast path
-    res = []
-    for allow in (False, True):
-        np.random.seed(42)
-        nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 9), backend='jax_conv',
-                                    seed=0)
-        if not allow:
-            nmf._use_pallas_mode = True
-            nmf._use_pallas_gw = False
-        nmf.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=2,
-                            n_epochs=3, sparsity_H=0.1)
-        res.append(nmf)
-    assert res[1]._strategy == 'phased'
-    np.testing.assert_allclose(res[1].W, res[0].W, rtol=1e-10, atol=1e-12)
-    np.testing.assert_allclose(res[1].H, res[0].H, rtol=1e-10, atol=1e-12)
+    plain = run(False, MiniBatchAlgorithm.ASG_MU, None)
+    ph = run(True, MiniBatchAlgorithm.ASG_MU, None)
+    assert ph._strategy == 'phased' and plain._strategy == 'conv'
+    np.testing.assert_allclose(ph.W, plain.W, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(ph.H, plain.H, rtol=1e-10, atol=1e-12)
 
     # Python per-batch path (callback forces it) exercises
     # update_H_step/update_W_step/grad_W_stats with encode/decode
-    res = []
-    for allow in (False, True):
-        np.random.seed(42)
-        nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 9), backend='jax_conv',
-                                    seed=0)
-        if not allow:
-            nmf._use_pallas_mode = True
-            nmf._use_pallas_gw = False
-        nmf.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASAG_MU, batch_size=2,
-                            n_epochs=2, sparsity_H=0.1,
-                            progress_callback=lambda n, e: True)
-        res.append(nmf)
-    np.testing.assert_allclose(res[1].W, res[0].W, rtol=1e-10, atol=1e-12)
-    np.testing.assert_allclose(res[1].H, res[0].H, rtol=1e-10, atol=1e-12)
+    plain = run(False, MiniBatchAlgorithm.ASAG_MU, lambda n, e: True)
+    ph = run(True, MiniBatchAlgorithm.ASAG_MU, lambda n, e: True)
+    np.testing.assert_allclose(ph.W, plain.W, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(ph.H, plain.H, rtol=1e-10, atol=1e-12)
 
 
 def test_phased_sharded_fit(force_phased):

@@ -282,7 +282,8 @@ class TransformInvariantNMF:
             return jnp.dtype(np.float64)
         return jnp.dtype(np.float32)
 
-    def _initialize_matrices(self, V: np.ndarray, keep_W: bool, shuffle_input: bool = False):
+    def _initialize_matrices(self, V: np.ndarray, keep_W: bool, shuffle_input: bool = False,
+                             allow_phased: bool = True):
         # multi-host path: a process-spanning global jax.Array (from
         # parallel.distributed.distribute_samples) is used as-is — no host
         # copy exists or is ever materialized
@@ -317,7 +318,8 @@ class TransformInvariantNMF:
         # Excluded: forced Pallas kernels (they expect canonical H) and
         # spatially-sharded meshes (halo exchange is validated on the
         # canonical grid only).
-        allow_phased = (self._use_pallas_mode is not True
+        allow_phased = (allow_phased
+                        and self._use_pallas_mode is not True
                         and not (self._mesh is not None
                                  and self._shard_axis in ('spatial', 'both')))
         strategy = engine.resolve_strategy(strategy, self._plan, V.shape[1],
@@ -551,7 +553,12 @@ class TransformInvariantNMF:
         # shuffling effectively never happens there.  We reproduce that
         # behavior for exact cross-library comparability; batch-ORDER
         # shuffling below is still active for algorithms 5-8.
-        self._initialize_matrices(V, keep_W, shuffle_input=False)
+        # allow_phased=False: per-batch steps are small, and the phased
+        # lowering measured 8x slower per minibatch step at the fixture
+        # scale (bench.py minibatch row, v5e) — the plain conv lowering
+        # stays the minibatch default
+        self._initialize_matrices(V, keep_W, shuffle_input=False,
+                                  allow_phased=False)
 
         # sample count from the device array: under a process-spanning mesh
         # self._V is None (no host copy exists), but the global jax.Array

@@ -305,41 +305,72 @@ def grad_H_pair(Vs: jnp.ndarray, R: jnp.ndarray, W: jnp.ndarray,
     return G2[:n], G2[n:]
 
 
+@lru_cache(maxsize=None)
+def _band_placement(taps: int, r: Tuple[int, int], axis: int):
+    """One-hot P[(p0,p1), (q0,q1), t, d] mapping the canonical 1-D kernel
+    tap ``d - rad`` onto the phase-space conv tap ``t`` along ``axis``:
+    canonical offset = r[axis]*(t - t_off) + (q - p) on that axis, with the
+    other phase axis held equal."""
+    import numpy as np
+    rad = (taps - 1) // 2
+    rr = r[axis]
+    T = 2 * ((rad + rr - 1) // rr) + 1
+    t_off = (T - 1) // 2
+    pp = r[0] * r[1]
+    P = np.zeros((pp, pp, T, taps), np.float32)
+    for p0 in range(r[0]):
+        for p1 in range(r[1]):
+            for q0 in range(r[0]):
+                for q1 in range(r[1]):
+                    if (p1 != q1 if axis == 0 else p0 != q0):
+                        continue
+                    dp = (q0 - p0) if axis == 0 else (q1 - p1)
+                    for t in range(T):
+                        d = rr * (t - t_off) + dp
+                        if -rad <= d <= rad:
+                            P[p0 * r[1] + p1, q0 * r[1] + q1, t, d + rad] = 1.0
+    return P, T, t_off
+
+
+def _phase_conv_1d(x: jnp.ndarray, k: jnp.ndarray, plan: ConvPlan, axis: int,
+                   M: int) -> jnp.ndarray:
+    """Zero-padded canonical 1-D convolution along shift axis ``axis``,
+    executed as ONE phase-space conv whose layouts match the grad conv's —
+    no transposes (the earlier banded-einsum formulation paid a full-tensor
+    relayout per non-minor axis)."""
+    g = geometry(plan)
+    r = g['r']
+    pp = r[0] * r[1]
+    P, T, t_off = _band_placement(int(k.shape[0]), r, axis)
+    Kp = jnp.einsum('pqtd,d->pqt', jnp.asarray(P, k.dtype), k)
+    eye = jnp.eye(M, dtype=k.dtype)
+    K = jnp.einsum('mn,pqt->mpnqt', eye, Kp).reshape(M * pp, M * pp, T)
+    K = K[:, :, :, None] if axis == 0 else K[:, :, None, :]
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (t_off, T - 1 - t_off)
+    return lax.conv_general_dilated(
+        x, K, window_strides=(1, 1), padding=pad,
+        dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+        preferred_element_type=x.dtype)
+
+
 def inhibition_positive_term_phased(
         Hph: jnp.ndarray, kernels, plan: ConvPlan, n_atoms: int,
         inhibition, cross_inhibition,
         with_same_atom: bool, with_cross_atom: bool) -> jnp.ndarray:
     """The lateral-inhibition positive term, computed directly in the phased
     layout (same semantics as :func:`tnmf_tpu.ops.inhibition
-    .inhibition_positive_term` on the zero-padded canonical H).
-
-    Each separable 1-D banded contraction runs on phased data by reshaping
-    the banded matrix ``B[y, u]`` into phase blocks ``B[Y, p, U, q]``
-    (``y = r*Y + p``) and contracting (phase, position) jointly — zero
-    decode/encode transposes, and the absorbing zero padding reproduces the
-    reference's zero-padded boundary exactly.
+    .inhibition_positive_term` on the zero-padded canonical H: the absorbing
+    zero padding reproduces the reference's zero-padded boundary exactly).
     """
-    from .inhibition import _band_matrix
     g = geometry(plan)
     r = g['r']
     N = Hph.shape[0]
     pp = r[0] * r[1]
     M = Hph.shape[1] // pp
     Y, X = Hph.shape[2], Hph.shape[3]
-    x = Hph.reshape(N, M, r[0], r[1], Y, X)
-    # axis 0 (canonical y = r0*Y + a)
-    k0 = jnp.asarray(kernels[0], Hph.dtype)
-    rad0 = (k0.shape[0] - 1) // 2
-    B0 = _band_matrix(k0, g['t_pad'][0], g['t_pad'][0], -rad0)
-    B0 = B0.reshape(Y, r[0], Y, r[0])          # [Yo, p, Yi, q]
-    x = jnp.einsum('nmqbvx,zpvq->nmpbzx', x, B0)
-    # axis 1 (canonical x = r1*X + b)
-    k1 = jnp.asarray(kernels[1], Hph.dtype)
-    rad1 = (k1.shape[0] - 1) // 2
-    B1 = _band_matrix(k1, g['t_pad'][1], g['t_pad'][1], -rad1)
-    B1 = B1.reshape(X, r[1], X, r[1])          # [Xo, p, Xi, q]
-    x = jnp.einsum('nmaqyv,zpvq->nmapyz', x, B1)
-    conv = x.reshape(N, M * pp, Y, X)
+    conv = _phase_conv_1d(Hph, jnp.asarray(kernels[0], Hph.dtype), plan, 0, M)
+    conv = _phase_conv_1d(conv, jnp.asarray(kernels[1], Hph.dtype), plan, 1, M)
     term = jnp.zeros_like(Hph)
     if with_same_atom:
         term = term + inhibition * (conv - Hph)
