@@ -252,8 +252,12 @@ def _gw_placement(A, r, K):
 # the operator contract (prepare_data / reconstruct / grad pairs)
 # ---------------------------------------------------------------------------
 
-def _conv(lhs, rhs, dn, preferred, precision, strides=(1, 1)):
-    if jnp.dtype(preferred).itemsize < 4:
+def _conv(lhs, rhs, dn, preferred, precision, strides=(1, 1), keep_low=False):
+    # sub-f32 storage still accumulates in f32 on the MXU; keep_low rounds
+    # the *output* to the storage dtype (used for the H-gradient pair in
+    # bf16 mode, halving the dominant HBM stream of the iteration — the MU
+    # ratio is robust to bf16 gradient statistics, tests/test_bfloat16.py)
+    if not keep_low and jnp.dtype(preferred).itemsize < 4:
         preferred = jnp.float32
     return lax.conv_general_dilated(
         lhs, rhs, window_strides=strides, padding=[(0, 0)] * 2,
@@ -300,7 +304,8 @@ def grad_H_pair(Vs: jnp.ndarray, R: jnp.ndarray, W: jnp.ndarray,
     Rs = _extend_phased(R, plan)
     X2 = jnp.concatenate([Vs, Rs], axis=0)
     K2 = _grad_kernel(W, g)
-    G2 = _conv(X2, K2, ('NCHW', 'OIHW', 'NCHW'), W.dtype, plan.lax_precision)
+    G2 = _conv(X2, K2, ('NCHW', 'OIHW', 'NCHW'), W.dtype, plan.lax_precision,
+               keep_low=True)
     n = Vs.shape[0]
     return G2[:n], G2[n:]
 
