@@ -22,6 +22,8 @@ CASES = [
     ((17, 23), (9, 9), 2, 3),    # absorbing padding on both axes
     ((19, 21), (7, 7), 3, 5),    # (a-1) % 4 != 0 -> phase factor 2
     ((16, 14), (5, 9), 1, 2),    # mixed factors
+    ((300,), (9,), 2, 3),        # 1-D (long enough for the (64,) blocking)
+    ((10, 9, 11), (3, 5, 3), 1, 4),  # 3-D volumetric
 ]
 
 

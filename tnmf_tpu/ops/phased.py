@@ -1,4 +1,4 @@
-"""Phase-decomposed direct-convolution strategy (TPU, 'valid' mode, 2-D).
+"""Phase-decomposed direct-convolution strategy (TPU, 'valid' mode).
 
 The plain conv strategy (:mod:`tnmf_tpu.ops.conv`) is MXU-starved for
 channel-poor problems: at the flagship 64x256x256 / 16-atom / 1-channel
@@ -7,45 +7,48 @@ verdict: ~5-7% MFU), XLA picks batch-in-lanes layouts, and the MU ratio
 pays lane-sliced reads.  This module re-lowers the whole MU iteration in a
 **phase-blocked domain**: the activation tensor H is carried as
 
-    Hph[n, (m, py, px), Y, X] = H[n, m, RY*Y + py, RX*X + px]
+    Hph[n, (m, p1..pk), Y1..Yk] = H[n, m, r1*Y1 + p1, ..., rk*Yk + pk]
 
-with per-axis phase factors (RY, RX) — a space-to-depth view of the shift
+with per-axis phase factors ``r`` — a space-to-depth view of the shift
 axes.  Every operator then becomes a convolution whose channel counts are
-multiplied by the ``RY*RX`` phase count on *both* sides:
+multiplied by the ``prod(r)`` phase count on *both* sides:
 
-* ``grad_H_pair`` — one conv of the phased extended data (C*RY*RX input
-  channels) against a one-hot-expanded kernel (M*RY*RX output channels,
-  small taps), producing the gradient **directly in H's phased layout** —
-  no unshuffle, and the MU ratio becomes a pure elementwise op between
-  identically-shaped phased tensors.
+* ``grad_H_pair`` — one conv of the phased extended data (``C*prod(r)``
+  input channels) against a one-hot-expanded kernel (``M*prod(r)`` output
+  channels, small taps), producing the gradient **directly in H's phased
+  layout** — no unshuffle, and the MU ratio becomes a pure elementwise op
+  between identically-shaped phased tensors.
 * ``reconstruct`` — one strided conv of phased H against a one-hot-expanded
-  flipped kernel with (SY, SX) output blocking, then the standard pixel
-  unshuffle.
+  flipped kernel with per-axis output blocking ``s``, then the standard
+  pixel unshuffle.
 * ``grad_W_pair`` — one conv contracting samples (dn ``('CN','IO','NC')``)
   between the channel-stacked phased data and phased H; because phased H
-  has M*RY*RX "output" channels the systolic array runs with full columns
-  (vs 16 in the plain lowering), and a tiny one-hot einsum reassembles the
-  (M, C, *atom) gradient from the 8 phase terms.
+  has ``M*prod(r)`` "output" channels the systolic array runs with full
+  columns (vs M in the plain lowering), and a tiny one-hot einsum
+  reassembles the (M, C, *atom) gradient from the phase terms.
+* lateral inhibition — per-axis one-hot phase-space convs in the same
+  layout (:func:`inhibition_positive_term_phased`).
 
 Measured on one v5e chip at the flagship config (64x256x256, 16 atoms 9x9,
-C=1, f32): 7.97 ms per full MU iteration vs 19.2 ms for the plain conv
-lowering through the same harness — the profile's three bottlenecks
-(grad_W conv 6.6 ms, lane-sliced MU ratio 3.2 ms, grad_H conv 2.7 ms) all
-collapse.  Numerically the operators match the oracle/conv paths to f64
-roundoff (tests/test_phased.py).
+C=1): 15.05 -> 3.94 ms per full MU iteration f32, 13 -> 2.42 ms bf16 — the
+round-2 profile's three bottlenecks (grad_W conv 6.6 ms, lane-sliced MU
+ratio 3.2 ms, grad_H conv 2.7 ms) all collapse.  Numerically the operators
+match the oracle/conv paths to f64 roundoff (tests/test_phased.py).
 
-Generality: 'valid' reconstruction mode, 2 shift dimensions.  Arbitrary
-transform sizes are handled by **absorbing zero padding**: H's shift axes
-are padded up to phase- and block-divisible sizes; padded positions start
-at zero and zero is absorbing under the multiplicative update (their
-``neg`` statistic reads only zero-padded data), so trajectories are
-identical to the unpadded problem.  Other modes and ranks fall back to the
-plain strategies.  Reference roles covered: ``NumPy_FFT.py:52-93`` (the
-gradient/reconstruct hot loop of /root/reference).
+Generality: 'valid' reconstruction mode, 1-3 shift dimensions (the lax
+conv limit).  Arbitrary transform sizes are handled by **absorbing zero
+padding**: H's shift axes are padded up to phase- and block-divisible
+sizes; padded positions start at zero and zero is absorbing under the
+multiplicative update (their ``neg`` statistic reads only zero-padded
+data), so trajectories are identical to the unpadded problem.  Other modes
+fall back to the plain strategies.  Reference roles covered:
+``NumPy_FFT.py:52-93`` (the gradient/reconstruct hot loop of
+/root/reference).
 """
 
 from __future__ import annotations
 
+import itertools
 import math
 from functools import lru_cache
 from typing import Tuple
@@ -57,9 +60,12 @@ from jax import lax
 from . import conv as conv_ops
 from .modes import ConvPlan
 
-# one-hot placement tensors beyond this many elements are not worth caching
-# (mirrors conv._PLACEMENT_MAX_ELEMS)
-_PLACEMENT_MAX_ELEMS = 2 ** 21
+# phase count cap: channel multiplication saturates once ~128 lanes are
+# live; beyond it the one-hot kernels only inflate FLOPs
+_MAX_PHASES = 16
+# default per-axis reconstruction output blocking by rank (targets ~64
+# output channels for C=1)
+_REC_BLOCK = {1: (64,), 2: (8, 8), 3: (4, 4, 4)}
 
 
 # ---------------------------------------------------------------------------
@@ -75,20 +81,20 @@ def geometry(plan: ConvPlan):
     with ``t_pad - a + 1`` a multiple of ``s``), and the padded extended
     extents ``e_pad = t_pad + a - 1``.
     """
-    if plan.mode != 'valid' or plan.ndim != 2:
+    if plan.mode != 'valid' or plan.ndim > 3:
         return None
     A = plan.atom_shape
     T = plan.transform_shape
     # per-axis phase factor: the largest r with (a-1) % r == 0 so that the
     # padding congruences t' = 0 (mod r), t' = a-1 (mod s) are solvable
     # (r divides s)
-    rs, ss = [], []
-    for a in A:
-        r = next((c for c in (4, 2, 1) if (a - 1) % c == 0), 1)
-        rs.append(r)
-        ss.append(8)
+    rs = [next((c for c in (4, 2, 1) if (a - 1) % c == 0), 1) for a in A]
+    while math.prod(rs) > _MAX_PHASES:
+        rs[rs.index(max(rs))] //= 2
+    rs = tuple(rs)
+    ss = _REC_BLOCK[plan.ndim]
     if math.prod(rs) == 1:
-        return None  # even atoms on both axes: no phase structure to exploit
+        return None  # even atoms on every axis: no phase structure to exploit
     t_pad, e_pad = [], []
     for a, t, r, s in zip(A, T, rs, ss):
         tp = t
@@ -96,8 +102,7 @@ def geometry(plan: ConvPlan):
             tp += 1
         t_pad.append(tp)
         e_pad.append(tp + a - 1)
-    return dict(r=tuple(rs), s=tuple(ss), t_pad=tuple(t_pad), e_pad=tuple(e_pad),
-                a=A, t=T)
+    return dict(r=rs, s=ss, t_pad=tuple(t_pad), e_pad=tuple(e_pad), a=A, t=T)
 
 
 def applicable(plan: ConvPlan, n_channels: int, n_atoms: int) -> bool:
@@ -111,6 +116,8 @@ def applicable(plan: ConvPlan, n_channels: int, n_atoms: int) -> bool:
     g = geometry(plan)
     if g is None or n_channels >= 16:
         return False
+    if plan.ndim == 1 and plan.transform_shape[0] < 256:
+        return False  # the (64,) output blocking would pad tiny signals away
     # one-hot kernels must stay reasonable
     pp = math.prod(g['r'])
     ky = tuple((s - 1 + a - 1) // r + 1
@@ -124,21 +131,30 @@ def applicable(plan: ConvPlan, n_channels: int, n_atoms: int) -> bool:
 # phase (space-to-depth) reshapes
 # ---------------------------------------------------------------------------
 
-def _phase(x: jnp.ndarray, r: Tuple[int, int]) -> jnp.ndarray:
-    """(N, F, E1, E2) -> (N, F*r1*r2, E1/r1, E2/r2), channel-major order
-    (f, q1, q2)."""
-    N, F, E1, E2 = x.shape
-    x = x.reshape(N, F, E1 // r[0], r[0], E2 // r[1], r[1])
-    x = x.transpose(0, 1, 3, 5, 2, 4)
-    return x.reshape(N, F * r[0] * r[1], E1 // r[0], E2 // r[1])
+def _phase(x: jnp.ndarray, r: Tuple[int, ...]) -> jnp.ndarray:
+    """(N, F, *E) -> (N, F*prod(r), *(E/r)), channel order (f, p1..pk)."""
+    N, F = x.shape[:2]
+    E = x.shape[2:]
+    nd = len(r)
+    x = x.reshape((N, F) + tuple(
+        v for e, rr in zip(E, r) for v in (e // rr, rr)))
+    perm = [0, 1] + [3 + 2 * i for i in range(nd)] + [2 + 2 * i for i in range(nd)]
+    x = x.transpose(perm)
+    return x.reshape((N, F * math.prod(r)) +
+                     tuple(e // rr for e, rr in zip(E, r)))
 
 
-def _unphase(x: jnp.ndarray, F: int, r: Tuple[int, int]) -> jnp.ndarray:
+def _unphase(x: jnp.ndarray, F: int, r: Tuple[int, ...]) -> jnp.ndarray:
     """Inverse of :func:`_phase`."""
-    N, _, Y, X = x.shape
-    x = x.reshape(N, F, r[0], r[1], Y, X)
-    x = x.transpose(0, 1, 4, 2, 5, 3)
-    return x.reshape(N, F, Y * r[0], X * r[1])
+    N = x.shape[0]
+    nd = len(r)
+    blocks = x.shape[2:]
+    x = x.reshape((N, F) + r + blocks)
+    perm = [0, 1]
+    for i in range(nd):
+        perm += [2 + nd + i, 2 + i]
+    x = x.transpose(perm)
+    return x.reshape((N, F) + tuple(b * rr for b, rr in zip(blocks, r)))
 
 
 def encode_h(H: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
@@ -152,7 +168,7 @@ def decode_h(Hph: jnp.ndarray, plan: ConvPlan, n_atoms: int) -> jnp.ndarray:
     """Phased H -> canonical H (crops the absorbing padding)."""
     g = geometry(plan)
     H = _unphase(Hph, n_atoms, g['r'])
-    return H[:, :, :g['t'][0], :g['t'][1]]
+    return H[(Ellipsis,) + tuple(slice(0, t) for t in g['t'])]
 
 
 def slice_atoms(Hph: jnp.ndarray, i0: int, i1: int, plan: ConvPlan) -> jnp.ndarray:
@@ -166,44 +182,50 @@ def slice_atoms(Hph: jnp.ndarray, i0: int, i1: int, plan: ConvPlan) -> jnp.ndarr
 # one-hot kernel builders (host-side placement tensors, cached)
 # ---------------------------------------------------------------------------
 
+def _ranges(dims):
+    return itertools.product(*(range(d) for d in dims))
+
+
+def _flat(idx, dims) -> int:
+    f = 0
+    for i, d in zip(idx, dims):
+        f = f * d + i
+    return f
+
+
 @lru_cache(maxsize=None)
 def _grad_placement(A, r):
-    """P[(p1,p2), (q1,q2), (k1,k2), (a1,a2)] = 1 iff the phased grad kernel
-    tap (q, k) reads atom offset a from output phase p: p + a = r*k + q."""
+    """P[p, q, k, a] = 1 iff the phased grad kernel tap (q, k) reads atom
+    offset a from output phase p: p + a = r*k + q per axis (flattened
+    multi-indices)."""
     import numpy as np
     K = tuple((rr - 1 + a - 1) // rr + 1 for a, rr in zip(A, r))
-    pp = r[0] * r[1]
-    P = np.zeros((pp, pp, K[0] * K[1], A[0] * A[1]), np.float32)
-    for p1 in range(r[0]):
-        for p2 in range(r[1]):
-            for a1 in range(A[0]):
-                for a2 in range(A[1]):
-                    q1, k1 = (p1 + a1) % r[0], (p1 + a1) // r[0]
-                    q2, k2 = (p2 + a2) % r[1], (p2 + a2) // r[1]
-                    P[p1 * r[1] + p2, q1 * r[1] + q2,
-                      k1 * K[1] + k2, a1 * A[1] + a2] = 1.0
+    pp = math.prod(r)
+    P = np.zeros((pp, pp, math.prod(K), math.prod(A)), np.float32)
+    for p in _ranges(r):
+        for a in _ranges(A):
+            q = tuple((pi + ai) % ri for pi, ai, ri in zip(p, a, r))
+            k = tuple((pi + ai) // ri for pi, ai, ri in zip(p, a, r))
+            P[_flat(p, r), _flat(q, r), _flat(k, K), _flat(a, A)] = 1.0
     return P, K
 
 
 @lru_cache(maxsize=None)
 def _rec_placement(A, r, s):
-    """P[(s1,s2), (q1,q2), (t1,t2), (a1,a2)] = 1 iff reconstruction output
-    phase s reads atom offset a from H phase q at tap t: s + a = r*?? with
-    flipped-W indexing applied by the caller.  Relation: a = r*t + q - s."""
+    """P[sp, q, t, a] = 1 iff reconstruction output phase ``sp`` reads atom
+    offset ``a`` from H phase ``q`` at tap ``t``: a = r*t + q - sp per axis
+    (flipped-W indexing applied by the caller)."""
     import numpy as np
-    T = tuple((ss - 1 + a - 1) // rr + 1 for a, rr, ss in zip(A, r, s))
-    P = np.zeros((s[0] * s[1], r[0] * r[1], T[0] * T[1], A[0] * A[1]), np.float32)
-    for s1 in range(s[0]):
-        for s2 in range(s[1]):
-            for q1 in range(r[0]):
-                for q2 in range(r[1]):
-                    for t1 in range(T[0]):
-                        for t2 in range(T[1]):
-                            a1 = r[0] * t1 + q1 - s1
-                            a2 = r[1] * t2 + q2 - s2
-                            if 0 <= a1 < A[0] and 0 <= a2 < A[1]:
-                                P[s1 * s[1] + s2, q1 * r[1] + q2,
-                                  t1 * T[1] + t2, a1 * A[1] + a2] = 1.0
+    T = tuple((si - 1 + a - 1) // ri + 1 for a, ri, si in zip(A, r, s))
+    P = np.zeros((math.prod(s), math.prod(r), math.prod(T), math.prod(A)),
+                 np.float32)
+    for sp in _ranges(s):
+        for q in _ranges(r):
+            for t in _ranges(T):
+                a = tuple(ri * ti + qi - spi
+                          for ri, ti, qi, spi in zip(r, t, q, sp))
+                if all(0 <= ai < Ai for ai, Ai in zip(a, A)):
+                    P[_flat(sp, s), _flat(q, r), _flat(t, T), _flat(a, A)] = 1.0
     return P, T
 
 
@@ -214,8 +236,8 @@ def _grad_kernel(W: jnp.ndarray, g) -> jnp.ndarray:
     P, K = _grad_placement(A, r)
     Kk = jnp.einsum('mca,pqka->mpcqk', W.reshape(M, C, -1),
                     jnp.asarray(P, W.dtype))
-    pp = r[0] * r[1]
-    return Kk.reshape(M * pp, C * pp, K[0], K[1])
+    pp = math.prod(r)
+    return Kk.reshape((M * pp, C * pp) + K)
 
 
 def _rec_kernel(W: jnp.ndarray, g) -> jnp.ndarray:
@@ -223,44 +245,37 @@ def _rec_kernel(W: jnp.ndarray, g) -> jnp.ndarray:
     (W flip folded in)."""
     M, C = W.shape[:2]
     A, r, s = g['a'], g['r'], g['s']
-    Wf = jnp.flip(W, axis=(2, 3))
+    Wf = jnp.flip(W, axis=tuple(range(2, 2 + len(A))))
     P, T = _rec_placement(A, r, s)
     Kk = jnp.einsum('mca,sqta->csmqt', Wf.reshape(M, C, -1),
                     jnp.asarray(P, W.dtype))
-    pp = r[0] * r[1]
-    return Kk.reshape(C * s[0] * s[1], M * pp, T[0], T[1])
-
-
-@lru_cache(maxsize=None)
-def _gw_placement(A, r, K):
-    """P[(q1,q2), (p1,p2), (k1,k2), (a1,a2)] for the grad_W reassembly."""
-    import numpy as np
-    pp = r[0] * r[1]
-    P = np.zeros((pp, pp, K[0] * K[1], A[0] * A[1]), np.float32)
-    for p1 in range(r[0]):
-        for p2 in range(r[1]):
-            for a1 in range(A[0]):
-                for a2 in range(A[1]):
-                    q1, k1 = (p1 + a1) % r[0], (p1 + a1) // r[0]
-                    q2, k2 = (p2 + a2) % r[1], (p2 + a2) // r[1]
-                    P[q1 * r[1] + q2, p1 * r[1] + p2,
-                      k1 * K[1] + k2, a1 * A[1] + a2] = 1.0
-    return P
+    pp = math.prod(r)
+    return Kk.reshape((C * math.prod(s), M * pp) + T)
 
 
 # ---------------------------------------------------------------------------
 # the operator contract (prepare_data / reconstruct / grad pairs)
 # ---------------------------------------------------------------------------
 
-def _conv(lhs, rhs, dn, preferred, precision, strides=(1, 1), keep_low=False):
+def _dn(nd: int, kind: str):
+    sp = conv_ops._dim_letters(nd)
+    if kind == 'std':
+        return ('NC' + sp, 'OI' + sp, 'NC' + sp)
+    return ('CN' + sp, 'IO' + sp, 'NC' + sp)  # sample-contracting (grad_W)
+
+
+def _conv(lhs, rhs, dn, preferred, precision, strides=None, keep_low=False,
+          padding=None):
     # sub-f32 storage still accumulates in f32 on the MXU; keep_low rounds
     # the *output* to the storage dtype (used for the H-gradient pair in
     # bf16 mode, halving the dominant HBM stream of the iteration — the MU
     # ratio is robust to bf16 gradient statistics, tests/test_bfloat16.py)
     if not keep_low and jnp.dtype(preferred).itemsize < 4:
         preferred = jnp.float32
+    nd = lhs.ndim - 2
     return lax.conv_general_dilated(
-        lhs, rhs, window_strides=strides, padding=[(0, 0)] * 2,
+        lhs, rhs, window_strides=strides or (1,) * nd,
+        padding=padding or [(0, 0)] * nd,
         dimension_numbers=dn, preferred_element_type=preferred,
         precision=precision)
 
@@ -284,11 +299,11 @@ def reconstruct(W: jnp.ndarray, Hph: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray
     g = geometry(plan)
     s, r = g['s'], g['r']
     K3 = _rec_kernel(W, g)
-    strides = (s[0] // r[0], s[1] // r[1])
-    out = _conv(Hph, K3, ('NCHW', 'OIHW', 'NCHW'), W.dtype,
+    strides = tuple(si // ri for si, ri in zip(s, r))
+    out = _conv(Hph, K3, _dn(plan.ndim, 'std'), W.dtype,
                 plan.lax_precision, strides)
     R = conv_ops._unshuffle(out, W.shape[1], s).astype(W.dtype)
-    return R[:, :, :plan.sample_shape[0], :plan.sample_shape[1]]
+    return R[(Ellipsis,) + tuple(slice(0, si) for si in plan.sample_shape)]
 
 
 def grad_H_pair(Vs: jnp.ndarray, R: jnp.ndarray, W: jnp.ndarray,
@@ -304,36 +319,34 @@ def grad_H_pair(Vs: jnp.ndarray, R: jnp.ndarray, W: jnp.ndarray,
     Rs = _extend_phased(R, plan)
     X2 = jnp.concatenate([Vs, Rs], axis=0)
     K2 = _grad_kernel(W, g)
-    G2 = _conv(X2, K2, ('NCHW', 'OIHW', 'NCHW'), W.dtype, plan.lax_precision,
+    G2 = _conv(X2, K2, _dn(plan.ndim, 'std'), W.dtype, plan.lax_precision,
                keep_low=True)
     n = Vs.shape[0]
     return G2[:n], G2[n:]
 
 
 @lru_cache(maxsize=None)
-def _band_placement(taps: int, r: Tuple[int, int], axis: int):
-    """One-hot P[(p0,p1), (q0,q1), t, d] mapping the canonical 1-D kernel
-    tap ``d - rad`` onto the phase-space conv tap ``t`` along ``axis``:
-    canonical offset = r[axis]*(t - t_off) + (q - p) on that axis, with the
-    other phase axis held equal."""
+def _band_placement(taps: int, r: Tuple[int, ...], axis: int):
+    """One-hot P[p, q, t, d] mapping the canonical 1-D kernel tap
+    ``d - rad`` onto the phase-space conv tap ``t`` along ``axis``:
+    canonical offset = r[axis]*(t - t_off) + (q - p) on that axis, with
+    every other phase axis held equal."""
     import numpy as np
     rad = (taps - 1) // 2
     rr = r[axis]
     T = 2 * ((rad + rr - 1) // rr) + 1
     t_off = (T - 1) // 2
-    pp = r[0] * r[1]
+    pp = math.prod(r)
     P = np.zeros((pp, pp, T, taps), np.float32)
-    for p0 in range(r[0]):
-        for p1 in range(r[1]):
-            for q0 in range(r[0]):
-                for q1 in range(r[1]):
-                    if (p1 != q1 if axis == 0 else p0 != q0):
-                        continue
-                    dp = (q0 - p0) if axis == 0 else (q1 - p1)
-                    for t in range(T):
-                        d = rr * (t - t_off) + dp
-                        if -rad <= d <= rad:
-                            P[p0 * r[1] + p1, q0 * r[1] + q1, t, d + rad] = 1.0
+    for p in _ranges(r):
+        for q in _ranges(r):
+            if any(pi != qi for i, (pi, qi) in enumerate(zip(p, q)) if i != axis):
+                continue
+            dp = q[axis] - p[axis]
+            for t in range(T):
+                d = rr * (t - t_off) + dp
+                if -rad <= d <= rad:
+                    P[_flat(p, r), _flat(q, r), t, d + rad] = 1.0
     return P, T, t_off
 
 
@@ -341,22 +354,23 @@ def _phase_conv_1d(x: jnp.ndarray, k: jnp.ndarray, plan: ConvPlan, axis: int,
                    M: int) -> jnp.ndarray:
     """Zero-padded canonical 1-D convolution along shift axis ``axis``,
     executed as ONE phase-space conv whose layouts match the grad conv's —
-    no transposes (the earlier banded-einsum formulation paid a full-tensor
-    relayout per non-minor axis)."""
+    no transposes (a banded-einsum formulation pays a full-tensor relayout
+    per non-minor axis)."""
     g = geometry(plan)
     r = g['r']
-    pp = r[0] * r[1]
+    nd = len(r)
+    pp = math.prod(r)
     P, T, t_off = _band_placement(int(k.shape[0]), r, axis)
     Kp = jnp.einsum('pqtd,d->pqt', jnp.asarray(P, k.dtype), k)
     eye = jnp.eye(M, dtype=k.dtype)
     K = jnp.einsum('mn,pqt->mpnqt', eye, Kp).reshape(M * pp, M * pp, T)
-    K = K[:, :, :, None] if axis == 0 else K[:, :, None, :]
-    pad = [(0, 0), (0, 0)]
+    kshape = [M * pp, M * pp] + [1] * nd
+    kshape[2 + axis] = T
+    K = K.reshape(kshape)
+    pad = [(0, 0)] * nd
     pad[axis] = (t_off, T - 1 - t_off)
-    return lax.conv_general_dilated(
-        x, K, window_strides=(1, 1), padding=pad,
-        dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
-        preferred_element_type=x.dtype)
+    return _conv(x, K, _dn(nd, 'std'), x.dtype, None, padding=pad,
+                 keep_low=True)
 
 
 def inhibition_positive_term_phased(
@@ -371,17 +385,17 @@ def inhibition_positive_term_phased(
     g = geometry(plan)
     r = g['r']
     N = Hph.shape[0]
-    pp = r[0] * r[1]
+    pp = math.prod(r)
     M = Hph.shape[1] // pp
-    Y, X = Hph.shape[2], Hph.shape[3]
-    conv = _phase_conv_1d(Hph, jnp.asarray(kernels[0], Hph.dtype), plan, 0, M)
-    conv = _phase_conv_1d(conv, jnp.asarray(kernels[1], Hph.dtype), plan, 1, M)
+    conv = Hph
+    for axis, k in enumerate(kernels):
+        conv = _phase_conv_1d(conv, jnp.asarray(k, Hph.dtype), plan, axis, M)
     term = jnp.zeros_like(Hph)
     if with_same_atom:
         term = term + inhibition * (conv - Hph)
     if with_cross_atom:
-        c = conv.reshape(N, M, pp, Y, X)
-        cross = (c.sum(axis=1, keepdims=True) - c).reshape(N, M * pp, Y, X)
+        c = conv.reshape((N, M, pp) + conv.shape[2:])
+        cross = (c.sum(axis=1, keepdims=True) - c).reshape(Hph.shape)
         term = term + (cross_inhibition / (n_atoms - 1)) * cross
     return term
 
@@ -396,15 +410,19 @@ def grad_W_pair(Vs: jnp.ndarray, R: jnp.ndarray, Hph: jnp.ndarray,
     """
     g = geometry(plan)
     A, r = g['a'], g['r']
-    pp = r[0] * r[1]
+    pp = math.prod(r)
     M = Hph.shape[1] // pp
     C = Vs.shape[1] // pp
     Rs = _extend_phased(R, plan)
     X2 = jnp.concatenate([Vs, Rs], axis=1)  # (N, 2C*pp, ...)
-    out = _conv(X2, Hph, ('CNHW', 'IOHW', 'NCHW'), Hph.dtype, plan.lax_precision)
+    out = _conv(X2, Hph, _dn(plan.ndim, 'gw'), Hph.dtype, plan.lax_precision)
     K = out.shape[2:]
-    P4 = jnp.asarray(_gw_placement(A, r, K), out.dtype)
-    o = out.reshape(2 * C, pp, M, pp, K[0] * K[1])
-    G = jnp.einsum('cqmpk,qpka->cma', o, P4).reshape(2 * C, M, A[0], A[1])
-    Gn, Gp = G[:C], G[C:]
-    return jnp.swapaxes(Gn, 0, 1), jnp.swapaxes(Gp, 0, 1)
+    # the reassembly placement is the grad placement with the (p, q) roles
+    # transposed: out[(c,q),(m,p),k] contributes to G[c,m,a] iff
+    # p + a = r*k + q per axis
+    P, Kgrid = _grad_placement(A, r)
+    assert tuple(Kgrid) == tuple(K), (Kgrid, K)
+    P4 = jnp.asarray(P.transpose(1, 0, 2, 3), out.dtype)
+    o = out.reshape((2 * C, pp, M, pp, math.prod(K)))
+    G = jnp.einsum('cqmpk,qpka->cma', o, P4).reshape((2 * C, M) + A)
+    return jnp.swapaxes(G[:C], 0, 1), jnp.swapaxes(G[C:], 0, 1)
