@@ -9,6 +9,7 @@ tunnels where a 300 MB upload costs seconds.
     python benchmarks/large_scale.py [n_samples]
 """
 
+import math
 import os
 import sys
 import time
@@ -67,7 +68,7 @@ def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
     per_iter = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
     if per_iter <= 0:  # scheduler noise swamped the subtraction
         per_iter = (t2 - t1) / n2
-    px = n_samples * n_channels * sample[0] * sample[1]
+    px = n_samples * n_channels * math.prod(sample)
     print(f'{dtype:9s} {strategy:5s} N={n_samples:4d} {sample}x{atom}{label}: '
           f'{per_iter * 1e3:8.2f} ms/iter  {1 / per_iter:8.2f} it/s  '
           f'{px / per_iter / 1e9:6.2f} Gpx/s', flush=True)
@@ -86,6 +87,13 @@ def main():
     # the reference fixture scale, for continuity with bench.py
     run(n_samples=2, sample=(76, 102), atom=(7, 7), n_atoms=10, n_channels=3,
         iters=(200, 1200))
+    # long-1-D fft strategy across the former 4096-length cliff: the
+    # two-stage Cooley-Tukey matmul-DFT keeps >4096 transforms on the MXU
+    # (round-2 verdict weak #3); per-sample cost must scale ~linearly from
+    # the 4k row to the 16k row, not fall off a cliff
+    for L in (4000, 16000):
+        run(n_samples=16, sample=(L,), atom=(64,), n_atoms=8, n_channels=1,
+            strategy='fft', iters=(20, 120), label=f' 1D-fft L={L}')
 
 
 if __name__ == '__main__':

@@ -1,6 +1,6 @@
 """Per-op time breakdown of one MU iteration at the large-batch scale.
 
-Answers "where do the milliseconds go" for the conv strategy on real
+Answers "where do the milliseconds go" for a given strategy on real
 hardware.  Every step is a *real MU sub-update* whose full output feeds the
 next iteration's carry: scalar-sum or sliced consumers are NOT used because
 XLA algebraically rewrites ``sum(conv(...))`` and windows convolutions
@@ -10,7 +10,14 @@ consumed).  For the same reason the sub-step times legitimately overlap
 (each includes the reconstruction it depends on); the FULL row is the
 ground truth the parts explain.
 
-Usage: python benchmarks/op_breakdown.py [n_samples] [side] [dtype]
+Note on the carry: W is held fixed in the mu_H row and H in the mu_W row,
+so anything that depends only on the fixed operand (e.g. the one-hot
+expanded kernels of the phased lowering) is hoisted out of the scan — the
+FULL row is the only one that charges every per-iteration cost.
+
+Usage: python benchmarks/op_breakdown.py [n_samples] [side] [dtype] [strategy]
+       (strategy defaults to the engine's resolved choice, i.e. 'phased'
+       on TPU for channel-poor configs)
 """
 
 import os
@@ -26,7 +33,6 @@ import jax.numpy as jnp  # noqa: E402
 from jax import lax  # noqa: E402
 
 from tnmf_tpu import engine  # noqa: E402
-from tnmf_tpu.ops import conv  # noqa: E402
 from tnmf_tpu.ops.modes import ConvPlan  # noqa: E402
 
 K_ITERS = 8
@@ -69,54 +75,52 @@ def main():
     dtype = jnp.dtype(sys.argv[3]) if len(sys.argv) > 3 else jnp.float32
     S, A, M, C = (side, side), (9, 9), 16, 1
     plan = ConvPlan.create('valid', S, A)
+    strategy = (sys.argv[4] if len(sys.argv) > 4
+                else engine.resolve_strategy('conv', plan, C, M))
+    ops = engine.get_ops(strategy)
     T = plan.transform_shape
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     V = jax.random.uniform(k1, (n, C) + S, dtype)
     W0 = jax.random.uniform(k2, (M, C) + A, dtype)
     H0 = jax.random.uniform(k3, (n, M) + T, dtype)
-    Vp = conv.prepare_data(V, plan)
-    np.asarray(Vp[0, 0, 0, :1])
+    Vp = engine.prepare_data(V, plan=plan, strategy=strategy)
+    H0e = jax.jit(lambda h: engine._enc_h(h, plan, strategy))(H0)
+    np.asarray(Vp.reshape(-1)[:1])
     ovh = overhead()
-    print(f'device={jax.devices()[0]}, N={n} S={S} A={A} M={M} C={C} {dtype}; '
-          f'overhead {ovh*1e3:.1f} ms')
+    print(f'device={jax.devices()[0]}, N={n} S={S} A={A} M={M} C={C} {dtype} '
+          f'strategy={strategy}; overhead {ovh*1e3:.1f} ms')
 
     tA = np.prod(T) * np.prod(A)
     fl_rec = 2 * n * C * M * tA
     fl_g = 2 * fl_rec  # stacked V/R pair
 
     def row(name, t, fl=None):
-        tf = f'  {fl/t/1e12:6.2f} TF/s' if fl else ''
+        tf = f'  {fl/t/1e12:6.2f} TF/s useful' if fl else ''
         print(f'  {name:34s} {t*1e3:8.2f} ms{tf}')
 
-    eps = jnp.asarray(engine.EPS, dtype)
-
-    # mu_H sub-update: reconstruct + grad_H pair + ratio
-    def step_mu_h(H, Vp):
-        R = conv.reconstruct(W0, H, plan)
-        neg, pos = conv.grad_H_pair(Vp, R, W0, plan)
-        return (H * neg / (pos + eps)).astype(dtype)
-
-    # mu_W sub-update: reconstruct + grad_W pair + ratio + normalize
-    def step_mu_w(W, Vp, H):
-        R = conv.reconstruct(W, H, plan)
-        neg, pos = conv.grad_W_pair(Vp, R, H, plan)
-        Wn = W * neg / (pos + eps)
-        return (Wn / jnp.sum(Wn, axis=(-2, -1), keepdims=True)).astype(dtype)
-
-    t_h = bench(step_mu_h, H0, ovh, Vp)
-    row('mu_H (rec + grad_H pair + ratio)', t_h, fl_rec + fl_g)
-    t_w = bench(step_mu_w, W0, ovh, Vp, H0)
-    row('mu_W (rec + grad_W pair + ratio)', t_w, fl_rec + fl_g)
-
     z = jnp.zeros((), dtype)
-    statics = dict(plan=plan, strategy='conv', update_H=True, update_W=True,
-                   use_inhibition=False, use_cross=False)
+    kw = dict(plan=plan, use_inhibition=False, use_cross=False)
+
+    # mu_H sub-update (W fixed in the carry)
+    def step_mu_h(H, Vp):
+        return engine._mu_H(ops, Vp, W0, H, z, z, z, (), **kw)
+
+    # mu_W sub-update (H fixed in the carry)
+    def step_mu_w(W, Vp, H):
+        return engine._mu_W(ops, Vp, W, H, plan=plan)
+
+    t_h = bench(step_mu_h, H0e, ovh, Vp)
+    row('mu_H (rec + grad_H pair + ratio)', t_h, fl_rec + fl_g)
+    t_w = bench(step_mu_w, W0, ovh, Vp, H0e)
+    row('mu_W (rec + grad_W pair + ratio)', t_w, fl_rec + fl_g)
 
     def full(carry, Vp):
         W, H = carry
-        return engine.update_step(Vp, W, H, z, z, z, (), **statics)
+        H = engine._mu_H(ops, Vp, W, H, z, z, z, (), **kw)
+        W = engine._mu_W(ops, Vp, W, H, plan=plan)
+        return W, H
 
-    t = bench(full, (W0, H0), ovh, Vp)
+    t = bench(full, (W0, H0e), ovh, Vp)
     row('FULL MU iteration', t, 2 * fl_rec + 2 * fl_g)
 
 
