@@ -23,6 +23,7 @@ Usage: python benchmarks/op_breakdown.py [n_samples] [side] [dtype] [strategy]
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -35,38 +36,37 @@ from jax import lax  # noqa: E402
 from tnmf_tpu import engine  # noqa: E402
 from tnmf_tpu.ops.modes import ConvPlan  # noqa: E402
 
-K_ITERS = 8
+K_LO, K_HI = 16, 64
 
 
-def overhead():
-    x = jnp.zeros((8, 128), jnp.float32)
-    f = jax.jit(lambda x: x + 1.0)
-    np.asarray(f(x))
-    ts = []
-    for _ in range(8):
-        t0 = time.perf_counter()
-        np.asarray(f(x))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+def bench(step_fn, carry0, *consts):
+    """Per-iteration time from the K_LO/K_HI *slope*: the loop is scanned at
+    two lengths and the difference cancels every constant per-dispatch cost
+    (remote-tunnel round trip, arg sync, result fetch).  Subtracting a
+    separately measured tiny-jit dispatch time is NOT valid here — measured
+    on the v5e tunnel a scan loop with big carried operands pays ~60 ms per
+    dispatch while a (8,128) add pays ~27 ms, so the old constant-overhead
+    subtraction inflated 8-iteration rows by up to 2x.
 
-
-def bench(step_fn, carry0, ovh, *consts):
-    """``consts`` are loop-invariant big tensors, passed as jit *arguments*
+    ``consts`` are loop-invariant big tensors, passed as jit *arguments*
     (closure constants of this size get serialized into the compile request
     and blow the remote-compile body limit)."""
-    @jax.jit
-    def loop(c, *k):
-        return lax.scan(lambda c, _: (step_fn(c, *k), None), c, None, length=K_ITERS)[0]
+    def timed(K):
+        @partial(jax.jit, static_argnames='K')
+        def loop(c, *k, K):
+            return lax.scan(lambda c, _: (step_fn(c, *k), None), c, None, length=K)[0]
 
-    out = loop(carry0, *consts)
-    jax.tree.map(lambda x: np.asarray(x.reshape(-1)[:1]), out)
-    ts = []
-    for _ in range(4):
-        t0 = time.perf_counter()
-        out = loop(carry0, *consts)
+        out = loop(carry0, *consts, K=K)
         jax.tree.map(lambda x: np.asarray(x.reshape(-1)[:1]), out)
-        ts.append(time.perf_counter() - t0)
-    return (min(ts) - ovh) / K_ITERS
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            out = loop(carry0, *consts, K=K)
+            jax.tree.map(lambda x: np.asarray(x.reshape(-1)[:1]), out)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (timed(K_HI) - timed(K_LO)) / (K_HI - K_LO)
 
 
 def main():
@@ -86,9 +86,8 @@ def main():
     Vp = engine.prepare_data(V, plan=plan, strategy=strategy)
     H0e = jax.jit(lambda h: engine._enc_h(h, plan, strategy))(H0)
     np.asarray(Vp.reshape(-1)[:1])
-    ovh = overhead()
     print(f'device={jax.devices()[0]}, N={n} S={S} A={A} M={M} C={C} {dtype} '
-          f'strategy={strategy}; overhead {ovh*1e3:.1f} ms')
+          f'strategy={strategy}; per-iter times from the {K_LO}/{K_HI} slope')
 
     tA = np.prod(T) * np.prod(A)
     fl_rec = 2 * n * C * M * tA
@@ -109,9 +108,9 @@ def main():
     def step_mu_w(W, Vp, H):
         return engine._mu_W(ops, Vp, W, H, plan=plan)
 
-    t_h = bench(step_mu_h, H0e, ovh, Vp)
+    t_h = bench(step_mu_h, H0e, Vp)
     row('mu_H (rec + grad_H pair + ratio)', t_h, fl_rec + fl_g)
-    t_w = bench(step_mu_w, W0, ovh, Vp, H0e)
+    t_w = bench(step_mu_w, W0, Vp, H0e)
     row('mu_W (rec + grad_W pair + ratio)', t_w, fl_rec + fl_g)
 
     def full(carry, Vp):
@@ -120,7 +119,7 @@ def main():
         W = engine._mu_W(ops, Vp, W, H, plan=plan)
         return W, H
 
-    t = bench(full, (W0, H0e), ovh, Vp)
+    t = bench(full, (W0, H0e), Vp)
     row('FULL MU iteration', t, 2 * fl_rec + 2 * fl_g)
 
 
