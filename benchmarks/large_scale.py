@@ -27,8 +27,8 @@ from tnmf_tpu.ops.modes import ConvPlan  # noqa: E402
 
 def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
         dtype='float32', strategy='conv', iters=(20, 120),
-        inhibition=0.0, use_pallas=False, label='', resolve=True):
-    plan = ConvPlan.create('valid', sample, atom)
+        inhibition=0.0, use_pallas=False, label='', resolve=True, mode='valid'):
+    plan = ConvPlan.create(mode, sample, atom)
     if resolve:  # the model's strategy resolution (phased upgrade on TPU)
         strategy = engine.resolve_strategy(strategy, plan, n_channels, n_atoms,
                                            allow_phased=not use_pallas)

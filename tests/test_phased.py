@@ -27,12 +27,16 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize('mode', ['valid', 'full', 'circular'])
 @pytest.mark.parametrize('case', CASES, ids=lambda c: f'{c[0]}x{c[1]}c{c[2]}m{c[3]}')
-def test_phased_ops_match_oracle(case):
+def test_phased_ops_match_oracle(case, mode):
     S, A, C, M = case
     N = 2
-    plan = ConvPlan.create('valid', S, A)
-    assert phased.applicable(plan, C, M)
+    plan = ConvPlan.create(mode, S, A)
+    if not phased.applicable(plan, C, M):
+        # e.g. circular with no phase-divisible transform axis
+        assert mode == 'circular'
+        pytest.skip('geometry not applicable for this mode/shape')
     rng = np.random.default_rng(sum(S) + sum(A))
     V = rng.random((N, C) + S)
     W = rng.random((M, C) + A)
@@ -44,18 +48,18 @@ def test_phased_ops_match_oracle(case):
 
     Vs = phased.prepare_data(jnp.asarray(V), plan)
     R = np.asarray(phased.reconstruct(jnp.asarray(W), Hph, plan))
-    np.testing.assert_allclose(R, oracle.reconstruct(W, H, 'valid'),
+    np.testing.assert_allclose(R, oracle.reconstruct(W, H, mode),
                                rtol=1e-10, atol=1e-10)
 
     neg, pos = phased.grad_H_pair(Vs, jnp.asarray(R), jnp.asarray(W), plan)
-    on, op = oracle.reconstruction_gradient_H(V, W, H, 'valid')
+    on, op = oracle.reconstruction_gradient_H(V, W, H, mode)
     np.testing.assert_allclose(np.asarray(phased.decode_h(neg, plan, M)), on,
                                rtol=1e-10, atol=1e-10)
     np.testing.assert_allclose(np.asarray(phased.decode_h(pos, plan, M)), op,
                                rtol=1e-10, atol=1e-10)
 
     gn, gp = phased.grad_W_pair(Vs, jnp.asarray(R), Hph, plan)
-    ogn, ogp = oracle.reconstruction_gradient_W(V, W, H, 'valid')
+    ogn, ogp = oracle.reconstruction_gradient_W(V, W, H, mode)
     np.testing.assert_allclose(np.asarray(gn), ogn, rtol=1e-10, atol=1e-10)
     np.testing.assert_allclose(np.asarray(gp), ogp, rtol=1e-10, atol=1e-10)
 
@@ -64,7 +68,13 @@ def test_applicable_gating():
     p_valid = ConvPlan.create('valid', (24, 24), (9, 9))
     assert phased.applicable(p_valid, 1, 16)
     assert not phased.applicable(p_valid, 16, 16)       # channel-rich: plain conv
-    assert not phased.applicable(ConvPlan.create('circular', (24, 24), (9, 9)), 1, 16)
+    # circular applies when the transform axes are phase-divisible ...
+    assert phased.applicable(ConvPlan.create('circular', (24, 24), (9, 9)), 1, 16)
+    # ... and falls back otherwise (the wrap concat needs r | T)
+    assert not phased.applicable(ConvPlan.create('circular', (17, 23), (9, 9)), 1, 16)
+    assert phased.applicable(ConvPlan.create('full', (24, 24), (9, 9)), 1, 16)
+    # reflect's boundary reversal is never block-aligned
+    assert not phased.applicable(ConvPlan.create('reflect', (24, 24), (9, 9)), 1, 16)
     assert not phased.applicable(ConvPlan.create('valid', (24,), (9,)), 1, 16)
     # even atoms on both axes leave no phase structure
     assert not phased.applicable(ConvPlan.create('valid', (24, 24), (8, 8)), 1, 16)
@@ -111,6 +121,23 @@ def _fit_pair(fit_kwargs, backend_pair=('jax_conv', 'jax_conv'), V=None,
 ], ids=['sparsity', 'inhibition', 'energies'])
 def test_phased_fit_matches_conv(force_phased, kw):
     plain, ph = _fit_pair(kw)
+    assert plain._strategy == 'conv' and ph._strategy == 'phased'
+    np.testing.assert_allclose(ph.W, plain.W, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(ph.H, plain.H, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(ph.R, plain.R, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(ph.R_partial(1), plain.R_partial(1),
+                               rtol=1e-10, atol=1e-12)
+    if kw.get('record_energies'):
+        np.testing.assert_allclose(ph.energies_, plain.energies_, rtol=1e-10)
+
+
+@pytest.mark.parametrize('mode', ['full', 'circular'])
+def test_phased_fit_matches_conv_modes(force_phased, mode):
+    """End-to-end trajectory parity for the non-valid phased modes
+    (V 16x14, atoms 5x9: full T=(12,6); circular T=(16,14), r=(4,2))."""
+    kw = dict(n_iterations=5, sparsity_H=0.1,
+              inhibition_strength=0.2)
+    plain, ph = _fit_pair(kw, ctor=(('reconstruction_mode', mode),))
     assert plain._strategy == 'conv' and ph._strategy == 'phased'
     np.testing.assert_allclose(ph.W, plain.W, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(ph.H, plain.H, rtol=1e-10, atol=1e-12)

@@ -1,4 +1,4 @@
-"""Phase-decomposed direct-convolution strategy (TPU, 'valid' mode).
+"""Phase-decomposed direct-convolution strategy (TPU).
 
 The plain conv strategy (:mod:`tnmf_tpu.ops.conv`) is MXU-starved for
 channel-poor problems: at the flagship 64x256x256 / 16-atom / 1-channel
@@ -35,15 +35,23 @@ round-2 profile's three bottlenecks (grad_W conv 6.6 ms, lane-sliced MU
 ratio 3.2 ms, grad_H conv 2.7 ms) all collapse.  Numerically the operators
 match the oracle/conv paths to f64 roundoff (tests/test_phased.py).
 
-Generality: 'valid' reconstruction mode, 1-3 shift dimensions (the lax
-conv limit).  Arbitrary transform sizes are handled by **absorbing zero
-padding**: H's shift axes are padded up to phase- and block-divisible
-sizes; padded positions start at zero and zero is absorbing under the
-multiplicative update (their ``neg`` statistic reads only zero-padded
-data), so trajectories are identical to the unpadded problem.  Other modes
-fall back to the plain strategies.  Reference roles covered:
-``NumPy_FFT.py:52-93`` (the gradient/reconstruct hot loop of
-/root/reference).
+Generality: 'valid', 'full' and 'circular' reconstruction modes, 1-3
+shift dimensions (the lax conv limit).  Arbitrary transform sizes are
+handled by **absorbing zero padding**: H's shift axes are padded up to
+phase- and block-divisible sizes; padded positions start at zero and zero
+is absorbing under the multiplicative update, so trajectories are
+identical to the unpadded problem (mode-independent: whatever a padded
+position's gradient statistics read, ``0 * neg/pos`` keeps it exactly
+zero, and zero activations contribute nothing to any contraction).  The
+gradient operators are mode-generic through the extended data tensor;
+only :func:`reconstruct` handles modes explicitly, entirely at the conv
+boundary — 'full' left-pads the conv input by ``(a-1)/r`` zero blocks
+(block-aligned because ``r | a-1``), 'circular' prepends the last
+``(a-1)/r`` canonical blocks of H (block-aligned because geometry demands
+``r | T``).  'reflect' falls back to the plain strategies: the even
+reflection starts at position 1, which no block size aligns with.
+Reference roles covered: ``NumPy_FFT.py:52-93`` (the gradient/reconstruct
+hot loop of /root/reference).
 """
 
 from __future__ import annotations
@@ -77,18 +85,27 @@ def geometry(plan: ConvPlan):
     """Phase/blocking geometry for ``plan`` or None when not applicable.
 
     Returns a dict with per-axis phase factors ``r``, reconstruction output
-    blocking ``s``, padded transform extents ``t_pad`` (multiples of ``r``
-    with ``t_pad - a + 1`` a multiple of ``s``), and the padded extended
-    extents ``e_pad = t_pad + a - 1``.
+    blocking ``s``, padded transform extents ``t_pad`` (multiples of ``r``;
+    in 'valid' mode additionally ``t_pad - a + 1`` a multiple of ``s`` so
+    the unpadded strided output grid covers the sample exactly), and the
+    padded extended extents ``e_pad = t_pad + a - 1``.
     """
-    if plan.mode != 'valid' or plan.ndim > 3:
+    if plan.mode not in ('valid', 'full', 'circular') or plan.ndim > 3:
         return None
     A = plan.atom_shape
     T = plan.transform_shape
+    if plan.mode == 'circular' and any(a - 1 > t for a, t in zip(A, T)):
+        return None  # the wrap in reconstruct() would need multiple periods
+
     # per-axis phase factor: the largest r with (a-1) % r == 0 so that the
     # padding congruences t' = 0 (mod r), t' = a-1 (mod s) are solvable
-    # (r divides s)
-    rs = [next((c for c in (4, 2, 1) if (a - 1) % c == 0), 1) for a in A]
+    # (r divides s); circular mode additionally needs r | t so the
+    # wrap-around concat in reconstruct() is block-aligned
+    def _ok(c, a, t):
+        return (a - 1) % c == 0 and (plan.mode != 'circular' or t % c == 0)
+
+    rs = [next((c for c in (4, 2, 1) if _ok(c, a, t)), 1)
+          for a, t in zip(A, T)]
     while math.prod(rs) > _MAX_PHASES:
         rs[rs.index(max(rs))] //= 2
     rs = tuple(rs)
@@ -98,8 +115,17 @@ def geometry(plan: ConvPlan):
     t_pad, e_pad = [], []
     for a, t, r, s in zip(A, T, rs, ss):
         tp = t
-        while tp % r or (tp - a + 1) % s:
-            tp += 1
+        if plan.mode == 'valid':
+            # no conv padding on the reconstruct: the strided output grid
+            # must cover exactly the sample extent
+            while tp % r or (tp - a + 1) % s:
+                tp += 1
+        else:
+            # full/circular cover the output grid with explicit conv
+            # padding in reconstruct(), so only block divisibility matters
+            # (circular: r | t already, hence tp == t and no absorbing pad)
+            while tp % r:
+                tp += 1
         t_pad.append(tp)
         e_pad.append(tp + a - 1)
     return dict(r=rs, s=ss, t_pad=tuple(t_pad), e_pad=tuple(e_pad), a=A, t=T)
@@ -295,13 +321,41 @@ def prepare_data(V: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
 
 
 def reconstruct(W: jnp.ndarray, Hph: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
-    """R[n,c,*S] from phased H: strided phase-space conv + pixel unshuffle."""
+    """R[n,c,*S] from phased H: strided phase-space conv + pixel unshuffle.
+
+    Mode handling lives entirely at the conv boundary.  The canonical
+    reconstruction reads the *left-extended* H (oracle docstring): 'full'
+    zero-extends by a-1 — expressed as ``(a-1)/r`` blocks of conv zero
+    padding (block-aligned since ``r | a-1``); 'circular' wrap-extends —
+    expressed by prepending the last ``(a-1)/r`` canonical blocks of H
+    (block-aligned since geometry demands ``r | T``).  The placement
+    tensor is mode-independent: a left extension shifts the input block
+    index and the canonical output position by the same amount, so the
+    per-tap atom offsets ``a = r*t + q - sp`` are unchanged.  Right zero
+    padding tops up the strided output grid to ``ceil(S/s)`` blocks; any
+    overhang reads absorbing/pad zeros and is cropped."""
     g = geometry(plan)
-    s, r = g['s'], g['r']
+    s, r, A = g['s'], g['r'], g['a']
+    nd = plan.ndim
     K3 = _rec_kernel(W, g)
+    taps = K3.shape[2:]
     strides = tuple(si // ri for si, ri in zip(s, r))
-    out = _conv(Hph, K3, _dn(plan.ndim, 'std'), W.dtype,
-                plan.lax_precision, strides)
+    x = Hph
+    if plan.mode == 'circular':
+        for ax, (a, rr, t) in enumerate(zip(A, r, g['t'])):
+            lb = (a - 1) // rr
+            if lb:
+                wrap = lax.slice_in_dim(x, (t - (a - 1)) // rr, t // rr,
+                                        axis=2 + ax)
+                x = jnp.concatenate([wrap, x], axis=2 + ax)
+    pad = []
+    for i in range(nd):
+        left = (A[i] - 1) // r[i] if plan.mode == 'full' else 0
+        n_req = -(-plan.sample_shape[i] // s[i])
+        need = (n_req - 1) * strides[i] + taps[i]
+        pad.append((left, max(0, need - x.shape[2 + i] - left)))
+    out = _conv(x, K3, _dn(nd, 'std'), W.dtype, plan.lax_precision, strides,
+                padding=pad)
     R = conv_ops._unshuffle(out, W.shape[1], s).astype(W.dtype)
     return R[(Ellipsis,) + tuple(slice(0, si) for si in plan.sample_shape)]
 
