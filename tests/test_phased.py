@@ -27,7 +27,7 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize('mode', ['valid', 'full', 'circular'])
+@pytest.mark.parametrize('mode', ['valid', 'full', 'circular', 'reflect'])
 @pytest.mark.parametrize('case', CASES, ids=lambda c: f'{c[0]}x{c[1]}c{c[2]}m{c[3]}')
 def test_phased_ops_match_oracle(case, mode):
     S, A, C, M = case
@@ -73,8 +73,11 @@ def test_applicable_gating():
     # ... and falls back otherwise (the wrap concat needs r | T)
     assert not phased.applicable(ConvPlan.create('circular', (17, 23), (9, 9)), 1, 16)
     assert phased.applicable(ConvPlan.create('full', (24, 24), (9, 9)), 1, 16)
-    # reflect's boundary reversal is never block-aligned
-    assert not phased.applicable(ConvPlan.create('reflect', (24, 24), (9, 9)), 1, 16)
+    # reflect's boundary reversal is block-aligned after the phase
+    # permutation q -> (r-q) % r ...
+    assert phased.applicable(ConvPlan.create('reflect', (24, 24), (9, 9)), 1, 16)
+    # ... but its sources H[1..a-1] must exist canonically (a <= T)
+    assert not phased.applicable(ConvPlan.create('reflect', (8, 8), (9, 9)), 1, 16)
     assert not phased.applicable(ConvPlan.create('valid', (24,), (9,)), 1, 16)
     # even atoms on both axes leave no phase structure
     assert not phased.applicable(ConvPlan.create('valid', (24, 24), (8, 8)), 1, 16)
@@ -131,10 +134,11 @@ def test_phased_fit_matches_conv(force_phased, kw):
         np.testing.assert_allclose(ph.energies_, plain.energies_, rtol=1e-10)
 
 
-@pytest.mark.parametrize('mode', ['full', 'circular'])
+@pytest.mark.parametrize('mode', ['full', 'circular', 'reflect'])
 def test_phased_fit_matches_conv_modes(force_phased, mode):
     """End-to-end trajectory parity for the non-valid phased modes
-    (V 16x14, atoms 5x9: full T=(12,6); circular T=(16,14), r=(4,2))."""
+    (V 16x14, atoms 5x9: full T=(12,6); circular/reflect T=(16,14),
+    r=(4,2))."""
     kw = dict(n_iterations=5, sparsity_H=0.1,
               inhibition_strength=0.2)
     plain, ph = _fit_pair(kw, ctor=(('reconstruction_mode', mode),))

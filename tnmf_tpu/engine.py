@@ -87,9 +87,9 @@ def resolve_strategy(strategy: str, plan: ConvPlan, n_channels: int,
 
     The phased path (:mod:`tnmf_tpu.ops.phased`) re-lowers the MU iteration
     with phase-multiplied channel counts; measured 2.4x faster at the
-    flagship 64x256x256 scale on v5e.  It applies on TPU for
-    valid/full/circular-mode problems with few channels; trajectories match
-    the plain conv strategy to float roundoff (tests/test_phased.py).
+    flagship 64x256x256 scale on v5e.  It applies on TPU for every
+    reconstruction mode when channels are few; trajectories match the
+    plain conv strategy to float roundoff (tests/test_phased.py).
     """
     if strategy == 'conv' and allow_phased and _phased_platform_ok():
         from .ops import phased

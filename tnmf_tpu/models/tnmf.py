@@ -313,7 +313,7 @@ class TransformInvariantNMF:
         strategy = self._strategy_request
         if strategy == 'auto':
             strategy = engine.choose_strategy(self._plan, self.n_atoms, V.shape[1])
-        # on TPU, channel-poor valid/full/circular problems run the
+        # on TPU, channel-poor problems (any reconstruction mode) run the
         # phase-decomposed lowering (tnmf_tpu.ops.phased; 2.4x at scale).
         # Excluded: forced Pallas kernels (they expect canonical H) and
         # spatially-sharded meshes (halo exchange is validated on the

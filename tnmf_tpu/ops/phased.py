@@ -35,23 +35,24 @@ round-2 profile's three bottlenecks (grad_W conv 6.6 ms, lane-sliced MU
 ratio 3.2 ms, grad_H conv 2.7 ms) all collapse.  Numerically the operators
 match the oracle/conv paths to f64 roundoff (tests/test_phased.py).
 
-Generality: 'valid', 'full' and 'circular' reconstruction modes, 1-3
-shift dimensions (the lax conv limit).  Arbitrary transform sizes are
-handled by **absorbing zero padding**: H's shift axes are padded up to
-phase- and block-divisible sizes; padded positions start at zero and zero
-is absorbing under the multiplicative update, so trajectories are
-identical to the unpadded problem (mode-independent: whatever a padded
-position's gradient statistics read, ``0 * neg/pos`` keeps it exactly
-zero, and zero activations contribute nothing to any contraction).  The
-gradient operators are mode-generic through the extended data tensor;
-only :func:`reconstruct` handles modes explicitly, entirely at the conv
+Generality: all four reconstruction modes, 1-3 shift dimensions (the lax
+conv limit).  Arbitrary transform sizes are handled by **absorbing zero
+padding**: H's shift axes are padded up to phase- and block-divisible
+sizes; padded positions start at zero and zero is absorbing under the
+multiplicative update, so trajectories are identical to the unpadded
+problem (mode-independent: whatever a padded position's gradient
+statistics read, ``0 * neg/pos`` keeps it exactly zero, and zero
+activations contribute nothing to any contraction).  The gradient
+operators are mode-generic through the extended data tensor; only
+:func:`reconstruct` handles modes explicitly, entirely at the conv
 boundary — 'full' left-pads the conv input by ``(a-1)/r`` zero blocks
 (block-aligned because ``r | a-1``), 'circular' prepends the last
 ``(a-1)/r`` canonical blocks of H (block-aligned because geometry demands
-``r | T``).  'reflect' falls back to the plain strategies: the even
-reflection starts at position 1, which no block size aligns with.
-Reference roles covered: ``NumPy_FFT.py:52-93`` (the gradient/reconstruct
-hot loop of /root/reference).
+``r | T``), and 'reflect' prepends a phase-permuted, block-reversed slice
+of H (the reflection ``x -> -x`` maps phase ``q`` to ``(r - q) % r``, so
+the offset-1 boundary reversal IS block-aligned in phase space; see
+:func:`_reflect_left`).  Reference roles covered: ``NumPy_FFT.py:52-93``
+(the gradient/reconstruct hot loop of /root/reference).
 """
 
 from __future__ import annotations
@@ -90,12 +91,14 @@ def geometry(plan: ConvPlan):
     the unpadded strided output grid covers the sample exactly), and the
     padded extended extents ``e_pad = t_pad + a - 1``.
     """
-    if plan.mode not in ('valid', 'full', 'circular') or plan.ndim > 3:
+    if plan.mode not in ('valid', 'full', 'circular', 'reflect') or plan.ndim > 3:
         return None
     A = plan.atom_shape
     T = plan.transform_shape
     if plan.mode == 'circular' and any(a - 1 > t for a, t in zip(A, T)):
         return None  # the wrap in reconstruct() would need multiple periods
+    if plan.mode == 'reflect' and any(a > t for a, t in zip(A, T)):
+        return None  # reflection sources (H[1..a-1]) must exist canonically
 
     # per-axis phase factor: the largest r with (a-1) % r == 0 so that the
     # padding congruences t' = 0 (mod r), t' = a-1 (mod s) are solvable
@@ -121,7 +124,7 @@ def geometry(plan: ConvPlan):
             while tp % r or (tp - a + 1) % s:
                 tp += 1
         else:
-            # full/circular cover the output grid with explicit conv
+            # full/circular/reflect cover the output grid with explicit conv
             # padding in reconstruct(), so only block divisibility matters
             # (circular: r | t already, hence tp == t and no absorbing pad)
             while tp % r:
@@ -320,6 +323,34 @@ def prepare_data(V: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
     return _extend_phased(V, plan)
 
 
+def _reflect_left(x: jnp.ndarray, g, ax: int, n_blocks: int) -> jnp.ndarray:
+    """Prepend ``n_blocks`` blocks of the even left reflection along shift
+    axis ``ax``.  Canonical position ``-k`` holds ``H[k]`` (numpy 'reflect'
+    semantics, edge excluded); with ``k = r*j - q`` that value lives at
+    phase ``(r - q) % r``, block ``j`` (phase 0) or ``j - 1`` (phase >= 1)
+    — a phase-permuted, block-reversed read of the canonical region,
+    block-aligned for any ``r | a-1`` (no ``r | T`` requirement).  Sources
+    (``H[1..a-1]``) never touch the absorbing right padding."""
+    r = g['r']
+    nd = len(r)
+    N, CH = x.shape[:2]
+    F = CH // math.prod(r)
+    blocks = x.shape[2:]
+    xr = x.reshape((N, F) + r + blocks)
+    pax, bax = 2 + ax, 2 + nd + ax
+    rr = r[ax]
+    parts = []
+    for q in range(rr):
+        j0, j1 = (1, n_blocks + 1) if q == 0 else (0, n_blocks)
+        src = lax.slice_in_dim(xr, (rr - q) % rr, (rr - q) % rr + 1, axis=pax)
+        src = lax.slice_in_dim(src, j0, j1, axis=bax)
+        parts.append(jnp.flip(src, axis=bax))
+    ext = jnp.concatenate(parts, axis=pax)
+    out = jnp.concatenate([ext, xr], axis=bax)
+    nb = tuple(b + (n_blocks if i == ax else 0) for i, b in enumerate(blocks))
+    return out.reshape((N, CH) + nb)
+
+
 def reconstruct(W: jnp.ndarray, Hph: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
     """R[n,c,*S] from phased H: strided phase-space conv + pixel unshuffle.
 
@@ -341,13 +372,17 @@ def reconstruct(W: jnp.ndarray, Hph: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray
     taps = K3.shape[2:]
     strides = tuple(si // ri for si, ri in zip(s, r))
     x = Hph
-    if plan.mode == 'circular':
+    if plan.mode in ('circular', 'reflect'):
         for ax, (a, rr, t) in enumerate(zip(A, r, g['t'])):
             lb = (a - 1) // rr
-            if lb:
+            if not lb:
+                continue
+            if plan.mode == 'circular':
                 wrap = lax.slice_in_dim(x, (t - (a - 1)) // rr, t // rr,
                                         axis=2 + ax)
                 x = jnp.concatenate([wrap, x], axis=2 + ax)
+            else:
+                x = _reflect_left(x, g, ax, lb)
     pad = []
     for i in range(nd):
         left = (A[i] - 1) // r[i] if plan.mode == 'full' else 0
