@@ -30,7 +30,7 @@ multiplied by the ``prod(r)`` phase count on *both* sides:
   layout (:func:`inhibition_positive_term_phased`).
 
 Measured on one v5e chip at the flagship config (64x256x256, 16 atoms 9x9,
-C=1): 15.05 -> 3.94 ms per full MU iteration f32, 13 -> 2.42 ms bf16 — the
+C=1): 15.05 -> 3.11 ms per full MU iteration f32, 13 -> 2.02 ms bf16 — the
 round-2 profile's three bottlenecks (grad_W conv 6.6 ms, lane-sliced MU
 ratio 3.2 ms, grad_H conv 2.7 ms) all collapse.  Numerically the operators
 match the oracle/conv paths to f64 roundoff (tests/test_phased.py).
@@ -399,19 +399,22 @@ def grad_H_pair(Vs: jnp.ndarray, R: jnp.ndarray, W: jnp.ndarray,
                 plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(neg, pos) of dE/dH, both in H's phased layout.
 
-    ``Vs`` is the phased prepared data; the neg/pos correlations run as one
-    batch-stacked conv like :func:`tnmf_tpu.ops.conv.grad_H_pair` — but the
-    output lands channel-major (M*pp lanes), so the downstream ratio slices
-    the *outer* batch dim instead of the lane dim.
+    ``Vs`` is the phased prepared data.  The neg/pos correlations run as
+    TWO separate convs on purpose: a batch-stacked conv (the plain conv
+    strategy's trick) forces the consumer to slice its output across the
+    batch dim, which blocks XLA's conv-output fusion and materializes the
+    stacked H-sized gradient pair (~500 MB at the flagship scale) to HBM.
+    Kept separate, each conv fuses into the downstream MU ratio — measured
+    2.64 -> 1.72 ms for grad pair + ratio on v5e (the ratio alone costs
+    1.62 ms: the convs become nearly free).
     """
     g = geometry(plan)
     Rs = _extend_phased(R, plan)
-    X2 = jnp.concatenate([Vs, Rs], axis=0)
     K2 = _grad_kernel(W, g)
-    G2 = _conv(X2, K2, _dn(plan.ndim, 'std'), W.dtype, plan.lax_precision,
-               keep_low=True)
-    n = Vs.shape[0]
-    return G2[:n], G2[n:]
+    dn = _dn(plan.ndim, 'std')
+    neg = _conv(Vs, K2, dn, W.dtype, plan.lax_precision, keep_low=True)
+    pos = _conv(Rs, K2, dn, W.dtype, plan.lax_precision, keep_low=True)
+    return neg, pos
 
 
 @lru_cache(maxsize=None)
