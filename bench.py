@@ -135,7 +135,7 @@ def bench_ours_2d():
     plan = ConvPlan.create('valid', V.shape[2:], atom_shape)
     strategy = engine.resolve_strategy(
         engine.choose_strategy(plan, n_atoms, V.shape[1]),
-        plan, V.shape[1], n_atoms)  # the model's real path (phased on TPU)
+        plan, n_atoms, V.shape[1])  # the model's real path (phased on TPU)
 
     rng = np.random.default_rng(42)
     W = rng.random((n_atoms, V.shape[1]) + atom_shape).astype(np.float32)
@@ -200,7 +200,7 @@ def metric_1d(remeasure=False):
     plan = ConvPlan.create('valid', V.shape[2:], atom_shape)
     strategy = engine.resolve_strategy(
         engine.choose_strategy(plan, n_atoms, V.shape[1]),
-        plan, V.shape[1], n_atoms)
+        plan, n_atoms, V.shape[1])
     kernels = tuple(jnp.asarray(k, jnp.float32)
                     for k in inhibition_kernels(resolve_inhibition_range(None, atom_shape)))
 

@@ -30,7 +30,7 @@ def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
         inhibition=0.0, use_pallas=False, label='', resolve=True, mode='valid'):
     plan = ConvPlan.create(mode, sample, atom)
     if resolve:  # the model's strategy resolution (phased upgrade on TPU)
-        strategy = engine.resolve_strategy(strategy, plan, n_channels, n_atoms,
+        strategy = engine.resolve_strategy(strategy, plan, n_atoms, n_channels,
                                            allow_phased=not use_pallas)
     dt = jnp.dtype(dtype)
     key = jax.random.PRNGKey(0)

@@ -76,7 +76,7 @@ def main():
     S, A, M, C = (side, side), (9, 9), 16, 1
     plan = ConvPlan.create('valid', S, A)
     strategy = (sys.argv[4] if len(sys.argv) > 4
-                else engine.resolve_strategy('conv', plan, C, M))
+                else engine.resolve_strategy('conv', plan, M, C))
     ops = engine.get_ops(strategy)
     T = plan.transform_shape
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)

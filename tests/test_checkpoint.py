@@ -136,3 +136,30 @@ def test_save_sharded_unfitted_raises(tmp_path):
     nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
     with pytest.raises(ValueError, match='has not been fit'):
         nmf.save_sharded(str(tmp_path / 'nope'))
+
+
+def test_restore_keeps_phased_gate_under_spatial_mesh(tmp_path, monkeypatch):
+    """The restore path applies the same phased-strategy exclusions as
+    fit-time _initialize_matrices: a phased-eligible geometry restored onto
+    a spatially-sharded mesh must keep the plain conv lowering (halo
+    exchange is validated on the canonical grid only)."""
+    import jax
+    if jax.device_count() < 8:
+        pytest.skip('needs 8 (virtual) devices')
+    from tnmf_tpu import engine
+    from tnmf_tpu.parallel import make_mesh
+
+    monkeypatch.setattr(engine, '_phased_platform_ok', lambda: True)
+    V = np.random.default_rng(5).random((8, 1, 24, 24)).astype(np.float32)
+    np.random.seed(42)
+    nmf = TransformInvariantNMF(n_atoms=4, atom_shape=(9, 9))
+    nmf.fit(V, n_iterations=2, sparsity_H=0.1)
+    assert nmf._strategy == 'phased'  # eligible geometry on the fake TPU
+    path = str(tmp_path / 'ckpt.npz')
+    nmf.save(path, include_H=True)
+
+    spatial = TransformInvariantNMF.load(path, mesh=make_mesh(8),
+                                         shard_axis='spatial')
+    assert spatial._strategy == 'conv'
+    plain = TransformInvariantNMF.load(path)
+    assert plain._strategy == 'phased'

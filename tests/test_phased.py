@@ -85,11 +85,11 @@ def test_applicable_gating():
 
 def test_resolve_strategy_platform_gate(monkeypatch):
     plan = ConvPlan.create('valid', (24, 24), (9, 9))
-    assert engine.resolve_strategy('conv', plan, 1, 16) == 'conv'  # CPU: off
+    assert engine.resolve_strategy('conv', plan, 16, 1) == 'conv'  # CPU: off
     monkeypatch.setattr(engine, '_phased_platform_ok', lambda: True)
-    assert engine.resolve_strategy('conv', plan, 1, 16) == 'phased'
-    assert engine.resolve_strategy('fft', plan, 1, 16) == 'fft'
-    assert engine.resolve_strategy('conv', plan, 1, 16, allow_phased=False) == 'conv'
+    assert engine.resolve_strategy('conv', plan, 16, 1) == 'phased'
+    assert engine.resolve_strategy('fft', plan, 16, 1) == 'fft'
+    assert engine.resolve_strategy('conv', plan, 16, 1, allow_phased=False) == 'conv'
 
 
 @pytest.fixture

@@ -54,7 +54,8 @@ def get_ops(strategy: str):
     if strategy == 'phased':
         from .ops import phased
         return phased
-    raise ValueError(f'unknown strategy {strategy!r}; choose "fft" or "conv"')
+    raise ValueError(
+        f'unknown strategy {strategy!r}; choose "fft", "conv" or "phased"')
 
 
 def _enc_h(H, plan: ConvPlan, strategy: str):
@@ -81,8 +82,8 @@ def _phased_platform_ok() -> bool:  # separate hook so tests can force it on CPU
         return False
 
 
-def resolve_strategy(strategy: str, plan: ConvPlan, n_channels: int,
-                     n_atoms: int, allow_phased: bool = True) -> str:
+def resolve_strategy(strategy: str, plan: ConvPlan, n_atoms: int,
+                     n_channels: int, allow_phased: bool = True) -> str:
     """Upgrade 'conv' to the phase-decomposed lowering where it wins.
 
     The phased path (:mod:`tnmf_tpu.ops.phased`) re-lowers the MU iteration
@@ -90,10 +91,11 @@ def resolve_strategy(strategy: str, plan: ConvPlan, n_channels: int,
     flagship 64x256x256 scale on v5e.  It applies on TPU for every
     reconstruction mode when channels are few; trajectories match the
     plain conv strategy to float roundoff (tests/test_phased.py).
+    (n_atoms/n_channels argument order matches :func:`choose_strategy`.)
     """
     if strategy == 'conv' and allow_phased and _phased_platform_ok():
         from .ops import phased
-        if phased.applicable(plan, n_channels, n_atoms):
+        if phased.applicable(plan, n_channels=n_channels, n_atoms=n_atoms):
             return 'phased'
     return strategy
 
@@ -205,8 +207,11 @@ def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
                 H, kernels, plan.ndim, inhibition, cross_inhibition,
                 n_atoms=H.shape[1],
                 with_same_atom=use_inhibition, with_cross_atom=use_cross)
-    # neg/pos are float32 under bfloat16 storage; the ratio is formed in the
-    # accumulation dtype and cast back for storage
+    # fft/conv: neg/pos are float32 under bfloat16 storage and the ratio is
+    # formed in the accumulation dtype.  phased: the gradient pair is kept
+    # in the storage dtype on purpose (keep_low — halving the dominant HBM
+    # stream; the MU ratio is robust to bf16 statistics,
+    # tests/test_bfloat16.py).
     return (H * neg / (pos + (EPS + sparsity))).astype(H.dtype)
 
 

@@ -322,8 +322,8 @@ class TransformInvariantNMF:
                         and self._use_pallas_mode is not True
                         and not (self._mesh is not None
                                  and self._shard_axis in ('spatial', 'both')))
-        strategy = engine.resolve_strategy(strategy, self._plan, V.shape[1],
-                                           self.n_atoms, allow_phased)
+        strategy = engine.resolve_strategy(strategy, self._plan, self.n_atoms,
+                                           V.shape[1], allow_phased)
         self._strategy = strategy
         dtype = self._resolve_dtype(V)
 
@@ -927,9 +927,15 @@ class TransformInvariantNMF:
                     if self._strategy_request != 'auto'
                     else engine.choose_strategy(self._plan, self.n_atoms,
                                                 self._W.shape[1]))
+        # same phased gate as _initialize_matrices: forced Pallas kernels and
+        # spatially-sharded meshes (halo exchange is validated on the
+        # canonical grid only) keep the plain lowering after a restore too
+        allow_phased = (self._use_pallas_mode is not True
+                        and not (self._mesh is not None
+                                 and self._shard_axis in ('spatial', 'both')))
         self._strategy = engine.resolve_strategy(
-            strategy, self._plan, self._W.shape[1], self.n_atoms,
-            self._use_pallas_mode is not True)
+            strategy, self._plan, self.n_atoms, self._W.shape[1],
+            allow_phased)
 
     # ------------------------------------------------------------------
     # distributed (sharded) checkpointing via orbax — the at-scale path

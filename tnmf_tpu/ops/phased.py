@@ -153,6 +153,12 @@ def applicable(plan: ConvPlan, n_channels: int, n_atoms: int) -> bool:
                for a, r, s in zip(g['a'], g['r'], g['s']))
     if n_atoms * pp * math.prod(g['s']) * math.prod(ky) > 2 ** 22:
         return False
+    # ... and so must the cached host-side placement tensors (the rec
+    # placement is (prod(s), pp, prod(ky), prod(A)) — an lru-cached jit
+    # constant independent of n_atoms; e.g. 21x21 atoms at r=(4,4) would
+    # allocate ~88 MB, where the plain conv strategy needs nothing)
+    if math.prod(g['s']) * pp * math.prod(ky) * math.prod(g['a']) > 2 ** 23:
+        return False
     return True
 
 
@@ -198,13 +204,6 @@ def decode_h(Hph: jnp.ndarray, plan: ConvPlan, n_atoms: int) -> jnp.ndarray:
     g = geometry(plan)
     H = _unphase(Hph, n_atoms, g['r'])
     return H[(Ellipsis,) + tuple(slice(0, t) for t in g['t'])]
-
-
-def slice_atoms(Hph: jnp.ndarray, i0: int, i1: int, plan: ConvPlan) -> jnp.ndarray:
-    """Atom-range slice in the phased representation (atoms are channel
-    blocks of ``prod(r)``)."""
-    pp = math.prod(geometry(plan)['r'])
-    return Hph[:, i0 * pp:i1 * pp]
 
 
 # ---------------------------------------------------------------------------
