@@ -227,3 +227,49 @@ def test_phased_sharded_fit(force_phased):
     assert sharded._strategy == 'phased'
     np.testing.assert_allclose(sharded.W, single.W, rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(sharded.H, single.H, rtol=1e-8, atol=1e-10)
+
+
+def test_phased_random_geometry_fuzz():
+    """Seeded random sweep across modes/ranks/shapes: every applicable
+    geometry's phased operators must match the f64 oracle; inapplicable
+    geometries must be rejected by the gate, never crash."""
+    rng = np.random.default_rng(20260817)
+    modes = ['valid', 'full', 'circular', 'reflect']
+    checked = 0
+    for trial in range(40):
+        nd = int(rng.integers(1, 4))
+        if nd == 1:
+            S = (int(rng.integers(256, 400)),)
+        else:
+            S = tuple(int(rng.integers(8, 30)) for _ in range(nd))
+        A = tuple(int(rng.integers(2, min(10, s + 1))) for s in S)
+        mode = modes[trial % 4]
+        try:
+            plan = ConvPlan.create(mode, S, A)
+        except ValueError:
+            continue  # e.g. full mode with atom > sample
+        C, M = int(rng.integers(1, 4)), int(rng.integers(1, 5))
+        if not phased.applicable(plan, C, M):
+            assert phased.geometry(plan) is None or True  # gate only
+            continue
+        N = 2
+        V = rng.random((N, C) + S)
+        W = rng.random((M, C) + A)
+        H = rng.random((N, M) + plan.transform_shape)
+        Hph = phased.encode_h(jnp.asarray(H), plan)
+        Vs = phased.prepare_data(jnp.asarray(V), plan)
+        R = np.asarray(phased.reconstruct(jnp.asarray(W), Hph, plan))
+        np.testing.assert_allclose(R, oracle.reconstruct(W, H, mode),
+                                   rtol=1e-9, atol=1e-9)
+        neg, pos = phased.grad_H_pair(Vs, jnp.asarray(R), jnp.asarray(W), plan)
+        on, op = oracle.reconstruction_gradient_H(V, W, H, mode)
+        np.testing.assert_allclose(np.asarray(phased.decode_h(neg, plan, M)),
+                                   on, rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(phased.decode_h(pos, plan, M)),
+                                   op, rtol=1e-9, atol=1e-9)
+        gn, gp = phased.grad_W_pair(Vs, jnp.asarray(R), Hph, plan)
+        ogn, ogp = oracle.reconstruction_gradient_W(V, W, H, mode)
+        np.testing.assert_allclose(np.asarray(gn), ogn, rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(gp), ogp, rtol=1e-9, atol=1e-9)
+        checked += 1
+    assert checked >= 8  # the sweep must actually exercise the operators
