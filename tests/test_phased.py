@@ -1,10 +1,11 @@
 """The phase-decomposed conv lowering (tnmf_tpu.ops.phased).
 
 On TPU the engine silently upgrades the 'conv' strategy to the phased
-lowering for channel-poor 2-D 'valid' problems (engine.resolve_strategy);
-these tests force the platform gate on and pin the phased operators to the
-oracle and the phased end-to-end trajectories to the plain conv strategy,
-on CPU in float64 — the compiled program is the same one TPU runs.
+lowering for channel-poor problems of rank 1-3 in every reconstruction
+mode (engine.resolve_strategy); these tests force the platform gate on
+and pin the phased operators to the oracle and the phased end-to-end
+trajectories to the plain conv strategy, on CPU in float64 — the compiled
+program is the same one TPU runs.
 """
 
 import numpy as np
