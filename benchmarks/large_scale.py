@@ -27,7 +27,8 @@ from tnmf_tpu.ops.modes import ConvPlan  # noqa: E402
 
 def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
         dtype='float32', strategy='conv', iters=(20, 120),
-        inhibition=0.0, use_pallas=False, label='', resolve=True, mode='valid'):
+        inhibition=0.0, use_pallas=False, label='', resolve=True, mode='valid',
+        update_W=True):
     plan = ConvPlan.create(mode, sample, atom)
     if resolve:  # the model's strategy resolution (phased upgrade on TPU)
         strategy = engine.resolve_strategy(strategy, plan, n_atoms, n_channels,
@@ -48,7 +49,8 @@ def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
         from tnmf_tpu.ops.inhibition import inhibition_kernels, resolve_inhibition_range
         kernels = tuple(jnp.asarray(k, dt)
                         for k in inhibition_kernels(resolve_inhibition_range(None, atom)))
-    statics = dict(plan=plan, strategy=strategy, update_H=True, update_W=True,
+    statics = dict(plan=plan, strategy=strategy, update_H=True,
+                   update_W=update_W,
                    use_inhibition=bool(inhibition), use_cross=False,
                    use_pallas=use_pallas)
 
@@ -87,6 +89,10 @@ def main():
     # the reference fixture scale, for continuity with bench.py
     run(n_samples=2, sample=(76, 102), atom=(7, 7), n_atoms=10, n_channels=3,
         iters=(200, 1200))
+    # serving path: transform() = H inference with the dictionary frozen
+    # (update_W=False) — the per-iteration cost of encoding new data
+    # against a trained model
+    run(n_samples=n, update_W=False, label=' serving (W frozen)')
     # long-1-D fft strategy across the former 4096-length cliff: the
     # two-stage Cooley-Tukey matmul-DFT keeps >4096 transforms on the MXU
     # (round-2 verdict weak #3); per-sample cost must scale ~linearly from
