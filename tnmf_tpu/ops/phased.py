@@ -73,7 +73,11 @@ from .modes import ConvPlan
 # live; beyond it the one-hot kernels only inflate FLOPs
 _MAX_PHASES = 16
 # default per-axis reconstruction output blocking by rank (targets ~64
-# output channels for C=1)
+# output channels for C=1).  A stride-1 alternative (s = r, half the
+# one-hot FLOP inflation) was swept on v5e and measured a wash in the real
+# fused fit loop at every scale (within run noise at 64x256x256 and
+# 128x128; slightly worse at the 76x102 fixture), so the simple fixed
+# blocking stays.
 _REC_BLOCK = {1: (64,), 2: (8, 8), 3: (4, 4, 4)}
 
 
