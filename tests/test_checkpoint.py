@@ -163,3 +163,46 @@ def test_restore_keeps_phased_gate_under_spatial_mesh(tmp_path, monkeypatch):
     assert spatial._strategy == 'conv'
     plain = TransformInvariantNMF.load(path)
     assert plain._strategy == 'phased'
+
+
+def test_periodic_checkpoint_and_exact_resume(tmp_path):
+    """fit_batch(checkpoint_every=...) writes atomic stamped checkpoints
+    from fused on-device chunks; after a simulated crash, load + keep_W +
+    keep_H resumes the EXACT uninterrupted trajectory (MU updates are
+    deterministic in (V, W, H))."""
+    V = np.random.default_rng(7).random((3, 2, 12, 10)).astype(np.float32)
+    kw = dict(sparsity_H=0.1, inhibition_strength=0.2)
+
+    np.random.seed(42)
+    ref = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3))
+    ref.fit(V, n_iterations=8, **kw)
+
+    path = str(tmp_path / 'periodic.npz')
+    np.random.seed(42)
+    crashed = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3))
+    crashed.fit(V, n_iterations=5, checkpoint_every=2, checkpoint_path=path, **kw)
+    assert not os.path.exists(path + '.tmp')  # atomic replace, no leftovers
+
+    resumed = TransformInvariantNMF.load(path)
+    assert resumed.last_checkpoint_iteration_ == 5
+    resumed.fit(V, n_iterations=8 - resumed.last_checkpoint_iteration_,
+                keep_W=True, keep_H=True, **kw)
+    np.testing.assert_array_equal(np.asarray(resumed._W), np.asarray(ref._W))
+    np.testing.assert_array_equal(np.asarray(resumed._H), np.asarray(ref._H))
+
+
+def test_checkpoint_kwarg_validation(tmp_path):
+    V = np.random.default_rng(7).random((2, 1, 8, 8)).astype(np.float32)
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    with pytest.raises(ValueError, match='given together'):
+        nmf.fit(V, n_iterations=2, checkpoint_every=1)
+    with pytest.raises(ValueError, match='given together'):
+        nmf.fit(V, n_iterations=2, checkpoint_path='x.npz')
+    with pytest.raises(ValueError, match='cannot\\s+combine'):
+        nmf.fit(V, n_iterations=2, checkpoint_every=1,
+                checkpoint_path=str(tmp_path / 'c.npz'),
+                progress_callback=lambda m, i: True)
+    nmf.fit(V, n_iterations=2)
+    with pytest.raises(ValueError, match='keep_H'):
+        V2 = np.random.default_rng(8).random((4, 1, 8, 8)).astype(np.float32)
+        nmf.fit(V2, n_iterations=1, keep_W=True, keep_H=True)

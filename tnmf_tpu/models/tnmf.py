@@ -229,6 +229,9 @@ class TransformInvariantNMF:
         self._Vp = None     # device-side prepared (transformed/extended) data
         self._kernels = None
         self._shuffle_idx = None
+        # iteration stamp of the checkpoint this model was loaded from
+        # (None unless load() found one; see save(completed_iterations=...))
+        self.last_checkpoint_iteration_: Optional[int] = None
 
     # ------------------------------------------------------------------
     # accessors (reference TransformInvariantNMF.py:188-215)
@@ -283,7 +286,7 @@ class TransformInvariantNMF:
         return jnp.dtype(np.float32)
 
     def _initialize_matrices(self, V: np.ndarray, keep_W: bool, shuffle_input: bool = False,
-                             allow_phased: bool = True):
+                             allow_phased: bool = True, keep_H: bool = False):
         # multi-host path: a process-spanning global jax.Array (from
         # parallel.distributed.distribute_samples) is used as-is — no host
         # copy exists or is ever materialized
@@ -335,6 +338,14 @@ class TransformInvariantNMF:
                     f'keep_W: existing dictionary of shape {tuple(self._W.shape)} '
                     f'does not match the new data (expected {expected}); '
                     f'the channel count must stay constant across fits')
+        keep_h = keep_H and self._H is not None
+        if keep_h:
+            expected_h = (V.shape[0], self.n_atoms) + self._plan.transform_shape
+            if tuple(self._H.shape) != expected_h:
+                raise ValueError(
+                    f'keep_H: existing activations of shape {tuple(self._H.shape)} '
+                    f'do not match the new data (expected {expected_h}); '
+                    f'exact resume requires the same batch')
         if self._init == 'device':
             # At-scale path: W/H drawn on device from a JAX PRNG key — with a
             # mesh, H is constrained to its sharded layout inside the init
@@ -357,13 +368,20 @@ class TransformInvariantNMF:
                 **shardings)
             if keep:
                 Wd = jnp.asarray(self._W, dtype=dtype)
+            if keep_h:
+                Hd = jnp.asarray(self._H, dtype=dtype)
         else:
             # Host-side init replicating the reference RNG stream exactly
             # (H then W, 1 - U[0,1); _Backend.py:83-98) so seeded runs match.
             # (np.random.random and Generator.random share this signature.)
-            H = np.asarray(
-                1 - self._rng.random((V.shape[0], self.n_atoms) + self._plan.transform_shape),
-                dtype=V.dtype)
+            # keep_H (exact resume) skips the H draw — RNG-stream parity
+            # with the reference is moot when resuming from a checkpoint.
+            if keep_h:
+                H = np.asarray(self._H)
+            else:
+                H = np.asarray(
+                    1 - self._rng.random((V.shape[0], self.n_atoms) + self._plan.transform_shape),
+                    dtype=V.dtype)
             if keep:
                 W = np.asarray(self._W)
             else:
@@ -425,6 +443,9 @@ class TransformInvariantNMF:
             progress_callback: Optional[Callable[['TransformInvariantNMF', int], bool]] = None,
             callback_interval: int = 1,
             record_energies: bool = False,
+            keep_H: bool = False,
+            checkpoint_every: Optional[int] = None,
+            checkpoint_path: Optional[str] = None,
     ):
         r"""Full-batch multiplicative-update factorization of ``V``.
 
@@ -447,6 +468,18 @@ class TransformInvariantNMF:
           extra reconstruction per iteration.  Without a callback the trace
           is accumulated fully on device; with one, it is recorded alongside
           the callback protocol.
+        * ``checkpoint_every=k`` with ``checkpoint_path=...`` writes an
+          atomic full checkpoint (W + H + iteration stamp) every ``k``
+          iterations, running fully fused on-device chunks in between — one
+          host round trip per ``k`` instead of per iteration.  After a
+          crash, exact resume is
+          ``m = load(path); m.fit_batch(V, n_iterations=total -
+          m.last_checkpoint_iteration_, keep_W=True, keep_H=True)`` —
+          multiplicative updates are deterministic in (V, W, H), so the
+          resumed trajectory is identical to an uninterrupted run.
+        * ``keep_H=True`` continues from the current activations instead of
+          re-initializing them (requires matching batch geometry; the
+          resume half of the checkpointing protocol).
         """
         _assert_nonnegative(V)
         assert update_H or update_W
@@ -454,8 +487,26 @@ class TransformInvariantNMF:
         assert inhibition_strength >= 0
         assert cross_atom_inhibition_strength >= 0
         assert callback_interval >= 1
+        if (checkpoint_every is None) != (checkpoint_path is None):
+            raise ValueError(
+                'checkpoint_every and checkpoint_path must be given together')
+        if checkpoint_every is not None:
+            assert checkpoint_every >= 1
+            if progress_callback is not None:
+                raise ValueError(
+                    'checkpoint_every uses the chunked fused loop and cannot '
+                    'combine with progress_callback; call save() from your '
+                    'callback instead')
+            ckpt_path = checkpoint_path
 
-        self._initialize_matrices(V, keep_W)
+            def progress_callback(model, iteration):  # noqa: F811
+                model.save(ckpt_path, include_H=True,
+                           completed_iterations=iteration + 1)
+                return True
+
+            callback_interval = int(checkpoint_every)
+
+        self._initialize_matrices(V, keep_W, keep_H=keep_H)
         statics = dict(
             plan=self._plan, strategy=self._strategy,
             update_H=update_H, update_W=update_W,
@@ -851,13 +902,23 @@ class TransformInvariantNMF:
     # in-memory keep_W warm restarts; SURVEY.md §5)
     # ------------------------------------------------------------------
 
-    def save(self, path: str, include_H: bool = False):
-        """Serialize the model to an ``.npz`` checkpoint.
+    def save(self, path: str, include_H: bool = False,
+             completed_iterations: Optional[int] = None):
+        """Serialize the model to an ``.npz`` checkpoint (atomically).
 
         Stores the dictionary (and optionally the activations of the last
         fit) together with the constructor configuration, so a model can be
         resumed across processes — e.g. a streaming fit continued on fresh
         data via ``load(...)`` followed by ``fit(V, keep_W=True)``.
+
+        The file is written to a temporary sibling and moved into place
+        with ``os.replace``, so a crash mid-write never corrupts an
+        existing checkpoint — the property the periodic-checkpoint fits
+        (``fit_batch(checkpoint_every=...)``) rely on.
+        ``completed_iterations`` stamps how many MU iterations produced
+        this state; :meth:`load` exposes it as
+        ``last_checkpoint_iteration_`` so a resumed run knows how many
+        iterations remain.
         """
         if self._W is None:
             raise ValueError('nothing to save: the model has not been fit yet')
@@ -882,7 +943,13 @@ class TransformInvariantNMF:
         )
         if include_H and self._H is not None:
             payload['H'] = host(self.H if self._shuffle_idx is not None else self._H)
-        np.savez(path, **payload)
+        if completed_iterations is not None:
+            payload['completed_iterations'] = int(completed_iterations)
+        final = path if path.endswith('.npz') else path + '.npz'
+        tmp = final + '.tmp'
+        with open(tmp, 'wb') as f:
+            np.savez(f, **payload)
+        os.replace(tmp, final)
 
     @classmethod
     def load(cls, path: str, **kwargs) -> 'TransformInvariantNMF':
@@ -907,6 +974,9 @@ class TransformInvariantNMF:
             if 'H' in data:
                 model._H = jnp.asarray(data['H'], dtype=dtype)
                 model._restore_plan()
+            model.last_checkpoint_iteration_ = (
+                int(data['completed_iterations'])
+                if 'completed_iterations' in data else None)
         return model
 
     def _restore_plan(self):

@@ -476,6 +476,13 @@ def inhibition_positive_term_phased(
     layout (same semantics as :func:`tnmf_tpu.ops.inhibition
     .inhibition_positive_term` on the zero-padded canonical H: the absorbing
     zero padding reproduces the reference's zero-padded boundary exactly).
+
+    The per-axis convs use a dense ``(M*pp, M*pp, taps)`` kernel that is
+    block-diagonal over atoms — only 1/M of its FLOPs are useful, but the
+    measured alternative (atoms merged into the conv batch dim, kernel
+    ``(pp, pp, taps)``, 16x fewer FLOPs) runs ~2x *slower* on v5e at the
+    flagship scale: a 16-lane conv is MXU-starved no matter how large its
+    batch.  Channel-rich-but-inflated wins again.
     """
     g = geometry(plan)
     r = g['r']
