@@ -3,6 +3,7 @@ callback_interval (chunked callbacks) and record_energies (on-device
 energy traces)."""
 
 import numpy as np
+import pytest
 
 from tnmf_tpu import TransformInvariantNMF
 
@@ -139,3 +140,41 @@ def test_minibatch_scan_energy_trace_matches_python_loop():
                                    np.asarray(pyloop.energies_, np.float64),
                                    rtol=1e-9)
         np.testing.assert_allclose(scan.W, pyloop.W, rtol=1e-9, atol=1e-11)
+
+
+def test_tol_early_stopping():
+    """sklearn-style tol: the adaptive on-device while_loop stops once the
+    relative energy improvement per check interval drops below tol."""
+    V = np.random.default_rng(3).random((3, 1, 16, 16)).astype(np.float32)
+    np.random.seed(42)
+    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5))
+    nmf.fit(V, n_iterations=500, sparsity_H=0.1, tol=1e-3, tol_check_every=10)
+    assert nmf.n_iterations_ is not None
+    assert 10 <= nmf.n_iterations_ < 500
+    assert nmf.n_iterations_ % 10 == 0
+    assert np.isfinite(nmf._energy_function())
+
+
+def test_tol_loop_matches_plain_fit_when_not_triggered():
+    """With tol=0 the adaptive loop must run exactly n_iterations and
+    reproduce the plain fused loop bitwise."""
+    V = np.random.default_rng(3).random((3, 1, 14, 12)).astype(np.float32)
+    np.random.seed(42)
+    plain = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 5))
+    plain.fit(V, n_iterations=7, sparsity_H=0.1)
+    np.random.seed(42)
+    adap = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 5))
+    adap.fit(V, n_iterations=7, sparsity_H=0.1, tol=0.0, tol_check_every=3)
+    assert adap.n_iterations_ == 7
+    np.testing.assert_array_equal(np.asarray(adap._W), np.asarray(plain._W))
+    np.testing.assert_array_equal(np.asarray(adap._H), np.asarray(plain._H))
+
+
+def test_tol_rejects_callbacks_and_energies():
+    V = np.random.default_rng(3).random((2, 1, 8, 8)).astype(np.float32)
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    with pytest.raises(ValueError, match='tol-based'):
+        nmf.fit(V, n_iterations=5, tol=1e-3, record_energies=True)
+    with pytest.raises(ValueError, match='tol-based'):
+        nmf.fit(V, n_iterations=5, tol=1e-3,
+                progress_callback=lambda m, i: True)

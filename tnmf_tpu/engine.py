@@ -373,6 +373,66 @@ def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition, kerne
     return W, H, energies
 
 
+@partial(jax.jit, static_argnames=_STEP_STATICS + ('check_every',),
+         donate_argnums=(2, 3))
+def fit_loop_tol(Vp, V, W, H, n_max, tol, sparsity, inhibition,
+                 cross_inhibition, kernels, *,
+                 check_every: int,
+                 plan: ConvPlan, strategy: str,
+                 update_H: bool = True, update_W: bool = True,
+                 use_inhibition: bool = False, use_cross: bool = False,
+                 use_pallas: bool = False, use_pallas_gw: bool = False):
+    """Adaptive fit with on-device convergence detection (no reference
+    counterpart; sklearn-style ``tol`` semantics).
+
+    Runs MU iterations in blocks of ``check_every`` inside one
+    ``lax.while_loop`` and stops when the relative energy improvement over
+    a block, ``(e_prev - e) / e_init``, drops below ``tol`` — or at
+    ``n_max`` iterations.  The convergence check never leaves the device:
+    the whole adaptive fit is ONE dispatch regardless of where it stops
+    (a host-polled loop would pay a tunnel round trip per check).
+    ``n_max`` and ``tol`` are traced — changing them never recompiles.
+
+    Returns ``(W, H, n_done, e_final)``.
+    """
+    ops = get_ops(strategy)
+    acc = jnp.promote_types(V.dtype, jnp.float32)
+
+    def inner(_, WH):
+        W, H = WH
+        if update_H:
+            H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
+                      kernels, plan=plan, use_inhibition=use_inhibition,
+                      use_cross=use_cross, use_pallas=use_pallas)
+        if update_W:
+            W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw)
+        return W, H
+
+    def e_of(W, H):
+        R = ops.reconstruct(W, H, plan)
+        d = V.astype(acc) - R.astype(acc)
+        return 0.5 * jnp.sum(d * d)
+
+    H = _enc_h(H, plan, strategy)
+    e0 = e_of(W, H)
+    scale = jnp.maximum(e0, jnp.asarray(jnp.finfo(acc).tiny, acc))
+
+    def cond(state):
+        _, _, i, _, rel = state
+        return jnp.logical_and(i < n_max, rel >= tol)
+
+    def body(state):
+        W, H, i, e_prev, _ = state
+        k = jnp.minimum(check_every, n_max - i)
+        W, H = jax.lax.fori_loop(0, k, inner, (W, H))
+        e = e_of(W, H)
+        return W, H, i + k, e, (e_prev - e) / scale
+
+    state = (W, H, jnp.asarray(0, jnp.int32), e0, jnp.asarray(jnp.inf, acc))
+    W, H, n_done, e, _ = jax.lax.while_loop(cond, body, state)
+    return W, _dec_h(H, plan, strategy, W.shape[0]), n_done, e
+
+
 @partial(jax.jit, static_argnames=('plan', 'strategy', 'use_inhibition', 'use_cross', 'use_pallas'))
 def update_H_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
                   plan: ConvPlan, strategy: str,

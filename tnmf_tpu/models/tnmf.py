@@ -232,6 +232,8 @@ class TransformInvariantNMF:
         # iteration stamp of the checkpoint this model was loaded from
         # (None unless load() found one; see save(completed_iterations=...))
         self.last_checkpoint_iteration_: Optional[int] = None
+        # iterations actually run by the last tol-based adaptive fit
+        self.n_iterations_: Optional[int] = None
 
     # ------------------------------------------------------------------
     # accessors (reference TransformInvariantNMF.py:188-215)
@@ -446,6 +448,8 @@ class TransformInvariantNMF:
             keep_H: bool = False,
             checkpoint_every: Optional[int] = None,
             checkpoint_path: Optional[str] = None,
+            tol: Optional[float] = None,
+            tol_check_every: int = 10,
     ):
         r"""Full-batch multiplicative-update factorization of ``V``.
 
@@ -480,6 +484,13 @@ class TransformInvariantNMF:
         * ``keep_H=True`` continues from the current activations instead of
           re-initializing them (requires matching batch geometry; the
           resume half of the checkpointing protocol).
+        * ``tol`` enables sklearn-style early stopping: every
+          ``tol_check_every`` iterations the relative energy improvement
+          ``(e_prev - e) / e_init`` is evaluated *on device* (the whole
+          adaptive fit is one dispatch — no host round trip per check) and
+          the fit stops once it drops below ``tol`` or at ``n_iterations``.
+          The actual iteration count lands in ``self.n_iterations_``.
+          Incompatible with callbacks and ``record_energies``.
         """
         _assert_nonnegative(V)
         assert update_H or update_W
@@ -521,6 +532,22 @@ class TransformInvariantNMF:
 
         log_each = self._logger.isEnabledFor(logging.INFO)
         self.energies_ = None
+        if tol is not None:
+            if progress_callback is not None or record_energies:
+                raise ValueError(
+                    'tol-based early stopping runs as one on-device '
+                    'while_loop and cannot combine with progress_callback '
+                    'or record_energies')
+            assert tol >= 0 and tol_check_every >= 1
+            acc = jnp.promote_types(self._W.dtype, jnp.float32)
+            self._W, self._H, n_done, _ = engine.fit_loop_tol(
+                self._Vp, self._Vd, self._W, self._H,
+                jnp.asarray(int(n_iterations), jnp.int32),
+                jnp.asarray(tol, acc), *scalars, self._kernels,
+                check_every=int(tol_check_every), **statics)
+            self.n_iterations_ = int(n_done)
+            self._logger.info('TNMF finished.')
+            return
         if record_energies and progress_callback is None:
             # fused loop with an on-device per-iteration energy trace
             self._W, self._H, energies = engine.fit_loop_energies(
