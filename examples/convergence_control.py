@@ -1,8 +1,13 @@
-"""Early stopping through the progress-callback protocol.
+"""Early stopping: the progress-callback protocol vs on-device ``tol``.
 
 TPU-build counterpart of the reference's convergence_control example: the
 ``(model, iteration) -> bool`` callback inspects the reconstruction energy
 every iteration and aborts the fit once it drops below a threshold.
+
+A second fit shows the TPU-native alternative: ``fit(tol=...)`` runs the
+convergence check inside one on-device ``lax.while_loop`` — a single
+dispatch for the whole adaptive fit, where the callback protocol pays a
+host round trip per iteration.
 """
 
 import os
@@ -42,6 +47,14 @@ def main():
     nmf.fit(V, n_iterations=1000, progress_callback=progress_callback)
 
     print(f'stopped after {len(energies)} iterations at energy {energies[-1]:.6f}')
+
+    # the same idea without any host round trips: sklearn-style tol, checked
+    # on device every tol_check_every iterations inside one while_loop
+    np.random.seed(42)
+    nmf_tol = TransformInvariantNMF(n_atoms=len(W_true), atom_shape=(20,))
+    nmf_tol.fit(V, n_iterations=1000, tol=1e-4, tol_check_every=10)
+    print(f'tol=1e-4 fit stopped after {nmf_tol.n_iterations_} iterations '
+          f'at energy {nmf_tol._energy_function():.6f}')
 
     plt.figure(figsize=(6, 4))
     plt.semilogy(energies)
