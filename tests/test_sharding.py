@@ -358,3 +358,25 @@ def test_atom_sharding_divisibility_error():
                                 mesh=make_mesh_atoms(8), shard_axis='atoms')
     with pytest.raises(ValueError, match='n_atoms'):
         nmf.fit(V, n_iterations=1)
+
+
+@needs_8_devices
+def test_tol_fit_under_data_parallel_mesh():
+    """tol-based early stopping composes with data parallelism: the
+    on-device while_loop runs on sharded V/H (the energy reduction becomes
+    a psum over the data axis) and reproduces the single-device adaptive
+    trajectory, including the stopping iteration."""
+    V = _make_V()
+
+    np.random.seed(42)
+    single = TransformInvariantNMF(n_atoms=4, atom_shape=(3, 3))
+    single.fit(V, n_iterations=200, sparsity_H=0.1, tol=1e-3, tol_check_every=5)
+
+    np.random.seed(42)
+    sharded = TransformInvariantNMF(n_atoms=4, atom_shape=(3, 3), mesh=make_mesh(8))
+    sharded.fit(V, n_iterations=200, sparsity_H=0.1, tol=1e-3, tol_check_every=5)
+
+    assert single.n_iterations_ is not None and single.n_iterations_ < 200
+    assert sharded.n_iterations_ == single.n_iterations_
+    np.testing.assert_allclose(sharded.W, single.W, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(sharded.H, single.H, rtol=1e-8, atol=1e-10)
