@@ -178,3 +178,22 @@ def test_tol_rejects_callbacks_and_energies():
     with pytest.raises(ValueError, match='tol-based'):
         nmf.fit(V, n_iterations=5, tol=1e-3,
                 progress_callback=lambda m, i: True)
+
+
+def test_n_iterations_set_on_all_fit_paths():
+    """sklearn n_iter_ semantics: n_iterations_ reflects the actual count on
+    the fused, chunked-callback, and per-iteration callback paths too."""
+    V = np.random.default_rng(3).random((2, 1, 10, 10)).astype(np.float32)
+
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    nmf.fit(V, n_iterations=4)
+    assert nmf.n_iterations_ == 4
+
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    nmf.fit(V, n_iterations=9, progress_callback=lambda m, i: i < 5)
+    assert nmf.n_iterations_ == 6  # aborted after iteration index 5
+
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    nmf.fit(V, n_iterations=9, callback_interval=4,
+            progress_callback=lambda m, i: i < 4)
+    assert nmf.n_iterations_ == 8  # two chunks of 4, aborted at done-1 == 7

@@ -232,7 +232,8 @@ class TransformInvariantNMF:
         # iteration stamp of the checkpoint this model was loaded from
         # (None unless load() found one; see save(completed_iterations=...))
         self.last_checkpoint_iteration_: Optional[int] = None
-        # iterations actually run by the last tol-based adaptive fit
+        # iterations actually run by the last fit_batch (sklearn n_iter_
+        # semantics: < n_iterations when tol or a callback stopped early)
         self.n_iterations_: Optional[int] = None
 
     # ------------------------------------------------------------------
@@ -548,6 +549,8 @@ class TransformInvariantNMF:
             self.n_iterations_ = int(n_done)
             self._logger.info('TNMF finished.')
             return
+        self.n_iterations_ = int(n_iterations)  # sklearn n_iter_ semantics;
+        # callback-aborted paths below overwrite with the actual count
         if record_energies and progress_callback is None:
             # fused loop with an on-device per-iteration energy trace
             self._W, self._H, energies = engine.fit_loop_energies(
@@ -583,6 +586,7 @@ class TransformInvariantNMF:
                 done += chunk
                 if not progress_callback(self, done - 1):
                     break
+            self.n_iterations_ = done
             if record_energies:
                 self.energies_ = np.concatenate(traces) if traces else np.zeros((0,))
         else:
@@ -590,6 +594,7 @@ class TransformInvariantNMF:
             for iteration in range(n_iterations):
                 self._W, self._H = engine.update_step(
                     self._Vp, self._W, self._H, *scalars, self._kernels, **statics)
+                self.n_iterations_ = iteration + 1
                 if record_energies:
                     energies.append(self._energy_function())
                 if progress_callback is not None:
