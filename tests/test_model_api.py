@@ -166,3 +166,16 @@ def test_transform_requires_fit():
         nmf.transform(_V())
     with pytest.raises(RuntimeError, match='inverse_transform'):
         nmf.inverse_transform(np.zeros((1, 3, 15, 16)))
+
+
+def test_fit_transform():
+    """sklearn convention: fit_transform(V) == fit(V); return H — and it
+    dispatches through the kwarg front door (minibatch kwargs included)."""
+    V = _V()
+    np.random.seed(42)
+    a = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3))
+    H = a.fit_transform(V, n_iterations=5, sparsity_H=0.1)
+    np.random.seed(42)
+    b = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3))
+    b.fit(V, n_iterations=5, sparsity_H=0.1)
+    np.testing.assert_array_equal(H, b.H)

@@ -915,6 +915,12 @@ class TransformInvariantNMF:
                        keep_W=True, **kwargs)
         return self.H
 
+    def fit_transform(self, V, **kwargs) -> np.ndarray:
+        """Fit the model to ``V`` and return the learned activations ``H``
+        (sklearn estimator convention).  Accepts every ``fit`` kwarg."""
+        self.fit(V, **kwargs)
+        return self.H
+
     def inverse_transform(self, H: Optional[np.ndarray] = None) -> np.ndarray:
         """Reconstruction from activations (default: the last fit's /
         transform's own activations, i.e. ``self.R``)."""
