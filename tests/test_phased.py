@@ -274,3 +274,17 @@ def test_phased_random_geometry_fuzz():
         np.testing.assert_allclose(np.asarray(gp), ogp, rtol=1e-9, atol=1e-9)
         checked += 1
     assert checked >= 8  # the sweep must actually exercise the operators
+
+
+def test_phased_tol_fit_matches_conv(force_phased):
+    """tol-based early stopping under the phased lowering: same stopping
+    iteration and trajectory as the plain conv strategy (the while_loop
+    carries the phase-blocked H; the energy is computed on the decoded
+    reconstruction either way)."""
+    kw = dict(n_iterations=300, sparsity_H=0.1, tol=1e-3, tol_check_every=5)
+    plain, ph = _fit_pair(kw)
+    assert plain._strategy == 'conv' and ph._strategy == 'phased'
+    assert plain.n_iterations_ is not None and plain.n_iterations_ < 300
+    assert ph.n_iterations_ == plain.n_iterations_
+    np.testing.assert_allclose(ph.W, plain.W, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(ph.H, plain.H, rtol=1e-10, atol=1e-12)
