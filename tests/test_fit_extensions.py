@@ -197,3 +197,11 @@ def test_n_iterations_set_on_all_fit_paths():
     nmf.fit(V, n_iterations=9, callback_interval=4,
             progress_callback=lambda m, i: i < 4)
     assert nmf.n_iterations_ == 8  # two chunks of 4, aborted at done-1 == 7
+
+
+def test_tol_rejects_periodic_checkpointing(tmp_path):
+    V = np.random.default_rng(3).random((2, 1, 8, 8)).astype(np.float32)
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    with pytest.raises(ValueError, match='checkpoint_every'):
+        nmf.fit(V, n_iterations=5, tol=1e-3,
+                checkpoint_every=2, checkpoint_path=str(tmp_path / 'c.npz'))

@@ -502,6 +502,11 @@ class TransformInvariantNMF:
         if (checkpoint_every is None) != (checkpoint_path is None):
             raise ValueError(
                 'checkpoint_every and checkpoint_path must be given together')
+        if tol is not None and checkpoint_every is not None:
+            raise ValueError(
+                'tol-based early stopping runs as one on-device while_loop '
+                'and cannot combine with checkpoint_every (the periodic '
+                'checkpoint needs host round trips)')
         if checkpoint_every is not None:
             assert checkpoint_every >= 1
             if progress_callback is not None:
