@@ -35,6 +35,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .ops import beta as beta_ops
 from .ops import conv as conv_ops
 from .ops import fft as fft_ops
 from .ops.inhibition import inhibition_positive_term
@@ -170,22 +171,38 @@ def partial_reconstruct(W, H, *, plan: ConvPlan, strategy: str, i_atom: int):
         _enc_h(H[:, i_atom:i_atom + 1], plan, strategy), plan)
 
 
-@partial(jax.jit, static_argnames=('plan', 'strategy'))
-def energy(V, W, H, *, plan: ConvPlan, strategy: str):
-    """0.5 * sum((V - R)^2)  (reference ``_Backend.py:127-130``)."""
+@partial(jax.jit, static_argnames=('plan', 'strategy', 'beta'))
+def energy(V, W, H, *, plan: ConvPlan, strategy: str, beta: float = 2.0):
+    """Reconstruction objective: ``0.5 * sum((V - R)^2)`` for the default
+    Euclidean loss (reference ``_Backend.py:127-130``), the beta-divergence
+    ``D_beta(V || R)`` otherwise (:mod:`tnmf_tpu.ops.beta`)."""
     R = get_ops(strategy).reconstruct(W, _enc_h(H, plan, strategy), plan)
     acc = jnp.promote_types(V.dtype, jnp.float32)  # f32 accumulation for bf16
-    d = V.astype(acc) - R.astype(acc)
-    return 0.5 * jnp.sum(d * d)
+    return beta_ops.divergence(V, R, beta).astype(acc)
+
+
+def _beta_grad_pair(ops, grad_pair, Vc, R, other, plan, beta):
+    """(neg, pos) of a beta-divergence gradient: the strategy's Euclidean
+    pair operator applied to ``A = V * R**(beta-2)`` (in the prepared-V
+    slot) and ``B = R**(beta-1)`` (in the R slot).  ``Vc`` is the
+    *canonical* data tensor — with beta != 2 the loop-invariant
+    ``prepare_data`` transform moves inside the iteration because its
+    input depends on R."""
+    A, B = beta_ops.factors(Vc, R, beta)
+    return grad_pair(ops.prepare_data(A, plan), B, other, plan)
 
 
 def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
-          plan, use_inhibition, use_cross, use_pallas=False):
+          plan, use_inhibition, use_cross, use_pallas=False, beta=2.0):
     """One multiplicative H update (reference ``_update_H``,
     ``TransformInvariantNMF.py:246-271``).  ``H`` is in the strategy's
-    loop-carried representation (phase-blocked for 'phased')."""
+    loop-carried representation (phase-blocked for 'phased').  For
+    ``beta != 2``, ``Vp`` carries the canonical (unprepared) data tensor."""
     R = ops.reconstruct(W, H, plan)
-    neg, pos = ops.grad_H_pair(Vp, R, W, plan)
+    if beta == 2.0:
+        neg, pos = ops.grad_H_pair(Vp, R, W, plan)
+    else:
+        neg, pos = _beta_grad_pair(ops, ops.grad_H_pair, Vp, R, W, plan, beta)
     if use_inhibition or use_cross:
         phased_mod = getattr(ops, 'encode_h', None) is not None
         if use_pallas and not phased_mod:
@@ -224,7 +241,7 @@ def _normalize_W(W, n_shift_axes):
     return W / jnp.where(s == 0, 1, s)
 
 
-def _mu_W(ops, Vp, W, H, *, plan, use_pallas=False):
+def _mu_W(ops, Vp, W, H, *, plan, use_pallas=False, beta=2.0):
     """One multiplicative W update with atom-wise sum normalization
     (reference ``_update_W`` + ``normalize``, ``TransformInvariantNMF.py:240-244``).
 
@@ -234,6 +251,10 @@ def _mu_W(ops, Vp, W, H, *, plan, use_pallas=False):
     lowering on the flagship config (benchmarks/pallas_fusion.py), kept
     opt-in."""
     R = ops.reconstruct(W, H, plan)
+    if beta != 2.0:
+        neg, pos = _beta_grad_pair(ops, ops.grad_W_pair, Vp, R, H, plan, beta)
+        Wn = W * neg / (pos + EPS)
+        return _normalize_W(Wn, plan.ndim).astype(W.dtype)
     if use_pallas and ops is conv_ops:
         from .experimental import pallas_gw
         if pallas_gw.supported(plan, W.shape[0], 2 * W.shape[1], H.dtype):
@@ -248,7 +269,7 @@ def _mu_W(ops, Vp, W, H, *, plan, use_pallas=False):
 
 
 _STEP_STATICS = ('plan', 'strategy', 'update_H', 'update_W', 'use_inhibition',
-                 'use_cross', 'use_pallas', 'use_pallas_gw')
+                 'use_cross', 'use_pallas', 'use_pallas_gw', 'beta')
 
 
 @partial(jax.jit, static_argnames=_STEP_STATICS)
@@ -256,7 +277,8 @@ def update_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
                 plan: ConvPlan, strategy: str,
                 update_H: bool = True, update_W: bool = True,
                 use_inhibition: bool = False, use_cross: bool = False,
-                use_pallas: bool = False, use_pallas_gw: bool = False):
+                use_pallas: bool = False, use_pallas_gw: bool = False,
+                beta: float = 2.0):
     """One full MU iteration: H update then W update (reference
     ``fit_batch`` loop body, ``TransformInvariantNMF.py:334-340``).
     ``H`` is canonical at the boundary; the phased strategy encodes/decodes
@@ -266,9 +288,9 @@ def update_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
     if update_H:
         H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
                   kernels, plan=plan, use_inhibition=use_inhibition,
-                  use_cross=use_cross, use_pallas=use_pallas)
+                  use_cross=use_cross, use_pallas=use_pallas, beta=beta)
     if update_W:
-        W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw)
+        W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw, beta=beta)
     return W, _dec_h(H, plan, strategy, W.shape[0])
 
 
@@ -277,7 +299,8 @@ def fit_loop(Vp, W, H, n_iterations, sparsity, inhibition, cross_inhibition, ker
              plan: ConvPlan, strategy: str,
              update_H: bool = True, update_W: bool = True,
              use_inhibition: bool = False, use_cross: bool = False,
-             use_pallas: bool = False, use_pallas_gw: bool = False):
+             use_pallas: bool = False, use_pallas_gw: bool = False,
+             beta: float = 2.0):
     """The no-callback fast path: the whole fit as one on-device loop with
     donated W/H buffers.  ``n_iterations`` is traced, so varying it does not
     recompile.  The phased strategy encodes H once before the loop and
@@ -289,9 +312,9 @@ def fit_loop(Vp, W, H, n_iterations, sparsity, inhibition, cross_inhibition, ker
         if update_H:
             H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
                       kernels, plan=plan, use_inhibition=use_inhibition,
-                      use_cross=use_cross, use_pallas=use_pallas)
+                      use_cross=use_cross, use_pallas=use_pallas, beta=beta)
         if update_W:
-            W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw)
+            W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw, beta=beta)
         return W, H
 
     W, H = jax.lax.fori_loop(0, n_iterations, body, (W, _enc_h(H, plan, strategy)))
@@ -310,7 +333,8 @@ def _fit_energies_chunk(Vp, V, W, H, k, sparsity, inhibition, cross_inhibition, 
                         plan: ConvPlan, strategy: str,
                         update_H: bool = True, update_W: bool = True,
                         use_inhibition: bool = False, use_cross: bool = False,
-                        use_pallas: bool = False, use_pallas_gw: bool = False):
+                        use_pallas: bool = False, use_pallas_gw: bool = False,
+                        beta: float = 2.0):
     """``chunk`` scan steps of the MU loop with per-iteration energies; only
     the first ``k`` (traced) steps actually update, the rest are identity —
     so one compilation covers every iteration count."""
@@ -322,12 +346,11 @@ def _fit_energies_chunk(Vp, V, W, H, k, sparsity, inhibition, cross_inhibition, 
         if update_H:
             H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
                       kernels, plan=plan, use_inhibition=use_inhibition,
-                      use_cross=use_cross, use_pallas=use_pallas)
+                      use_cross=use_cross, use_pallas=use_pallas, beta=beta)
         if update_W:
-            W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw)
+            W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw, beta=beta)
         R = ops.reconstruct(W, H, plan)
-        d = V.astype(acc) - R.astype(acc)
-        return (W, H), (0.5 * jnp.sum(d * d)).astype(acc)
+        return (W, H), beta_ops.divergence(V, R, beta).astype(acc)
 
     def idle(WH):
         return WH, jnp.asarray(jnp.inf, acc)
@@ -345,7 +368,8 @@ def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition, kerne
                       plan: ConvPlan, strategy: str,
                       update_H: bool = True, update_W: bool = True,
                       use_inhibition: bool = False, use_cross: bool = False,
-                      use_pallas: bool = False, use_pallas_gw: bool = False):
+                      use_pallas: bool = False, use_pallas_gw: bool = False,
+                      beta: float = 2.0):
     """Fused fit loop that also records the post-iteration reconstruction
     energy (the trace the reference logs per iteration,
     ``TransformInvariantNMF.py:346``).  Costs one extra reconstruction per
@@ -358,7 +382,8 @@ def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition, kerne
     statics = dict(chunk=ENERGY_CHUNK, plan=plan, strategy=strategy,
                    update_H=update_H, update_W=update_W,
                    use_inhibition=use_inhibition, use_cross=use_cross,
-                   use_pallas=use_pallas, use_pallas_gw=use_pallas_gw)
+                   use_pallas=use_pallas, use_pallas_gw=use_pallas_gw,
+                   beta=beta)
     n = int(n_iterations)
     traces = []
     done = 0
@@ -381,7 +406,8 @@ def fit_loop_tol(Vp, V, W, H, n_max, tol, sparsity, inhibition,
                  plan: ConvPlan, strategy: str,
                  update_H: bool = True, update_W: bool = True,
                  use_inhibition: bool = False, use_cross: bool = False,
-                 use_pallas: bool = False, use_pallas_gw: bool = False):
+                 use_pallas: bool = False, use_pallas_gw: bool = False,
+                 beta: float = 2.0):
     """Adaptive fit with on-device convergence detection (no reference
     counterpart; sklearn-style ``tol`` semantics).
 
@@ -403,15 +429,14 @@ def fit_loop_tol(Vp, V, W, H, n_max, tol, sparsity, inhibition,
         if update_H:
             H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
                       kernels, plan=plan, use_inhibition=use_inhibition,
-                      use_cross=use_cross, use_pallas=use_pallas)
+                      use_cross=use_cross, use_pallas=use_pallas, beta=beta)
         if update_W:
-            W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw)
+            W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw, beta=beta)
         return W, H
 
     def e_of(W, H):
         R = ops.reconstruct(W, H, plan)
-        d = V.astype(acc) - R.astype(acc)
-        return 0.5 * jnp.sum(d * d)
+        return beta_ops.divergence(V, R, beta).astype(acc)
 
     H = _enc_h(H, plan, strategy)
     e0 = e_of(W, H)
@@ -433,34 +458,37 @@ def fit_loop_tol(Vp, V, W, H, n_max, tol, sparsity, inhibition,
     return W, _dec_h(H, plan, strategy, W.shape[0]), n_done, e
 
 
-@partial(jax.jit, static_argnames=('plan', 'strategy', 'use_inhibition', 'use_cross', 'use_pallas'))
+@partial(jax.jit, static_argnames=('plan', 'strategy', 'use_inhibition', 'use_cross', 'use_pallas', 'beta'))
 def update_H_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
                   plan: ConvPlan, strategy: str,
                   use_inhibition: bool = False, use_cross: bool = False,
-                  use_pallas: bool = False):
+                  use_pallas: bool = False, beta: float = 2.0):
     """H-only update on a (mini)batch slice (canonical H in/out)."""
     ops = get_ops(strategy)
     H = _mu_H(ops, Vp, W, _enc_h(H, plan, strategy), sparsity, inhibition,
               cross_inhibition, kernels, plan=plan, use_inhibition=use_inhibition,
-              use_cross=use_cross, use_pallas=use_pallas)
+              use_cross=use_cross, use_pallas=use_pallas, beta=beta)
     return _dec_h(H, plan, strategy, W.shape[0])
 
 
-@partial(jax.jit, static_argnames=('plan', 'strategy', 'use_pallas'))
-def update_W_step(Vp, W, H, *, plan: ConvPlan, strategy: str, use_pallas: bool = False):
+@partial(jax.jit, static_argnames=('plan', 'strategy', 'use_pallas', 'beta'))
+def update_W_step(Vp, W, H, *, plan: ConvPlan, strategy: str,
+                  use_pallas: bool = False, beta: float = 2.0):
     """W-only update on a (mini)batch slice."""
     return _mu_W(get_ops(strategy), Vp, W, _enc_h(H, plan, strategy),
-                 plan=plan, use_pallas=use_pallas)
+                 plan=plan, use_pallas=use_pallas, beta=beta)
 
 
-@partial(jax.jit, static_argnames=('plan', 'strategy'))
-def grad_W_stats(Vp, W, H, *, plan: ConvPlan, strategy: str):
+@partial(jax.jit, static_argnames=('plan', 'strategy', 'beta'))
+def grad_W_stats(Vp, W, H, *, plan: ConvPlan, strategy: str, beta: float = 2.0):
     """(neg, pos) sufficient statistics of the W gradient for the minibatch
     accumulators (reference ``_accumulate_gradient_W``,
     ``TransformInvariantNMF.py:444-455``)."""
     ops = get_ops(strategy)
     H = _enc_h(H, plan, strategy)
     R = ops.reconstruct(W, H, plan)
+    if beta != 2.0:
+        return _beta_grad_pair(ops, ops.grad_W_pair, Vp, R, H, plan, beta)
     return ops.grad_W_pair(Vp, R, H, plan)
 
 

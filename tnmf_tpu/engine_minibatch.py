@@ -34,7 +34,7 @@ from . import engine
 from .ops.modes import ConvPlan
 
 _STATICS = ('plan', 'strategy', 'algorithm', 'use_inhibition', 'use_cross',
-            'use_pallas', 'use_pallas_gw', 'record_energies')
+            'use_pallas', 'use_pallas_gw', 'record_energies', 'beta')
 
 
 @partial(jax.jit, static_argnames=_STATICS, donate_argnums=(1, 2))
@@ -43,7 +43,7 @@ def minibatch_fit_loop(
     plan: ConvPlan, strategy: str, algorithm: int,
     use_inhibition: bool = False, use_cross: bool = False,
     use_pallas: bool = False, use_pallas_gw: bool = False,
-    record_energies: bool = False, V_flat=None,
+    record_energies: bool = False, V_flat=None, beta: float = 2.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run ``n_epochs`` minibatch epochs on device.
 
@@ -81,10 +81,12 @@ def minibatch_fit_loop(
     def mu_H(Vb, W, Hb):
         return engine._mu_H(ops, Vb, W, Hb, sparsity, inhibition, cross_inhibition,
                             kernels, plan=plan, use_inhibition=use_inhibition,
-                            use_cross=use_cross, use_pallas=use_pallas)
+                            use_cross=use_cross, use_pallas=use_pallas, beta=beta)
 
     def grad_W(Vb, W, Hb):
         R = ops.reconstruct(W, Hb, plan)
+        if beta != 2.0:
+            return engine._beta_grad_pair(ops, ops.grad_W_pair, Vb, R, Hb, plan, beta)
         if use_pallas_gw and strategy == 'conv':
             from .ops import conv
             from .experimental import pallas_gw
@@ -152,8 +154,8 @@ def minibatch_fit_loop(
             # and they contribute nothing to the energy
             H_flat = H_b.reshape((-1,) + H_b.shape[2:])
             R = ops.reconstruct(W, H_flat, plan)
-            d = V_flat.astype(acc_dtype) - R.astype(acc_dtype)
-            return (W, H_b, acc), 0.5 * jnp.sum(d * d)
+            from .ops import beta as beta_ops
+            return (W, H_b, acc), beta_ops.divergence(V_flat, R, beta).astype(acc_dtype)
         return (W, H_b, acc), jnp.zeros((), acc_dtype)
 
     (W, H_b, _), energies = jax.lax.scan(epoch_step, (W, H_b, zero_stat), perms)

@@ -46,6 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import engine
+from ..ops import beta as beta_ops
 from ..ops.inhibition import inhibition_kernels, resolve_inhibition_range
 from ..ops.modes import ConvPlan
 
@@ -164,6 +165,15 @@ class TransformInvariantNMF:
         axis of H shard, for atom counts too large for one device;
         'samples+atoms' combines data and atom parallelism on a 2-D mesh
         from ``tnmf_tpu.parallel.make_mesh_2d_atoms``.
+    beta_loss : float or str, optional
+        Reconstruction objective: the beta-divergence D_beta(V || R).
+        ``2.0`` / ``'frobenius'`` (default) is the reference's squared
+        Euclidean energy; ``1.0`` / ``'kullback-leibler'`` and ``0.0`` /
+        ``'itakura-saito'`` (or any float) generalize it — a capability the
+        reference cites (Serizel et al. 2016) but does not implement.  All
+        fit drivers, strategies, regularizers, meshes and the serving API
+        honor it; ``energies_`` and ``tol`` then track the divergence.
+        ``beta_loss <= 0`` requires strictly positive data.
     precision : {None, 'default', 'high', 'highest'}, optional
         Multiply precision of the contraction units. On TPU the default is
         bfloat16 multiplies with float32 accumulation (fastest); 'highest'
@@ -187,6 +197,7 @@ class TransformInvariantNMF:
             init: str = 'host',
             shard_axis: str = 'samples',
             precision: Optional[str] = None,
+            beta_loss: Union[float, str] = 2.0,
     ):
         self.atom_shape = tuple(int(a) for a in atom_shape)
         self.n_atoms = int(n_atoms)
@@ -194,6 +205,11 @@ class TransformInvariantNMF:
         self._inhibition_kernels_1D = inhibition_kernels(self._inhibition_range)
         self._axes_W_normalization = tuple(range(-len(self.atom_shape), 0))
         self.eps = engine.EPS
+        self._beta = beta_ops.resolve_beta_loss(beta_loss)
+        if self._beta != 2.0 and use_pallas is True:
+            raise ValueError(
+                'beta_loss != 2 runs XLA-only: the experimental Pallas '
+                'kernels implement the Euclidean (beta = 2) statistics')
 
         try:
             self._strategy_request = _BACKEND_STRATEGY[backend.lower()]
@@ -272,10 +288,26 @@ class TransformInvariantNMF:
     def _reconstruct(self):
         return engine.reconstruct(self._W, self._H, plan=self._plan, strategy=self._strategy)
 
+    def _assert_beta_domain(self, V):
+        """``beta_loss <= 0`` (Itakura-Saito family) needs strictly positive
+        data: D_beta(v || r) diverges as v -> 0 for beta <= 0 (same contract
+        as sklearn.decomposition.NMF)."""
+        if self._beta > 0:
+            return
+        if isinstance(V, jax.Array) and not V.is_fully_addressable:
+            ok = bool(jnp.all(V > 0))
+        else:
+            ok = bool(np.all(np.asarray(V) > 0))
+        if not ok:
+            raise ValueError(
+                f'beta_loss = {self._beta} (Itakura-Saito family) requires '
+                'strictly positive data, but V contains zeros')
+
     def _energy_function(self) -> float:
         # _Vd is stored in fit order, matching the device-side H
         return float(engine.energy(self._Vd, self._W, self._H,
-                                   plan=self._plan, strategy=self._strategy))
+                                   plan=self._plan, strategy=self._strategy,
+                                   beta=self._beta))
 
     # ------------------------------------------------------------------
     # initialization
@@ -413,7 +445,12 @@ class TransformInvariantNMF:
                 Vd, self._W, self._H = shard_model_state(
                     self._mesh, Vd, self._W, self._H, axis=self._shard_axis)
         self._Vd = Vd
-        self._Vp = engine.prepare_data(Vd, plan=self._plan, strategy=self._strategy)
+        # beta != 2: the gradient inputs A = V * R**(beta-2), B = R**(beta-1)
+        # depend on R, so there is no loop-invariant transform of V to
+        # precompute; the engine receives the canonical data tensor instead
+        # (tnmf_tpu.ops.beta docstring)
+        self._Vp = (Vd if self._beta != 2.0 else
+                    engine.prepare_data(Vd, plan=self._plan, strategy=self._strategy))
 
     def _pallas_mu_enabled(self, n_samples: int) -> bool:
         """Resolve the use_pallas tri-state for the inhibited-H kernel.
@@ -494,6 +531,7 @@ class TransformInvariantNMF:
           Incompatible with callbacks and ``record_energies``.
         """
         _assert_nonnegative(V)
+        self._assert_beta_domain(V)
         assert update_H or update_W
         assert sparsity_H >= 0
         assert inhibition_strength >= 0
@@ -531,6 +569,7 @@ class TransformInvariantNMF:
             use_cross=cross_atom_inhibition_strength > 0,
             use_pallas=self._pallas_mu_enabled(self._H.shape[0]),
             use_pallas_gw=self._use_pallas_gw,
+            beta=self._beta,
         )
         scalars = (jnp.asarray(sparsity_H, self._W.dtype),
                    jnp.asarray(inhibition_strength, self._W.dtype),
@@ -631,6 +670,7 @@ class TransformInvariantNMF:
             record_energies: bool = False,
     ):
         _assert_nonnegative(V)
+        self._assert_beta_domain(V)
         assert sparsity_H >= 0
         assert inhibition_strength >= 0
         assert cross_atom_inhibition_strength >= 0
@@ -753,7 +793,8 @@ class TransformInvariantNMF:
                 use_cross=cross_atom_inhibition_strength > 0,
                 use_pallas=self._pallas_mu_enabled(batch_size),
                 use_pallas_gw=self._use_pallas_gw,
-                record_energies=record_energies, V_flat=V_flat)
+                record_energies=record_energies, V_flat=V_flat,
+                beta=self._beta)
             self._W = W
             self._H = H_b.reshape((nb * batch_size,) + H_b.shape[2:])[:n]
             if record_energies:
@@ -775,7 +816,8 @@ class TransformInvariantNMF:
                             jnp.asarray(cross_atom_inhibition_strength, dt))
         self._mb_flags = dict(use_inhibition=inhibition_strength > 0,
                               use_cross=cross_atom_inhibition_strength > 0,
-                              use_pallas=self._pallas_mu_enabled(batch_size))
+                              use_pallas=self._pallas_mu_enabled(batch_size),
+                              beta=self._beta)
 
         inner_stat = None
         for epoch in range(n_epochs):
@@ -808,11 +850,12 @@ class TransformInvariantNMF:
     def _update_W_batch(self, s: slice):
         self._W = engine.update_W_step(
             self._Vp[s], self._W, self._H[s], plan=self._plan, strategy=self._strategy,
-            use_pallas=self._use_pallas_gw)
+            use_pallas=self._use_pallas_gw, beta=self._beta)
 
     def _grad_W_batch(self, s: slice):
         return engine.grad_W_stats(
-            self._Vp[s], self._W, self._H[s], plan=self._plan, strategy=self._strategy)
+            self._Vp[s], self._W, self._H[s], plan=self._plan, strategy=self._strategy,
+            beta=self._beta)
 
     def _apply_W_stats(self, neg, pos):
         self._W = engine.apply_W_update(self._W, neg, pos, n_shift_axes=self._plan.ndim)

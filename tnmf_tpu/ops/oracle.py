@@ -104,36 +104,43 @@ def reconstruct(W: np.ndarray, H: np.ndarray, mode: str) -> np.ndarray:
     return R
 
 
+def corr_H(X: np.ndarray, W: np.ndarray, mode: str) -> np.ndarray:
+    """``corr(X~, W)`` contracted over channels — the H-gradient correlation
+    applied to an arbitrary data-space tensor ``X`` (``X = V`` gives the
+    Euclidean neg part, ``X = R`` the pos part; the beta-divergence rules
+    feed ``V * R**(beta-2)`` / ``R**(beta-1)``, see :mod:`tnmf_tpu.ops.beta`)."""
+    atom_shape = W.shape[2:]
+    tshape = transform_shape(mode, X.shape[2:], atom_shape)
+    Xp = _extend_X_right(np.asarray(X), mode, atom_shape)
+    G = np.zeros((X.shape[0], W.shape[0]) + tshape, dtype=np.result_type(W, X))
+    for a in np.ndindex(*atom_shape):
+        G += np.einsum('nc...,mc->nm...', _shifted_view(Xp, a, tshape), W[(slice(None), slice(None)) + a])
+    return G
+
+
+def corr_W(X: np.ndarray, H: np.ndarray, mode: str, atom_shape: Tuple[int, ...]) -> np.ndarray:
+    """``corr(X~, H)`` contracted over samples and shifts — the W-gradient
+    correlation applied to an arbitrary data-space tensor ``X``."""
+    tshape = H.shape[2:]
+    Xp = _extend_X_right(np.asarray(X), mode, atom_shape)
+    G = np.zeros((H.shape[1], X.shape[1]) + tuple(atom_shape), dtype=np.result_type(H, X))
+    Hflat = np.ascontiguousarray(H).reshape(H.shape[0], H.shape[1], -1)
+    for a in np.ndindex(*atom_shape):
+        Xflat = np.ascontiguousarray(_shifted_view(Xp, a, tshape)).reshape(X.shape[0], X.shape[1], -1)
+        G[(slice(None), slice(None)) + a] = np.einsum('nmt,nct->mc', Hflat, Xflat)
+    return G
+
+
 def reconstruction_gradient_H(V: np.ndarray, W: np.ndarray, H: np.ndarray, mode: str) -> Tuple[np.ndarray, np.ndarray]:
     """(neg, pos) = (corr(V~, W), corr(R~, W)) contracted over channels."""
-    atom_shape = W.shape[2:]
     R = reconstruct(W, H, mode)
-    tshape = transform_shape(mode, V.shape[2:], atom_shape)
-    out = []
-    for X in (V, R):
-        Xp = _extend_X_right(np.asarray(X), mode, atom_shape)
-        G = np.zeros((V.shape[0], W.shape[0]) + tshape, dtype=np.result_type(W, H))
-        for a in np.ndindex(*atom_shape):
-            G += np.einsum('nc...,mc->nm...', _shifted_view(Xp, a, tshape), W[(slice(None), slice(None)) + a])
-        out.append(G)
-    return tuple(out)
+    return corr_H(V, W, mode), corr_H(R.astype(np.result_type(W, H)), W, mode)
 
 
 def reconstruction_gradient_W(V: np.ndarray, W: np.ndarray, H: np.ndarray, mode: str) -> Tuple[np.ndarray, np.ndarray]:
     """(neg, pos) = (corr(V~, H), corr(R~, H)) contracted over samples and shifts."""
-    atom_shape = W.shape[2:]
-    tshape = H.shape[2:]
     R = reconstruct(W, H, mode)
-    out = []
-    for X in (V, R):
-        Xp = _extend_X_right(np.asarray(X), mode, atom_shape)
-        G = np.zeros(W.shape, dtype=np.result_type(W, H))
-        Hflat = np.ascontiguousarray(H).reshape(H.shape[0], H.shape[1], -1)
-        for a in np.ndindex(*atom_shape):
-            Xflat = np.ascontiguousarray(_shifted_view(Xp, a, tshape)).reshape(V.shape[0], V.shape[1], -1)
-            G[(slice(None), slice(None)) + a] = np.einsum('nmt,nct->mc', Hflat, Xflat)
-        out.append(G)
-    return tuple(out)
+    return corr_W(V, H, mode, W.shape[2:]), corr_W(R, H, mode, W.shape[2:])
 
 
 def reconstruction_energy(V: np.ndarray, W: np.ndarray, H: np.ndarray, mode: str) -> float:
