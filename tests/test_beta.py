@@ -215,3 +215,27 @@ def test_beta_transform_serving():
     H = nmf.transform(V, n_iterations=10)
     assert H.shape == nmf.H.shape
     assert np.all(H >= 0)
+
+
+def test_beta_sharded_matches_single_device():
+    """A data-parallel KL fit reproduces the single-device trajectory (the
+    beta statistics are still exact sums over samples, so the psum-reduced
+    shards are mathematically identical)."""
+    import jax
+    if jax.device_count() < 8:
+        pytest.skip('needs 8 (virtual) devices')
+    from tnmf_tpu.parallel import make_mesh
+    rng = np.random.default_rng(6)
+    V = rng.random((8, 2, 12, 12)) + 0.05
+
+    np.random.seed(42)
+    single = TransformInvariantNMF(4, (3, 3), backend='jax_conv', beta_loss=1.0)
+    single.fit(V, n_iterations=5)
+
+    np.random.seed(42)
+    sharded = TransformInvariantNMF(4, (3, 3), backend='jax_conv', beta_loss=1.0,
+                                    mesh=make_mesh(8))
+    sharded.fit(V, n_iterations=5)
+
+    np.testing.assert_allclose(sharded.W, single.W, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(sharded.H, single.H, rtol=1e-8, atol=1e-10)
