@@ -44,10 +44,21 @@ from .ops.modes import ConvPlan
 EPS = 1.0e-9  # reference: TransformInvariantNMF.py:166
 
 
-def get_ops(strategy: str):
+def get_ops(strategy):
     """The operator module ('fft', 'conv' or 'phased') implementing the
     backend contract: prepare_data / reconstruct / grad_H_pair /
-    grad_W_pair."""
+    grad_W_pair.
+
+    A tuple ``(base_strategy, TransformGroup)`` selects the transform-group
+    adapter (:mod:`tnmf_tpu.ops.transforms`): the base operators run on the
+    expanded tied dictionary and the W statistics are pulled back onto the
+    canonical atoms.  The tuple is hashable, so it rides through every
+    static ``strategy`` jit argument unchanged.
+    """
+    if isinstance(strategy, tuple):
+        base, group = strategy
+        from .ops.transforms import GroupOps
+        return GroupOps(get_ops(base), group)
     if strategy == 'fft':
         return fft_ops
     if strategy == 'conv':
@@ -165,7 +176,13 @@ def reconstruct(W, H, *, plan: ConvPlan, strategy: str):
 
 @partial(jax.jit, static_argnames=('plan', 'strategy', 'i_atom'))
 def partial_reconstruct(W, H, *, plan: ConvPlan, strategy: str, i_atom: int):
-    """Reconstruction restricted to one atom (reference ``_Backend.py:124``)."""
+    """Reconstruction restricted to one atom (reference ``_Backend.py:124``).
+    Under a transform group the slice covers the canonical atom together
+    with all of its tied transformed copies (H is laid out m-major)."""
+    if isinstance(strategy, tuple):
+        g = strategy[1].size
+        return get_ops(strategy).reconstruct(
+            W[i_atom:i_atom + 1], H[:, i_atom * g:(i_atom + 1) * g], plan)
     return get_ops(strategy).reconstruct(
         W[i_atom:i_atom + 1],
         _enc_h(H[:, i_atom:i_atom + 1], plan, strategy), plan)

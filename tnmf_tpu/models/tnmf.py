@@ -178,6 +178,20 @@ class TransformInvariantNMF:
         Multiply precision of the contraction units. On TPU the default is
         bfloat16 multiplies with float32 accumulation (fastest); 'highest'
         forces full float32 multiplies for tighter float32 trajectories.
+    transform_type : {'shift', 'shift+flip', 'shift+rot90', 'shift+rot90+flip'}, default 'shift'
+        The invariance transform set.  ``'shift'`` is the reference's model
+        (shift invariance only; other transform types are explicitly
+        deferred there, ``TransformInvariantNMF.py:65-69``).  The extended
+        types additionally match every atom under mirror flips
+        (``2**ndim`` transforms), quarter-turn rotations (4; requires
+        square atoms in the last two axes), or both (the dihedral group
+        D4, 8) — each canonical atom is learned once and tied across its
+        transformed copies, with one activation map per (atom, transform):
+        ``H`` gains a transform axis, ``(n_samples, n_atoms, n_transforms,
+        *shift)``.  Lateral inhibition then acts per activation map, and
+        cross-atom inhibition spans all ``n_atoms * n_transforms`` maps.
+        A custom ``tnmf_tpu.ops.transforms.TransformGroup`` is also
+        accepted.  See :mod:`tnmf_tpu.ops.transforms`.
     """
 
     def __init__(
@@ -198,9 +212,19 @@ class TransformInvariantNMF:
             shard_axis: str = 'samples',
             precision: Optional[str] = None,
             beta_loss: Union[float, str] = 2.0,
+            transform_type: str = 'shift',
     ):
         self.atom_shape = tuple(int(a) for a in atom_shape)
         self.n_atoms = int(n_atoms)
+        from ..ops.transforms import make_group
+        self._group = make_group(transform_type, self.atom_shape)
+        self.transform_type = (transform_type if isinstance(transform_type, str)
+                               else self._group.name)
+        self.n_transforms = 1 if self._group is None else self._group.size
+        if self._group is not None and use_pallas is True:
+            raise ValueError(
+                'transform_type != "shift" runs XLA-only: the experimental '
+                'Pallas kernels implement the canonical (untied) statistics')
         self._inhibition_range = resolve_inhibition_range(inhibition_range, self.atom_shape)
         self._inhibition_kernels_1D = inhibition_kernels(self._inhibition_range)
         self._axes_W_normalization = tuple(range(-len(self.atom_shape), 0))
@@ -262,6 +286,18 @@ class TransformInvariantNMF:
 
     @property
     def H(self) -> np.ndarray:
+        """Activations ``(n_samples, n_atoms, *shift)``; with a non-trivial
+        ``transform_type``, ``(n_samples, n_atoms, n_transforms, *shift)``
+        (one shift map per tied transformed copy of each atom)."""
+        H = self._H_flat()
+        if self.n_transforms > 1:
+            H = H.reshape((H.shape[0], self.n_atoms, self.n_transforms)
+                          + H.shape[2:])
+        return H
+
+    def _H_flat(self) -> np.ndarray:
+        """De-shuffled activations in the internal m-major flat layout
+        ``(n_samples, n_atoms * n_transforms, *shift)``."""
         H = np.asarray(self._H)
         if self._shuffle_idx is None:
             return H
@@ -358,10 +394,21 @@ class TransformInvariantNMF:
         # canonical grid only).
         allow_phased = (allow_phased
                         and self._use_pallas_mode is not True
+                        and self._group is None
                         and not (self._mesh is not None
                                  and self._shard_axis in ('spatial', 'both')))
         strategy = engine.resolve_strategy(strategy, self._plan, self.n_atoms,
                                            V.shape[1], allow_phased)
+        if self._group is not None:
+            # transform-group adapter: the base strategy runs on the tied
+            # expanded dictionary (tnmf_tpu.ops.transforms); validated for
+            # sample-sharded meshes only so far
+            if self._mesh is not None and self._shard_axis != 'samples':
+                raise ValueError(
+                    f"transform_type={self.transform_type!r} supports "
+                    f"shard_axis='samples' under a mesh "
+                    f"(got {self._shard_axis!r})")
+            strategy = (strategy, self._group)
         self._strategy = strategy
         dtype = self._resolve_dtype(V)
 
@@ -373,9 +420,10 @@ class TransformInvariantNMF:
                     f'keep_W: existing dictionary of shape {tuple(self._W.shape)} '
                     f'does not match the new data (expected {expected}); '
                     f'the channel count must stay constant across fits')
+        n_maps = self.n_atoms * self.n_transforms  # atom channels of H
         keep_h = keep_H and self._H is not None
         if keep_h:
-            expected_h = (V.shape[0], self.n_atoms) + self._plan.transform_shape
+            expected_h = (V.shape[0], n_maps) + self._plan.transform_shape
             if tuple(self._H.shape) != expected_h:
                 raise ValueError(
                     f'keep_H: existing activations of shape {tuple(self._H.shape)} '
@@ -388,7 +436,7 @@ class TransformInvariantNMF:
             # never exists unsharded anywhere (it can exceed any single
             # device's memory for large fits).
             self._device_key, sub = jax.random.split(self._device_key)
-            h_shape = (V.shape[0], self.n_atoms) + self._plan.transform_shape
+            h_shape = (V.shape[0], n_maps) + self._plan.transform_shape
             shardings = {}
             if self._mesh is not None:
                 from ..parallel.sharding import h_sharding, w_sharding
@@ -415,7 +463,7 @@ class TransformInvariantNMF:
                 H = np.asarray(self._H)
             else:
                 H = np.asarray(
-                    1 - self._rng.random((V.shape[0], self.n_atoms) + self._plan.transform_shape),
+                    1 - self._rng.random((V.shape[0], n_maps) + self._plan.transform_shape),
                     dtype=V.dtype)
             if keep:
                 W = np.asarray(self._W)
@@ -978,6 +1026,11 @@ class TransformInvariantNMF:
                 '(or load a checkpoint that includes H) first')
         if H is None:
             return self.R
+        H = np.asarray(H)
+        if self.n_transforms > 1 and H.ndim == 3 + self._plan.ndim:
+            # the public (n, atoms, transforms, *shift) layout -> flat m-major
+            H = H.reshape((H.shape[0], self.n_atoms * self.n_transforms)
+                          + H.shape[3:])
         R = engine.reconstruct(
             jnp.asarray(self._W), jnp.asarray(H, self._W.dtype),
             plan=self._plan, strategy=self._strategy)
@@ -1025,10 +1078,14 @@ class TransformInvariantNMF:
             atom_shape=np.asarray(self.atom_shape),
             inhibition_range=np.asarray(self._inhibition_range),
             reconstruction_mode=self._reconstruction_mode,
+            transform_type=self.transform_type,
             version=1,
         )
         if include_H and self._H is not None:
-            payload['H'] = host(self.H if self._shuffle_idx is not None else self._H)
+            # stored in the internal flat m-major layout (restore assigns it
+            # back to model._H directly)
+            payload['H'] = host(self._H_flat() if self._shuffle_idx is not None
+                                else self._H)
         if completed_iterations is not None:
             payload['completed_iterations'] = int(completed_iterations)
         final = path if path.endswith('.npz') else path + '.npz'
@@ -1054,6 +1111,8 @@ class TransformInvariantNMF:
                 inhibition_range=tuple(int(r) for r in data['inhibition_range']),
                 reconstruction_mode=str(data['reconstruction_mode']),
             )
+            if 'transform_type' in data:
+                cfg['transform_type'] = str(data['transform_type'])
             cfg.update(kwargs)
             model = cls(**cfg)
             model._W = jnp.asarray(W, dtype=dtype)
@@ -1087,11 +1146,14 @@ class TransformInvariantNMF:
         # spatially-sharded meshes (halo exchange is validated on the
         # canonical grid only) keep the plain lowering after a restore too
         allow_phased = (self._use_pallas_mode is not True
+                        and self._group is None
                         and not (self._mesh is not None
                                  and self._shard_axis in ('spatial', 'both')))
         self._strategy = engine.resolve_strategy(
             strategy, self._plan, self.n_atoms, self._W.shape[1],
             allow_phased)
+        if self._group is not None:
+            self._strategy = (self._strategy, self._group)
 
     # ------------------------------------------------------------------
     # distributed (sharded) checkpointing via orbax — the at-scale path
@@ -1127,6 +1189,7 @@ class TransformInvariantNMF:
             dtype=str(self._W.dtype),
             w_shape=list(self._W.shape),
             h_shape=list(self._H.shape) if 'H' in state else None,
+            transform_type=self.transform_type,
             version=1,
         )
         if jax.process_index() == 0:
@@ -1157,6 +1220,8 @@ class TransformInvariantNMF:
             mesh=mesh,
             shard_axis=shard_axis,
         )
+        if meta.get('transform_type', 'shift') != 'shift':
+            cfg['transform_type'] = meta['transform_type']
         cfg.update(kwargs)
         model = cls(**cfg)
 
