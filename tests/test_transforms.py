@@ -306,6 +306,85 @@ def test_transform_serving_roundtrip():
     np.testing.assert_allclose(m.inverse_transform(H), m.R, rtol=1e-12)
 
 
+def test_beta_divergence_composes_with_groups():
+    """beta != 2 moves the prepare transform inside the iteration
+    (engine._beta_grad_pair); the group adapter must tie those statistics
+    identically — pinned against the NumPy oracle for generalized KL."""
+    from tnmf_tpu.ops import beta as beta_ops
+    V = _data(seed=21, n=2, c=1, sample=(11,))
+    beta = 1.0
+    m = TransformInvariantNMF(n_atoms=2, atom_shape=(4,), seed=6,
+                              transform_type='shift+flip',
+                              backend='jax_conv', beta_loss=beta,
+                              precision='highest')
+    m.fit_batch(V, n_iterations=5)
+    group = tr.make_group('shift+flip', (4,))
+    rng = np.random.default_rng(6)
+    tshape = oracle.transform_shape('valid', V.shape[2:], (4,))
+    H = 1 - rng.random((V.shape[0], 2 * group.size) + tshape)
+    W = 1 - rng.random((2, V.shape[1], 4))
+    W /= W.sum(axis=-1, keepdims=True)
+    for _ in range(5):
+        We = _np_expand(W, group)
+        R = oracle.reconstruct(We, H, 'valid')
+        A, B = beta_ops.np_factors(V, R, beta)
+        H = H * oracle.corr_H(A, We, 'valid') / (
+            oracle.corr_H(B, We, 'valid') + EPS)
+        R = oracle.reconstruct(_np_expand(W, group), H, 'valid')
+        A, B = beta_ops.np_factors(V, R, beta)
+        neg = _np_tie(oracle.corr_W(A, H, 'valid', (4,)), group)
+        pos = _np_tie(oracle.corr_W(B, H, 'valid', (4,)), group)
+        W = W * neg / (pos + EPS)
+        s = W.sum(axis=-1, keepdims=True)
+        W = W / np.where(s == 0, 1, s)
+    np.testing.assert_allclose(m.W, W, rtol=1e-7)
+    np.testing.assert_allclose(m._H_flat(), H, rtol=1e-7)
+
+
+def test_tol_early_stopping_grouped():
+    V = _data(seed=23, n=4, c=1, sample=(12,))
+    m = TransformInvariantNMF(n_atoms=2, atom_shape=(4,), seed=8,
+                              transform_type='shift+flip')
+    m.fit_batch(V, n_iterations=500, tol=1e-3, tol_check_every=5)
+    assert m.n_iterations_ is not None and m.n_iterations_ < 500
+    # the stopped state must equal an exact fixed-count fit
+    m2 = TransformInvariantNMF(n_atoms=2, atom_shape=(4,), seed=8,
+                               transform_type='shift+flip')
+    m2.fit_batch(V, n_iterations=m.n_iterations_)
+    np.testing.assert_allclose(m.W, m2.W, rtol=1e-9)
+    np.testing.assert_allclose(m.H, m2.H, rtol=1e-9)
+
+
+def test_record_energies_grouped_decreasing():
+    V = _data(seed=24, n=3, c=1, sample=(12,))
+    m = TransformInvariantNMF(n_atoms=2, atom_shape=(4,), seed=9,
+                              transform_type='shift+flip')
+    m.fit_batch(V, n_iterations=20, record_energies=True)
+    e = np.asarray(m.energies_)
+    assert e.shape == (20,)
+    assert e[-1] < e[0]
+    np.testing.assert_allclose(e[-1], m._energy_function(), rtol=1e-6)
+
+
+def test_fit_stream_grouped():
+    V = _data(seed=25, n=9, c=1, sample=(12,))
+    m = TransformInvariantNMF(n_atoms=2, atom_shape=(4,), seed=10,
+                              transform_type='shift+flip')
+    m.fit(iter(V), subsample_size=3, n_iterations=3)
+    assert m.W.shape == (2, 1, 4)
+    assert m.H.shape == (3, 2, 2, 15)  # last subsample's activations
+
+
+def test_bfloat16_grouped_smoke():
+    import jax.numpy as jnp
+    V = _data(seed=26, n=3, c=1, sample=(12,), dtype=np.float32)
+    m = TransformInvariantNMF(n_atoms=2, atom_shape=(4,), seed=11,
+                              transform_type='shift+flip', dtype='bfloat16')
+    m.fit_batch(V, n_iterations=5)
+    assert m._W.dtype == jnp.bfloat16
+    assert np.isfinite(m._energy_function())
+
+
 def test_error_paths():
     with pytest.raises(ValueError, match='square atoms'):
         TransformInvariantNMF(2, (3, 4), transform_type='shift+rot90')
