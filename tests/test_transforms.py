@@ -306,6 +306,30 @@ def test_transform_serving_roundtrip():
     np.testing.assert_allclose(m.inverse_transform(H), m.R, rtol=1e-12)
 
 
+@pytest.mark.parametrize('mode', ['valid', 'full', 'circular', 'reflect'])
+def test_phased_lowering_composes_with_groups(monkeypatch, mode):
+    """The phase-decomposed TPU lowering must produce the same grouped
+    trajectory as the plain conv strategy (H rides in the phase-blocked
+    layout; the adapter expands W / ties gradients around it)."""
+    V = _data(seed=31, n=2, c=1, sample=(12, 12))
+    results = {}
+    for phased_on in (False, True):
+        monkeypatch.setattr(engine, '_phased_platform_ok', lambda: phased_on)
+        m = TransformInvariantNMF(n_atoms=2, atom_shape=(5, 5), seed=12,
+                                  transform_type='shift+flip',
+                                  backend='jax_conv', precision='highest',
+                                  reconstruction_mode=mode)
+        m.fit_batch(V, n_iterations=4, sparsity_H=0.05,
+                    inhibition_strength=0.1,
+                    cross_atom_inhibition_strength=0.05)
+        assert m._strategy == (('phased' if phased_on else 'conv'), m._group)
+        results[phased_on] = (m.W, m.H, m.R_partial(0),
+                              m._energy_function())
+    for a, b in zip(results[False][:3], results[True][:3]):
+        np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(results[False][3], results[True][3], rtol=1e-7)
+
+
 def test_beta_divergence_composes_with_groups():
     """beta != 2 moves the prepare transform inside the iteration
     (engine._beta_grad_pair); the group adapter must tie those statistics

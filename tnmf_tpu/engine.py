@@ -70,17 +70,27 @@ def get_ops(strategy):
         f'unknown strategy {strategy!r}; choose "fft", "conv" or "phased"')
 
 
-def _enc_h(H, plan: ConvPlan, strategy: str):
+def _enc_h(H, plan: ConvPlan, strategy):
     """Canonical H -> the strategy's loop-carried representation (the
-    phase-blocked layout for 'phased', identity otherwise)."""
-    if strategy == 'phased':
+    phase-blocked layout for 'phased', identity otherwise).  For a
+    transform-group tuple the base strategy decides the layout."""
+    base = strategy[0] if isinstance(strategy, tuple) else strategy
+    if base == 'phased':
         from .ops import phased
         return phased.encode_h(H, plan)
     return H
 
 
-def _dec_h(H, plan: ConvPlan, strategy: str, n_atoms: int):
-    """Inverse of :func:`_enc_h`."""
+def _dec_h(H, plan: ConvPlan, strategy, n_atoms: int):
+    """Inverse of :func:`_enc_h`.  ``n_atoms`` is the *canonical* atom
+    count (W.shape[0]); under a transform group H carries one channel per
+    (atom, transform) pair."""
+    if isinstance(strategy, tuple):
+        base, group = strategy
+        if base != 'phased':
+            return H
+        from .ops import phased
+        return phased.decode_h(H, plan, n_atoms * group.size)
     if strategy == 'phased':
         from .ops import phased
         return phased.decode_h(H, plan, n_atoms)
@@ -179,13 +189,10 @@ def partial_reconstruct(W, H, *, plan: ConvPlan, strategy: str, i_atom: int):
     """Reconstruction restricted to one atom (reference ``_Backend.py:124``).
     Under a transform group the slice covers the canonical atom together
     with all of its tied transformed copies (H is laid out m-major)."""
-    if isinstance(strategy, tuple):
-        g = strategy[1].size
-        return get_ops(strategy).reconstruct(
-            W[i_atom:i_atom + 1], H[:, i_atom * g:(i_atom + 1) * g], plan)
+    g = strategy[1].size if isinstance(strategy, tuple) else 1
     return get_ops(strategy).reconstruct(
         W[i_atom:i_atom + 1],
-        _enc_h(H[:, i_atom:i_atom + 1], plan, strategy), plan)
+        _enc_h(H[:, i_atom * g:(i_atom + 1) * g], plan, strategy), plan)
 
 
 @partial(jax.jit, static_argnames=('plan', 'strategy', 'beta'))

@@ -394,11 +394,13 @@ class TransformInvariantNMF:
         # canonical grid only).
         allow_phased = (allow_phased
                         and self._use_pallas_mode is not True
-                        and self._group is None
                         and not (self._mesh is not None
                                  and self._shard_axis in ('spatial', 'both')))
-        strategy = engine.resolve_strategy(strategy, self._plan, self.n_atoms,
-                                           V.shape[1], allow_phased)
+        # under a transform group H carries n_atoms * n_transforms maps —
+        # that is the channel count the phased-applicability cost model sees
+        strategy = engine.resolve_strategy(
+            strategy, self._plan, self.n_atoms * self.n_transforms,
+            V.shape[1], allow_phased)
         if self._group is not None:
             # transform-group adapter: the base strategy runs on the tied
             # expanded dictionary (tnmf_tpu.ops.transforms); validated for
@@ -1146,12 +1148,11 @@ class TransformInvariantNMF:
         # spatially-sharded meshes (halo exchange is validated on the
         # canonical grid only) keep the plain lowering after a restore too
         allow_phased = (self._use_pallas_mode is not True
-                        and self._group is None
                         and not (self._mesh is not None
                                  and self._shard_axis in ('spatial', 'both')))
         self._strategy = engine.resolve_strategy(
-            strategy, self._plan, self.n_atoms, self._W.shape[1],
-            allow_phased)
+            strategy, self._plan, self.n_atoms * self.n_transforms,
+            self._W.shape[1], allow_phased)
         if self._group is not None:
             self._strategy = (self._strategy, self._group)
 

@@ -175,6 +175,19 @@ class GroupOps:
     def __init__(self, base, group: TransformGroup):
         self.base = base
         self.group = group
+        # the engine detects the phased lowering by the presence of
+        # encode_h (engine._mu_H); forward it so the adapter composes with
+        # the phase-blocked H carry too
+        if hasattr(base, 'encode_h'):
+            self.encode_h = base.encode_h
+            self.decode_h = base.decode_h
+
+    def inhibition_positive_term_phased(self, Hph, kernels, plan, n_atoms,
+                                        *args, **kwargs):
+        """Phased-layout inhibition; ``n_atoms`` arrives as the canonical
+        count (W.shape[0]) but H carries one map per (atom, transform)."""
+        return self.base.inhibition_positive_term_phased(
+            Hph, kernels, plan, n_atoms * self.group.size, *args, **kwargs)
 
     def prepare_data(self, V, plan):
         return self.base.prepare_data(V, plan)
