@@ -70,6 +70,8 @@ def main(progress_bar=None, verbose: bool = True):
     for i_atom in range(n):
         fig, axes = plt.subplots(1, 2, figsize=(8, 3))
         Hmap = nmf.H[0, i_atom]
+        if Hmap.ndim == 3:  # transform groups: one map per transformed copy
+            Hmap = Hmap.sum(axis=0)
         axes[0].imshow(Hmap, cmap='viridis')
         axes[0].set_title(f'activations, atom {i_atom}')
         part = nmf.R_partial(i_atom)[0]

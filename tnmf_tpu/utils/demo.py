@@ -50,12 +50,22 @@ def st_define_nmf_params(default_params: dict, have_ground_truth: bool = True,
         index=['valid', 'full', 'circular', 'reflect'].index(
             default_params.get('reconstruction_mode', 'valid')))
     backend = st.sidebar.selectbox('Backend', ['auto', 'jax_fft', 'jax_conv'], index=0)
+    # transform invariances beyond shift (tnmf_tpu.ops.transforms);
+    # rotations need square atoms in the last two axes
+    transform_options = ['shift', 'shift+flip']
+    if len(atom_shape) >= 2 and atom_shape[-1] == atom_shape[-2]:
+        transform_options += ['shift+rot90', 'shift+rot90+flip']
+    transform_type = st.sidebar.selectbox(
+        'Transform invariance', transform_options,
+        index=transform_options.index(
+            default_params.get('transform_type', 'shift')))
 
     nmf_params = dict(
         n_atoms=n_atoms,
         atom_shape=atom_shape,
         reconstruction_mode=reconstruction_mode,
         backend=backend,
+        transform_type=transform_type,
     )
 
     explanation('## Fit parameters', verbose)
