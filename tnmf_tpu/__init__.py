@@ -11,10 +11,12 @@ A from-scratch JAX/XLA rebuild of the capabilities of the ``tnmf`` package
 Public API::
 
     from tnmf_tpu import TransformInvariantNMF, MiniBatchAlgorithm
+    from tnmf_tpu import TransformGroup   # custom invariance transform sets
 """
 
 from .models.tnmf import MiniBatchAlgorithm, TransformInvariantNMF
+from .ops.transforms import TransformGroup
 
-__all__ = ['TransformInvariantNMF', 'MiniBatchAlgorithm']
+__all__ = ['TransformInvariantNMF', 'MiniBatchAlgorithm', 'TransformGroup']
 
 __version__ = '0.1.0'

@@ -1,3 +1,3 @@
-from . import conv, fft, inhibition, modes, oracle
+from . import conv, fft, inhibition, modes, oracle, transforms
 
-__all__ = ['conv', 'fft', 'inhibition', 'modes', 'oracle']
+__all__ = ['conv', 'fft', 'inhibition', 'modes', 'oracle', 'transforms']
