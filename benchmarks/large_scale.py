@@ -28,18 +28,25 @@ from tnmf_tpu.ops.modes import ConvPlan  # noqa: E402
 def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
         dtype='float32', strategy='conv', iters=(20, 120),
         inhibition=0.0, use_pallas=False, label='', resolve=True, mode='valid',
-        update_W=True):
+        update_W=True, transform_type=None):
     plan = ConvPlan.create(mode, sample, atom)
+    group = None
+    if transform_type:  # tied transform-invariant dictionary (ops/transforms)
+        from tnmf_tpu.ops import transforms as tr
+        group = tr.make_group(transform_type, atom)
+    n_maps = n_atoms * (group.size if group else 1)
     if resolve:  # the model's strategy resolution (phased upgrade on TPU)
-        strategy = engine.resolve_strategy(strategy, plan, n_atoms, n_channels,
+        strategy = engine.resolve_strategy(strategy, plan, n_maps, n_channels,
                                            allow_phased=not use_pallas)
+    if group is not None:
+        strategy = (strategy, group)
     dt = jnp.dtype(dtype)
     key = jax.random.PRNGKey(0)
     kv, ki = jax.random.split(key)
     V = jax.jit(lambda k: jax.random.uniform(k, (n_samples, n_channels) + sample, dt))(kv)
     W0, H0 = engine.init_matrices(
         ki, w_shape=(n_atoms, n_channels) + atom,
-        h_shape=(n_samples, n_atoms) + plan.transform_shape,
+        h_shape=(n_samples, n_maps) + plan.transform_shape,
         n_shift_axes=plan.ndim, dtype=dt)
 
     Vp = engine.prepare_data(V, plan=plan, strategy=strategy)
@@ -71,6 +78,8 @@ def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
     if per_iter <= 0:  # scheduler noise swamped the subtraction
         per_iter = (t2 - t1) / n2
     px = n_samples * n_channels * math.prod(sample)
+    if isinstance(strategy, tuple):
+        strategy = f'{strategy[0]}*{strategy[1].size}'
     print(f'{dtype:9s} {strategy:5s} N={n_samples:4d} {sample}x{atom}{label}: '
           f'{per_iter * 1e3:8.2f} ms/iter  {1 / per_iter:8.2f} it/s  '
           f'{px / per_iter / 1e9:6.2f} Gpx/s', flush=True)
@@ -89,6 +98,12 @@ def main():
     # the reference fixture scale, for continuity with bench.py
     run(n_samples=2, sample=(76, 102), atom=(7, 7), n_atoms=10, n_channels=3,
         iters=(200, 1200))
+    # transform-group adapter at equal map count: 4 canonical atoms tied
+    # across the 4 mirror flips carry the same 16 activation maps as the
+    # plain 16-atom row above — invariance should cost ~nothing per
+    # iteration (the expand/tie ops touch only the tiny W)
+    run(n_samples=n, n_atoms=4, transform_type='shift+flip',
+        label=' flip-tied 4x4 maps')
     # serving path: transform() = H inference with the dictionary frozen
     # (update_W=False) — the per-iteration cost of encoding new data
     # against a trained model
