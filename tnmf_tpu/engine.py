@@ -196,37 +196,52 @@ def partial_reconstruct(W, H, *, plan: ConvPlan, strategy: str, i_atom: int):
 
 
 @partial(jax.jit, static_argnames=('plan', 'strategy', 'beta'))
-def energy(V, W, H, *, plan: ConvPlan, strategy: str, beta: float = 2.0):
+def energy(V, W, H, mask=None, *, plan: ConvPlan, strategy: str,
+           beta: float = 2.0):
     """Reconstruction objective: ``0.5 * sum((V - R)^2)`` for the default
     Euclidean loss (reference ``_Backend.py:127-130``), the beta-divergence
-    ``D_beta(V || R)`` otherwise (:mod:`tnmf_tpu.ops.beta`)."""
+    ``D_beta(V || R)`` otherwise (:mod:`tnmf_tpu.ops.beta`); with ``mask``,
+    the per-entry weighted objective."""
     R = get_ops(strategy).reconstruct(W, _enc_h(H, plan, strategy), plan)
     acc = jnp.promote_types(V.dtype, jnp.float32)  # f32 accumulation for bf16
-    return beta_ops.divergence(V, R, beta).astype(acc)
+    return beta_ops.divergence(V, R, beta, mask).astype(acc)
 
 
-def _beta_grad_pair(ops, grad_pair, Vc, R, other, plan, beta):
+def _beta_grad_pair(ops, grad_pair, Vc, R, other, plan, beta, mask=None):
     """(neg, pos) of a beta-divergence gradient: the strategy's Euclidean
     pair operator applied to ``A = V * R**(beta-2)`` (in the prepared-V
     slot) and ``B = R**(beta-1)`` (in the R slot).  ``Vc`` is the
     *canonical* data tensor — with beta != 2 the loop-invariant
     ``prepare_data`` transform moves inside the iteration because its
-    input depends on R."""
+    input depends on R.  A ``mask`` (missing-data / per-entry weights)
+    multiplies both factors: the masked objective's gradients are the
+    unmasked ones with every V-shaped stream weighted."""
     A, B = beta_ops.factors(Vc, R, beta)
+    if mask is not None:
+        A = A * mask.astype(A.dtype)
+        B = B * mask.astype(B.dtype)
     return grad_pair(ops.prepare_data(A, plan), B, other, plan)
 
 
 def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
-          plan, use_inhibition, use_cross, use_pallas=False, beta=2.0):
+          plan, use_inhibition, use_cross, use_pallas=False, beta=2.0,
+          mask=None):
     """One multiplicative H update (reference ``_update_H``,
     ``TransformInvariantNMF.py:246-271``).  ``H`` is in the strategy's
     loop-carried representation (phase-blocked for 'phased').  For
-    ``beta != 2``, ``Vp`` carries the canonical (unprepared) data tensor."""
+    ``beta != 2``, ``Vp`` carries the canonical (unprepared) data tensor.
+
+    With ``mask`` (beta = 2) ``Vp`` arrives pre-masked (``prepare(mask*V)``,
+    loop-invariant) and R is masked here — the exact MU rule for the
+    masked/weighted Euclidean objective, since both gradient halves are
+    correlations of V-shaped streams."""
     R = ops.reconstruct(W, H, plan)
     if beta == 2.0:
-        neg, pos = ops.grad_H_pair(Vp, R, W, plan)
+        Rm = R if mask is None else R * mask.astype(R.dtype)
+        neg, pos = ops.grad_H_pair(Vp, Rm, W, plan)
     else:
-        neg, pos = _beta_grad_pair(ops, ops.grad_H_pair, Vp, R, W, plan, beta)
+        neg, pos = _beta_grad_pair(ops, ops.grad_H_pair, Vp, R, W, plan, beta,
+                                   mask)
     if use_inhibition or use_cross:
         phased_mod = getattr(ops, 'encode_h', None) is not None
         if use_pallas and not phased_mod:
@@ -265,7 +280,7 @@ def _normalize_W(W, n_shift_axes):
     return W / jnp.where(s == 0, 1, s)
 
 
-def _mu_W(ops, Vp, W, H, *, plan, use_pallas=False, beta=2.0):
+def _mu_W(ops, Vp, W, H, *, plan, use_pallas=False, beta=2.0, mask=None):
     """One multiplicative W update with atom-wise sum normalization
     (reference ``_update_W`` + ``normalize``, ``TransformInvariantNMF.py:240-244``).
 
@@ -273,13 +288,17 @@ def _mu_W(ops, Vp, W, H, *, plan, use_pallas=False, beta=2.0):
     W-gradient statistics run through the blocked-GEMM Pallas kernel
     (:mod:`tnmf_tpu.experimental.pallas_gw`); measured at parity with the XLA conv
     lowering on the flagship config (benchmarks/pallas_fusion.py), kept
-    opt-in."""
+    opt-in (and skipped under a mask — it implements the unweighted
+    statistics)."""
     R = ops.reconstruct(W, H, plan)
     if beta != 2.0:
-        neg, pos = _beta_grad_pair(ops, ops.grad_W_pair, Vp, R, H, plan, beta)
+        neg, pos = _beta_grad_pair(ops, ops.grad_W_pair, Vp, R, H, plan, beta,
+                                   mask)
         Wn = W * neg / (pos + EPS)
         return _normalize_W(Wn, plan.ndim).astype(W.dtype)
-    if use_pallas and ops is conv_ops:
+    if mask is not None:
+        R = R * mask.astype(R.dtype)  # Vp is prepare(mask*V) already
+    if use_pallas and ops is conv_ops and mask is None:
         from .experimental import pallas_gw
         if pallas_gw.supported(plan, W.shape[0], 2 * W.shape[1], H.dtype):
             X2 = jnp.concatenate([Vp, conv_ops.extend_data(R, plan)], axis=1)
@@ -297,7 +316,8 @@ _STEP_STATICS = ('plan', 'strategy', 'update_H', 'update_W', 'use_inhibition',
 
 
 @partial(jax.jit, static_argnames=_STEP_STATICS)
-def update_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
+def update_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels,
+                mask=None, *,
                 plan: ConvPlan, strategy: str,
                 update_H: bool = True, update_W: bool = True,
                 use_inhibition: bool = False, use_cross: bool = False,
@@ -312,14 +332,17 @@ def update_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
     if update_H:
         H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
                   kernels, plan=plan, use_inhibition=use_inhibition,
-                  use_cross=use_cross, use_pallas=use_pallas, beta=beta)
+                  use_cross=use_cross, use_pallas=use_pallas, beta=beta,
+                  mask=mask)
     if update_W:
-        W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw, beta=beta)
+        W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw, beta=beta,
+                  mask=mask)
     return W, _dec_h(H, plan, strategy, W.shape[0])
 
 
 @partial(jax.jit, static_argnames=_STEP_STATICS, donate_argnums=(1, 2))
-def fit_loop(Vp, W, H, n_iterations, sparsity, inhibition, cross_inhibition, kernels, *,
+def fit_loop(Vp, W, H, n_iterations, sparsity, inhibition, cross_inhibition,
+             kernels, mask=None, *,
              plan: ConvPlan, strategy: str,
              update_H: bool = True, update_W: bool = True,
              use_inhibition: bool = False, use_cross: bool = False,
@@ -336,9 +359,11 @@ def fit_loop(Vp, W, H, n_iterations, sparsity, inhibition, cross_inhibition, ker
         if update_H:
             H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
                       kernels, plan=plan, use_inhibition=use_inhibition,
-                      use_cross=use_cross, use_pallas=use_pallas, beta=beta)
+                      use_cross=use_cross, use_pallas=use_pallas, beta=beta,
+                      mask=mask)
         if update_W:
-            W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw, beta=beta)
+            W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw,
+                      beta=beta, mask=mask)
         return W, H
 
     W, H = jax.lax.fori_loop(0, n_iterations, body, (W, _enc_h(H, plan, strategy)))
@@ -352,7 +377,8 @@ ENERGY_CHUNK = 32
 
 
 @partial(jax.jit, static_argnames=_STEP_STATICS + ('chunk',), donate_argnums=(2, 3))
-def _fit_energies_chunk(Vp, V, W, H, k, sparsity, inhibition, cross_inhibition, kernels, *,
+def _fit_energies_chunk(Vp, V, W, H, k, sparsity, inhibition, cross_inhibition,
+                        kernels, mask=None, *,
                         chunk: int,
                         plan: ConvPlan, strategy: str,
                         update_H: bool = True, update_W: bool = True,
@@ -370,11 +396,13 @@ def _fit_energies_chunk(Vp, V, W, H, k, sparsity, inhibition, cross_inhibition, 
         if update_H:
             H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
                       kernels, plan=plan, use_inhibition=use_inhibition,
-                      use_cross=use_cross, use_pallas=use_pallas, beta=beta)
+                      use_cross=use_cross, use_pallas=use_pallas, beta=beta,
+                      mask=mask)
         if update_W:
-            W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw, beta=beta)
+            W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw,
+                      beta=beta, mask=mask)
         R = ops.reconstruct(W, H, plan)
-        return (W, H), beta_ops.divergence(V, R, beta).astype(acc)
+        return (W, H), beta_ops.divergence(V, R, beta, mask).astype(acc)
 
     def idle(WH):
         return WH, jnp.asarray(jnp.inf, acc)
@@ -387,7 +415,8 @@ def _fit_energies_chunk(Vp, V, W, H, k, sparsity, inhibition, cross_inhibition, 
     return W, _dec_h(H, plan, strategy, W.shape[0]), energies
 
 
-def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
+def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition,
+                      kernels, mask=None, *,
                       n_iterations: int,
                       plan: ConvPlan, strategy: str,
                       update_H: bool = True, update_W: bool = True,
@@ -414,7 +443,8 @@ def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition, kerne
     while done < n:
         k = jnp.int32(min(ENERGY_CHUNK, n - done))
         W, H, es = _fit_energies_chunk(
-            Vp, V, W, H, k, sparsity, inhibition, cross_inhibition, kernels, **statics)
+            Vp, V, W, H, k, sparsity, inhibition, cross_inhibition, kernels,
+            mask, **statics)
         traces.append(es)
         done += ENERGY_CHUNK
     energies = (jnp.concatenate(traces)[:n] if traces
@@ -425,7 +455,7 @@ def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition, kerne
 @partial(jax.jit, static_argnames=_STEP_STATICS + ('check_every',),
          donate_argnums=(2, 3))
 def fit_loop_tol(Vp, V, W, H, n_max, tol, sparsity, inhibition,
-                 cross_inhibition, kernels, *,
+                 cross_inhibition, kernels, mask=None, *,
                  check_every: int,
                  plan: ConvPlan, strategy: str,
                  update_H: bool = True, update_W: bool = True,
@@ -453,14 +483,16 @@ def fit_loop_tol(Vp, V, W, H, n_max, tol, sparsity, inhibition,
         if update_H:
             H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
                       kernels, plan=plan, use_inhibition=use_inhibition,
-                      use_cross=use_cross, use_pallas=use_pallas, beta=beta)
+                      use_cross=use_cross, use_pallas=use_pallas, beta=beta,
+                      mask=mask)
         if update_W:
-            W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw, beta=beta)
+            W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw,
+                      beta=beta, mask=mask)
         return W, H
 
     def e_of(W, H):
         R = ops.reconstruct(W, H, plan)
-        return beta_ops.divergence(V, R, beta).astype(acc)
+        return beta_ops.divergence(V, R, beta, mask).astype(acc)
 
     H = _enc_h(H, plan, strategy)
     e0 = e_of(W, H)
@@ -483,7 +515,8 @@ def fit_loop_tol(Vp, V, W, H, n_max, tol, sparsity, inhibition,
 
 
 @partial(jax.jit, static_argnames=('plan', 'strategy', 'use_inhibition', 'use_cross', 'use_pallas', 'beta'))
-def update_H_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
+def update_H_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels,
+                  mask=None, *,
                   plan: ConvPlan, strategy: str,
                   use_inhibition: bool = False, use_cross: bool = False,
                   use_pallas: bool = False, beta: float = 2.0):
@@ -491,20 +524,21 @@ def update_H_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
     ops = get_ops(strategy)
     H = _mu_H(ops, Vp, W, _enc_h(H, plan, strategy), sparsity, inhibition,
               cross_inhibition, kernels, plan=plan, use_inhibition=use_inhibition,
-              use_cross=use_cross, use_pallas=use_pallas, beta=beta)
+              use_cross=use_cross, use_pallas=use_pallas, beta=beta, mask=mask)
     return _dec_h(H, plan, strategy, W.shape[0])
 
 
 @partial(jax.jit, static_argnames=('plan', 'strategy', 'use_pallas', 'beta'))
-def update_W_step(Vp, W, H, *, plan: ConvPlan, strategy: str,
+def update_W_step(Vp, W, H, mask=None, *, plan: ConvPlan, strategy: str,
                   use_pallas: bool = False, beta: float = 2.0):
     """W-only update on a (mini)batch slice."""
     return _mu_W(get_ops(strategy), Vp, W, _enc_h(H, plan, strategy),
-                 plan=plan, use_pallas=use_pallas, beta=beta)
+                 plan=plan, use_pallas=use_pallas, beta=beta, mask=mask)
 
 
 @partial(jax.jit, static_argnames=('plan', 'strategy', 'beta'))
-def grad_W_stats(Vp, W, H, *, plan: ConvPlan, strategy: str, beta: float = 2.0):
+def grad_W_stats(Vp, W, H, mask=None, *, plan: ConvPlan, strategy: str,
+                 beta: float = 2.0):
     """(neg, pos) sufficient statistics of the W gradient for the minibatch
     accumulators (reference ``_accumulate_gradient_W``,
     ``TransformInvariantNMF.py:444-455``)."""
@@ -512,7 +546,9 @@ def grad_W_stats(Vp, W, H, *, plan: ConvPlan, strategy: str, beta: float = 2.0):
     H = _enc_h(H, plan, strategy)
     R = ops.reconstruct(W, H, plan)
     if beta != 2.0:
-        return _beta_grad_pair(ops, ops.grad_W_pair, Vp, R, H, plan, beta)
+        return _beta_grad_pair(ops, ops.grad_W_pair, Vp, R, H, plan, beta, mask)
+    if mask is not None:
+        R = R * mask.astype(R.dtype)
     return ops.grad_W_pair(Vp, R, H, plan)
 
 

@@ -44,6 +44,7 @@ def minibatch_fit_loop(
     use_inhibition: bool = False, use_cross: bool = False,
     use_pallas: bool = False, use_pallas_gw: bool = False,
     record_energies: bool = False, V_flat=None, beta: float = 2.0,
+    mask_b=None, mask_flat=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run ``n_epochs`` minibatch epochs on device.
 
@@ -78,16 +79,20 @@ def minibatch_fit_loop(
 
     H_b = enc_b(H_b)
 
-    def mu_H(Vb, W, Hb):
+    def mu_H(Vb, W, Hb, Mb):
         return engine._mu_H(ops, Vb, W, Hb, sparsity, inhibition, cross_inhibition,
                             kernels, plan=plan, use_inhibition=use_inhibition,
-                            use_cross=use_cross, use_pallas=use_pallas, beta=beta)
+                            use_cross=use_cross, use_pallas=use_pallas, beta=beta,
+                            mask=Mb)
 
-    def grad_W(Vb, W, Hb):
+    def grad_W(Vb, W, Hb, Mb):
         R = ops.reconstruct(W, Hb, plan)
         if beta != 2.0:
-            return engine._beta_grad_pair(ops, ops.grad_W_pair, Vb, R, Hb, plan, beta)
-        if use_pallas_gw and strategy == 'conv':
+            return engine._beta_grad_pair(ops, ops.grad_W_pair, Vb, R, Hb, plan,
+                                          beta, Mb)
+        if Mb is not None:
+            R = R * Mb.astype(R.dtype)  # Vb carries prepare(mask*V) already
+        elif use_pallas_gw and strategy == 'conv':
             from .ops import conv
             from .experimental import pallas_gw
             if pallas_gw.supported(plan, W.shape[0], 2 * W.shape[1], Hb.dtype):
@@ -114,18 +119,19 @@ def minibatch_fit_loop(
     def batch_step(carry, idx):
         W, H_b, acc = carry
         Vb = Vp_b[idx]
-        Hb = mu_H(Vb, W, H_b[idx])
+        Mb = None if mask_b is None else mask_b[idx]
+        Hb = mu_H(Vb, W, H_b[idx], Mb)
         H_b = H_b.at[idx].set(Hb)
         if algorithm == 4:      # Cyclic_MU: accumulate; W update at epoch end
-            neg, pos = grad_W(Vb, W, Hb)
+            neg, pos = grad_W(Vb, W, Hb, Mb)
             acc = (acc[0] + neg, acc[1] + pos)
         elif algorithm == 5:    # ASG_MU: W update per batch
-            neg, pos = grad_W(Vb, W, Hb)
+            neg, pos = grad_W(Vb, W, Hb, Mb)
             W = apply_W(W, neg, pos)
         elif algorithm == 6:    # GSG_MU: H only; W handled at epoch end
             pass
         elif algorithm == 7:    # ASAG_MU: averaged stats + W update per batch
-            neg, pos = grad_W(Vb, W, Hb)
+            neg, pos = grad_W(Vb, W, Hb, Mb)
             acc = sag_update(acc, neg, pos)
             W = apply_W(W, *acc)
         elif algorithm == 8:    # GSAG_MU: H only; stats from last batch at epoch end
@@ -138,16 +144,15 @@ def minibatch_fit_loop(
         W, H_b, inner = carry
         acc0 = zero_stat if algorithm == 4 else inner
         (W, H_b, acc), _ = jax.lax.scan(batch_step, (W, H_b, acc0), perm)
-        if algorithm == 4:
-            W = apply_W(W, *acc)
-        elif algorithm == 6:
+        if algorithm in (6, 8):
             last = perm[-1]
-            neg, pos = grad_W(Vp_b[last], W, H_b[last])
+            Ml = None if mask_b is None else mask_b[last]
+            neg, pos = grad_W(Vp_b[last], W, H_b[last], Ml)
+            if algorithm == 8:
+                acc = sag_update(acc, neg, pos)
+                neg, pos = acc
             W = apply_W(W, neg, pos)
-        elif algorithm == 8:
-            last = perm[-1]
-            neg, pos = grad_W(Vp_b[last], W, H_b[last])
-            acc = sag_update(acc, neg, pos)
+        elif algorithm == 4:
             W = apply_W(W, *acc)
         if record_energies:
             # zero-padded ragged rows have V = 0 and H = 0, so R = 0 there
@@ -155,7 +160,8 @@ def minibatch_fit_loop(
             H_flat = H_b.reshape((-1,) + H_b.shape[2:])
             R = ops.reconstruct(W, H_flat, plan)
             from .ops import beta as beta_ops
-            return (W, H_b, acc), beta_ops.divergence(V_flat, R, beta).astype(acc_dtype)
+            return (W, H_b, acc), beta_ops.divergence(
+                V_flat, R, beta, mask_flat).astype(acc_dtype)
         return (W, H_b, acc), jnp.zeros((), acc_dtype)
 
     (W, H_b, _), energies = jax.lax.scan(epoch_step, (W, H_b, zero_stat), perms)

@@ -267,6 +267,7 @@ class TransformInvariantNMF:
         self._H = None
         self._V = None      # host copy (possibly shuffled) for the V property
         self._Vp = None     # device-side prepared (transformed/extended) data
+        self._mask_d = None  # device-side per-entry mask/weights (or None)
         self._kernels = None
         self._shuffle_idx = None
         # iteration stamp of the checkpoint this model was loaded from
@@ -324,14 +325,19 @@ class TransformInvariantNMF:
     def _reconstruct(self):
         return engine.reconstruct(self._W, self._H, plan=self._plan, strategy=self._strategy)
 
-    def _assert_beta_domain(self, V):
+    def _assert_beta_domain(self, V, mask=None):
         """``beta_loss <= 0`` (Itakura-Saito family) needs strictly positive
         data: D_beta(v || r) diverges as v -> 0 for beta <= 0 (same contract
-        as sklearn.decomposition.NMF)."""
+        as sklearn.decomposition.NMF).  Masked-out entries are exempt —
+        they never enter the objective."""
         if self._beta > 0:
             return
         if isinstance(V, jax.Array) and not V.is_fully_addressable:
             ok = bool(jnp.all(V > 0))
+        elif mask is not None:
+            Vc = np.asarray(V)
+            observed = np.broadcast_to(np.asarray(mask), Vc.shape) > 0
+            ok = bool(np.all(Vc[observed] > 0))
         else:
             ok = bool(np.all(np.asarray(V) > 0))
         if not ok:
@@ -342,6 +348,7 @@ class TransformInvariantNMF:
     def _energy_function(self) -> float:
         # _Vd is stored in fit order, matching the device-side H
         return float(engine.energy(self._Vd, self._W, self._H,
+                                   getattr(self, '_mask_d', None),
                                    plan=self._plan, strategy=self._strategy,
                                    beta=self._beta))
 
@@ -356,8 +363,49 @@ class TransformInvariantNMF:
             return jnp.dtype(np.float64)
         return jnp.dtype(np.float32)
 
+    def _prepare_mask(self, mask, V, dtype):
+        """Validate / device-place a per-entry mask (missing-data zeros or
+        nonnegative float weights), broadcastable to V's shape."""
+        if mask is None:
+            self._mask_d = None
+            return
+        if self._global_input:
+            raise ValueError(
+                'masks are not supported with process-spanning global '
+                'arrays yet; pre-multiply the per-host shards instead')
+        mask = np.asarray(mask)
+        if mask.ndim != np.ndim(V):
+            raise ValueError(
+                f'mask must have the same rank as V ({np.ndim(V)}), got '
+                f'{mask.ndim}; use singleton axes to broadcast')
+        try:
+            np.broadcast_shapes(mask.shape, np.shape(V))
+        except ValueError as e:
+            raise ValueError(
+                f'mask of shape {mask.shape} does not broadcast to V '
+                f'{np.shape(V)}') from e
+        if np.any(mask < 0):
+            raise ValueError('mask entries must be nonnegative '
+                             '(0/1 for missing data, floats for weights)')
+        md = jnp.asarray(mask, dtype=dtype)
+        if self._mesh is not None:
+            if mask.shape != np.shape(V):
+                raise ValueError(
+                    'under a mesh the mask must have the full data shape '
+                    f'{np.shape(V)} (broadcasting across shards is not '
+                    f'supported), got {mask.shape}')
+            md = jax.device_put(md, self._Vd.sharding)
+        self._mask_d = md
+
+    def _mask_slice(self, s):
+        """Mask rows for a sample slice (broadcast masks serve every batch)."""
+        if self._mask_d is None:
+            return None
+        return self._mask_d[s] if self._mask_d.shape[0] != 1 else self._mask_d
+
     def _initialize_matrices(self, V: np.ndarray, keep_W: bool, shuffle_input: bool = False,
-                             allow_phased: bool = True, keep_H: bool = False):
+                             allow_phased: bool = True, keep_H: bool = False,
+                             mask=None):
         # multi-host path: a process-spanning global jax.Array (from
         # parallel.distributed.distribute_samples) is used as-is — no host
         # copy exists or is ever materialized
@@ -376,6 +424,8 @@ class TransformInvariantNMF:
             if shuffle_input:
                 self._shuffle_idx = self._rng.permutation(len(V))
                 V = V[self._shuffle_idx]
+                if mask is not None and np.shape(mask)[0] == len(V):
+                    mask = np.asarray(mask)[self._shuffle_idx]
             else:
                 self._shuffle_idx = None
             self._V = V
@@ -495,12 +545,21 @@ class TransformInvariantNMF:
                 Vd, self._W, self._H = shard_model_state(
                     self._mesh, Vd, self._W, self._H, axis=self._shard_axis)
         self._Vd = Vd
+        self._prepare_mask(mask, V, dtype)
         # beta != 2: the gradient inputs A = V * R**(beta-2), B = R**(beta-1)
         # depend on R, so there is no loop-invariant transform of V to
         # precompute; the engine receives the canonical data tensor instead
-        # (tnmf_tpu.ops.beta docstring)
-        self._Vp = (Vd if self._beta != 2.0 else
-                    engine.prepare_data(Vd, plan=self._plan, strategy=self._strategy))
+        # (tnmf_tpu.ops.beta docstring).  With a mask (beta = 2) the
+        # loop-invariant transform is prepare(mask * V): both gradient
+        # halves of the weighted objective correlate mask-weighted
+        # V-shaped streams (engine._mu_H docstring).
+        if self._beta != 2.0:
+            self._Vp = Vd
+        elif self._mask_d is not None:
+            self._Vp = engine.prepare_data(Vd * self._mask_d.astype(Vd.dtype),
+                                           plan=self._plan, strategy=self._strategy)
+        else:
+            self._Vp = engine.prepare_data(Vd, plan=self._plan, strategy=self._strategy)
 
     def _pallas_mu_enabled(self, n_samples: int) -> bool:
         """Resolve the use_pallas tri-state for the inhibited-H kernel.
@@ -538,6 +597,7 @@ class TransformInvariantNMF:
             checkpoint_path: Optional[str] = None,
             tol: Optional[float] = None,
             tol_check_every: int = 10,
+            mask=None,
     ):
         r"""Full-batch multiplicative-update factorization of ``V``.
 
@@ -579,9 +639,18 @@ class TransformInvariantNMF:
           the fit stops once it drops below ``tol`` or at ``n_iterations``.
           The actual iteration count lands in ``self.n_iterations_``.
           Incompatible with callbacks and ``record_energies``.
+        * ``mask`` enables masked / weighted factorization (no reference
+          counterpart): an array broadcastable to ``V`` whose entries
+          weight the objective per data point — zeros mark *missing*
+          values that neither gradients nor the energy ever see (fit on
+          incomplete data, then ``inverse_transform`` imputes them), and
+          general nonnegative floats give per-entry confidence weights.
+          Exact MU semantics: both gradient halves are correlations of
+          mask-weighted V-shaped streams, so the masked objective's
+          update costs one extra elementwise multiply per iteration.
         """
         _assert_nonnegative(V)
-        self._assert_beta_domain(V)
+        self._assert_beta_domain(V, mask)
         assert update_H or update_W
         assert sparsity_H >= 0
         assert inhibition_strength >= 0
@@ -611,7 +680,7 @@ class TransformInvariantNMF:
 
             callback_interval = int(checkpoint_every)
 
-        self._initialize_matrices(V, keep_W, keep_H=keep_H)
+        self._initialize_matrices(V, keep_W, keep_H=keep_H, mask=mask)
         statics = dict(
             plan=self._plan, strategy=self._strategy,
             update_H=update_H, update_W=update_W,
@@ -639,6 +708,7 @@ class TransformInvariantNMF:
                 self._Vp, self._Vd, self._W, self._H,
                 jnp.asarray(int(n_iterations), jnp.int32),
                 jnp.asarray(tol, acc), *scalars, self._kernels,
+                mask=self._mask_d,
                 check_every=int(tol_check_every), **statics)
             self.n_iterations_ = int(n_done)
             self._logger.info('TNMF finished.')
@@ -649,7 +719,7 @@ class TransformInvariantNMF:
             # fused loop with an on-device per-iteration energy trace
             self._W, self._H, energies = engine.fit_loop_energies(
                 self._Vp, self._Vd, self._W, self._H, *scalars, self._kernels,
-                n_iterations=int(n_iterations), **statics)
+                self._mask_d, n_iterations=int(n_iterations), **statics)
             self.energies_ = np.asarray(energies)
             if log_each:
                 for i, e in enumerate(self.energies_):
@@ -657,7 +727,8 @@ class TransformInvariantNMF:
         elif progress_callback is None and not log_each:
             # fused on-device loop
             self._W, self._H = engine.fit_loop(
-                self._Vp, self._W, self._H, n_iterations, *scalars, self._kernels, **statics)
+                self._Vp, self._W, self._H, n_iterations, *scalars,
+                self._kernels, self._mask_d, **statics)
         elif progress_callback is not None and callback_interval > 1:
             # chunked callbacks: fused on-device chunks between Python calls.
             # The callback sees the model after iterations k-1, 2k-1, ... —
@@ -672,11 +743,12 @@ class TransformInvariantNMF:
                 if record_energies:
                     self._W, self._H, es = engine.fit_loop_energies(
                         self._Vp, self._Vd, self._W, self._H, *scalars, self._kernels,
-                        n_iterations=chunk, **statics)
+                        self._mask_d, n_iterations=chunk, **statics)
                     traces.append(np.asarray(es))
                 else:
                     self._W, self._H = engine.fit_loop(
-                        self._Vp, self._W, self._H, chunk, *scalars, self._kernels, **statics)
+                        self._Vp, self._W, self._H, chunk, *scalars,
+                        self._kernels, self._mask_d, **statics)
                 done += chunk
                 if not progress_callback(self, done - 1):
                     break
@@ -687,7 +759,8 @@ class TransformInvariantNMF:
             energies = [] if record_energies else None
             for iteration in range(n_iterations):
                 self._W, self._H = engine.update_step(
-                    self._Vp, self._W, self._H, *scalars, self._kernels, **statics)
+                    self._Vp, self._W, self._H, *scalars, self._kernels,
+                    self._mask_d, **statics)
                 self.n_iterations_ = iteration + 1
                 if record_energies:
                     energies.append(self._energy_function())
@@ -718,9 +791,10 @@ class TransformInvariantNMF:
             cross_atom_inhibition_strength: float = 0.,
             progress_callback: Optional[Callable[['TransformInvariantNMF', int], bool]] = None,
             record_energies: bool = False,
+            mask=None,
     ):
         _assert_nonnegative(V)
-        self._assert_beta_domain(V)
+        self._assert_beta_domain(V, mask)
         assert sparsity_H >= 0
         assert inhibition_strength >= 0
         assert cross_atom_inhibition_strength >= 0
@@ -736,7 +810,7 @@ class TransformInvariantNMF:
         # scale (bench.py minibatch row, v5e) — the plain conv lowering
         # stays the minibatch default
         self._initialize_matrices(V, keep_W, shuffle_input=False,
-                                  allow_phased=False)
+                                  allow_phased=False, mask=mask)
 
         # sample count from the device array: under a process-spanning mesh
         # self._V is None (no host copy exists), but the global jax.Array
@@ -821,6 +895,23 @@ class TransformInvariantNMF:
                         H_full, h_sharding(self._mesh, H_full.ndim, self._shard_axis))
             Vp_b = Vp_full.reshape((nb, batch_size) + Vp_full.shape[1:])
             H_b = H_full.reshape((nb, batch_size) + H_full.shape[1:])
+            mask_b = mask_flat_d = None
+            if self._mask_d is not None:
+                # full-shape mask for batch indexing; zero rows for the
+                # ragged padding (double-absorbing: V, H and the mask are
+                # all zero there)
+                Mfull = jnp.broadcast_to(
+                    self._mask_d, self._Vd.shape).astype(self._mask_d.dtype)
+                if n_pad:
+                    Mfull = jnp.concatenate(
+                        [Mfull, jnp.zeros((n_pad,) + Mfull.shape[1:], Mfull.dtype)])
+                    if self._mesh is not None and self._shard_axis in (
+                            'samples', 'both', 'samples+atoms'):
+                        from ..parallel.sharding import data_sharding
+                        Mfull = jax.device_put(
+                            Mfull, data_sharding(self._mesh, Mfull.ndim))
+                mask_b = Mfull.reshape((nb, batch_size) + Mfull.shape[1:])
+                mask_flat_d = Mfull
             V_flat = None
             if record_energies:
                 # data-space samples for the on-device per-epoch energy
@@ -844,7 +935,7 @@ class TransformInvariantNMF:
                 use_pallas=self._pallas_mu_enabled(batch_size),
                 use_pallas_gw=self._use_pallas_gw,
                 record_energies=record_energies, V_flat=V_flat,
-                beta=self._beta)
+                beta=self._beta, mask_b=mask_b, mask_flat=mask_flat_d)
             self._W = W
             self._H = H_b.reshape((nb * batch_size,) + H_b.shape[2:])[:n]
             if record_energies:
@@ -891,6 +982,7 @@ class TransformInvariantNMF:
     def _update_H_batch(self, s: slice):
         Hb = engine.update_H_step(
             self._Vp[s], self._W, self._H[s], *self._mb_scalars, self._kernels,
+            self._mask_slice(s),
             plan=self._plan, strategy=self._strategy, **self._mb_flags)
         if s == sliceNone:
             self._H = Hb
@@ -899,13 +991,14 @@ class TransformInvariantNMF:
 
     def _update_W_batch(self, s: slice):
         self._W = engine.update_W_step(
-            self._Vp[s], self._W, self._H[s], plan=self._plan, strategy=self._strategy,
+            self._Vp[s], self._W, self._H[s], self._mask_slice(s),
+            plan=self._plan, strategy=self._strategy,
             use_pallas=self._use_pallas_gw, beta=self._beta)
 
     def _grad_W_batch(self, s: slice):
         return engine.grad_W_stats(
-            self._Vp[s], self._W, self._H[s], plan=self._plan, strategy=self._strategy,
-            beta=self._beta)
+            self._Vp[s], self._W, self._H[s], self._mask_slice(s),
+            plan=self._plan, strategy=self._strategy, beta=self._beta)
 
     def _apply_W_stats(self, neg, pos):
         self._W = engine.apply_W_update(self._W, neg, pos, n_shift_axes=self._plan.ndim)

@@ -68,27 +68,36 @@ def factors(V, R, beta: float):
     return A.astype(R.dtype), B.astype(R.dtype)
 
 
-def divergence(V, R, beta: float):
+def divergence(V, R, beta: float, mask=None):
     """Elementwise-summed beta-divergence D_beta(V || R) (scalar, accumulation
     dtype).  beta = 2 gives the reference energy ``0.5 * sum((V - R)**2)``;
-    beta = 1 the generalized KL divergence; beta = 0 Itakura-Saito."""
+    beta = 1 the generalized KL divergence; beta = 0 Itakura-Saito.
+
+    With ``mask`` (broadcastable to V; binary for missing-data fits or
+    nonnegative floats for per-entry weights) the elementwise terms are
+    weighted before the sum — the objective of the masked/weighted MU
+    updates."""
     acc = jnp.promote_types(jnp.result_type(V), jnp.float32)
     Vc, Rc = jnp.asarray(V).astype(acc), jnp.asarray(R).astype(acc)
     if beta == 2.0:
         d = Vc - Rc
-        return 0.5 * jnp.sum(d * d)
-    Rs = jnp.maximum(Rc, EPS_R)
-    if beta == 1.0:
-        # x*log(x/y) - x + y with the x -> 0 limit handled exactly
-        from jax.scipy.special import xlogy
-        return jnp.sum(xlogy(Vc, Vc) - xlogy(Vc, Rs) - Vc + Rs)
-    if beta == 0.0:
-        Vs = jnp.maximum(Vc, EPS_R)
-        q = Vs / Rs
-        return jnp.sum(q - jnp.log(q) - 1.0)
-    c = 1.0 / (beta * (beta - 1.0))
-    return c * jnp.sum(Vc ** beta + (beta - 1.0) * Rs ** beta
-                       - beta * Vc * Rs ** (beta - 1.0))
+        e = 0.5 * d * d
+    else:
+        Rs = jnp.maximum(Rc, EPS_R)
+        if beta == 1.0:
+            # x*log(x/y) - x + y with the x -> 0 limit handled exactly
+            from jax.scipy.special import xlogy
+            e = xlogy(Vc, Vc) - xlogy(Vc, Rs) - Vc + Rs
+        elif beta == 0.0:
+            q = jnp.maximum(Vc, EPS_R) / Rs
+            e = q - jnp.log(q) - 1.0
+        else:
+            c = 1.0 / (beta * (beta - 1.0))
+            e = c * (Vc ** beta + (beta - 1.0) * Rs ** beta
+                     - beta * Vc * Rs ** (beta - 1.0))
+    if mask is not None:
+        e = e * jnp.asarray(mask).astype(acc)
+    return jnp.sum(e)
 
 
 # ---------------------------------------------------------------------------
@@ -102,20 +111,25 @@ def np_factors(V: np.ndarray, R: np.ndarray, beta: float):
     return Vc * Rs ** (beta - 2.0), Rs ** (beta - 1.0)
 
 
-def np_divergence(V: np.ndarray, R: np.ndarray, beta: float) -> float:
+def np_divergence(V: np.ndarray, R: np.ndarray, beta: float, mask=None) -> float:
     """NumPy mirror of :func:`divergence` (float64)."""
     Vc = np.asarray(V, np.float64)
     Rc = np.asarray(R, np.float64)
     if beta == 2.0:
-        return float(0.5 * np.sum((Vc - Rc) ** 2))
-    Rs = np.maximum(Rc, EPS_R)
-    if beta == 1.0:
-        with np.errstate(divide='ignore', invalid='ignore'):
-            t = np.where(Vc > 0, Vc * (np.log(np.maximum(Vc, EPS_R)) - np.log(Rs)), 0.0)
-        return float(np.sum(t - Vc + Rs))
-    if beta == 0.0:
-        q = np.maximum(Vc, EPS_R) / Rs
-        return float(np.sum(q - np.log(q) - 1.0))
-    c = 1.0 / (beta * (beta - 1.0))
-    return float(c * np.sum(Vc ** beta + (beta - 1.0) * Rs ** beta
-                            - beta * Vc * Rs ** (beta - 1.0)))
+        e = 0.5 * (Vc - Rc) ** 2
+    else:
+        Rs = np.maximum(Rc, EPS_R)
+        if beta == 1.0:
+            with np.errstate(divide='ignore', invalid='ignore'):
+                t = np.where(Vc > 0, Vc * (np.log(np.maximum(Vc, EPS_R)) - np.log(Rs)), 0.0)
+            e = t - Vc + Rs
+        elif beta == 0.0:
+            q = np.maximum(Vc, EPS_R) / Rs
+            e = q - np.log(q) - 1.0
+        else:
+            c = 1.0 / (beta * (beta - 1.0))
+            e = c * (Vc ** beta + (beta - 1.0) * Rs ** beta
+                     - beta * Vc * Rs ** (beta - 1.0))
+    if mask is not None:
+        e = e * np.asarray(mask, np.float64)
+    return float(np.sum(e))
