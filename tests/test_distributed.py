@@ -58,6 +58,14 @@ V2 = distributed.distribute_samples(mesh, V2_local)
 nmf2.fit(V2, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=8, n_epochs=3,
          sparsity_H=0.1)
 np.save(%(out)r + f'/Wmb_{rank}.npy', np.asarray(nmf2._W))
+
+# transform-group adapter across processes: a flip-tied dictionary under
+# the process-spanning data-parallel mesh (H carries atom*transform maps)
+nmf3 = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), mesh=mesh,
+                             init='device', seed=0, dtype='float64',
+                             transform_type='shift+flip')
+distributed.fit_distributed(nmf3, V_local, n_iterations=3, sparsity_H=0.1)
+np.save(%(out)r + f'/Wg_{rank}.npy', np.asarray(nmf3._W))
 '''
 
 
@@ -111,3 +119,14 @@ def test_two_process_fit_matches_single_process(tmp_path):
     nmf2.fit(V2, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=8, n_epochs=3,
              sparsity_H=0.1)
     np.testing.assert_allclose(Wmb0, np.asarray(nmf2._W), rtol=1e-12, atol=1e-14)
+
+    # flip-tied dictionary: processes agree with each other and with the
+    # single-process 8-device trajectory
+    Wg0 = np.load(tmp_path / 'Wg_0.npy')
+    Wg1 = np.load(tmp_path / 'Wg_1.npy')
+    np.testing.assert_array_equal(Wg0, Wg1)
+    nmf3 = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), mesh=make_mesh(8),
+                                 init='device', seed=0, dtype='float64',
+                                 transform_type='shift+flip')
+    nmf3.fit(V, n_iterations=3, sparsity_H=0.1)
+    np.testing.assert_allclose(Wg0, np.asarray(nmf3._W), rtol=1e-12, atol=1e-14)
