@@ -14,9 +14,11 @@ Public API::
     from tnmf_tpu import TransformGroup   # custom invariance transform sets
 """
 
+from .models.multiscale import MultiScaleTNMF
 from .models.tnmf import MiniBatchAlgorithm, TransformInvariantNMF
 from .ops.transforms import TransformGroup
 
-__all__ = ['TransformInvariantNMF', 'MiniBatchAlgorithm', 'TransformGroup']
+__all__ = ['TransformInvariantNMF', 'MiniBatchAlgorithm', 'TransformGroup',
+           'MultiScaleTNMF']
 
 __version__ = '0.1.0'

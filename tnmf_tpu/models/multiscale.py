@@ -1,0 +1,406 @@
+"""Multi-scale Transform-Invariant NMF: atoms of different sizes, one model.
+
+The reference's model class fixes a single ``atom_shape`` for the whole
+dictionary (``/root/reference/tnmf/TransformInvariantNMF.py:110``: W is one
+``(n_atoms, n_channels, *atom_shape)`` tensor, H one matching activation
+tensor) — structures at different scales must share one compromise size.
+:class:`MultiScaleTNMF` lifts that: the dictionary is a *tuple* of atom
+banks with independent shapes,
+
+    R = sum_k  sum_m  H_k[n, m] * W_k[m]        (k = scale, m = atom)
+
+with one activation tensor per scale (their shift shapes differ, so this
+cannot be expressed in the reference API at all).
+
+MU derivation: the model is still linear in every factor, so the
+Lee-Seung split applies per block — each scale's gradients are the plain
+conv-NMF gradients *against the total reconstruction* ``R``:
+
+    neg_Hk = corr(V, W_k)      pos_Hk = corr(R, W_k)
+    neg_Wk = corr(V, H_k)      pos_Wk = corr(R, H_k)
+
+All scales update simultaneously from the same R (a Jacobi/block update —
+exactly how single-scale MU updates all H entries at once), then R is
+recomputed for the W half, mirroring the reference's H-then-W ordering.
+
+Execution (TPU): per scale this reuses the engine's strategy operators
+unchanged — each scale gets its own :class:`ConvPlan` (its own padding /
+FFT geometry) and its own prepared data tensor, and the whole iteration is
+one jitted graph over the (W_1..W_K, H_1..H_K) pytree, run as a fused
+``lax.fori_loop`` exactly like the single-scale fast path.  Masks and
+beta-divergences compose through the same ``(A, B)`` factor slots as in
+:mod:`tnmf_tpu.engine`.
+
+Strategies are restricted to 'conv' / 'fft' (the phased lowering keeps its
+phase-blocked H carry out of the multi-scale pytree for now).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import engine
+from ..ops import beta as beta_ops
+from ..ops.modes import ConvPlan
+
+EPS = engine.EPS
+
+
+# ---------------------------------------------------------------------------
+# jitted multi-scale kernels (tuples of per-scale tensors; plans/strategies
+# are static tuples)
+# ---------------------------------------------------------------------------
+
+def _reconstruct(Ws, Hs, plans, strategies):
+    R = None
+    for W, H, plan, strat in zip(Ws, Hs, plans, strategies):
+        r = engine.get_ops(strat).reconstruct(W, H, plan)
+        R = r if R is None else R + r
+    return R
+
+
+def _grad_inputs(Vd, Vps, R, mask, beta, plans, strategies):
+    """Per-scale (prepared-numerator, denominator-R) pairs for the current
+    total reconstruction.  beta = 2: the loop-invariant ``Vps`` carry
+    ``prepare(mask*V)`` and R is masked once.  Other betas: the (A, B)
+    factors are computed from the total R, masked, and prepared per scale."""
+    if beta == 2.0:
+        Rm = R if mask is None else R * mask.astype(R.dtype)
+        return Vps, [Rm] * len(plans)
+    A, B = beta_ops.factors(Vd, R, beta)
+    if mask is not None:
+        A = A * mask.astype(A.dtype)
+        B = B * mask.astype(B.dtype)
+    nums = [engine.get_ops(s).prepare_data(A, p)
+            for p, s in zip(plans, strategies)]
+    return nums, [B] * len(plans)
+
+
+def _step(Vd, Vps, Ws, Hs, sparsities, mask, *, plans, strategies,
+          update_H, update_W, beta):
+    if update_H:
+        R = _reconstruct(Ws, Hs, plans, strategies)
+        nums, dens = _grad_inputs(Vd, Vps, R, mask, beta, plans, strategies)
+        newHs = []
+        for k, (W, H, plan, strat) in enumerate(zip(Ws, Hs, plans, strategies)):
+            ops = engine.get_ops(strat)
+            neg, pos = ops.grad_H_pair(nums[k], dens[k], W, plan)
+            newHs.append((H * neg / (pos + (EPS + sparsities[k]))).astype(H.dtype))
+        Hs = tuple(newHs)
+    if update_W:
+        R = _reconstruct(Ws, Hs, plans, strategies)
+        nums, dens = _grad_inputs(Vd, Vps, R, mask, beta, plans, strategies)
+        newWs = []
+        for k, (W, H, plan, strat) in enumerate(zip(Ws, Hs, plans, strategies)):
+            ops = engine.get_ops(strat)
+            neg, pos = ops.grad_W_pair(nums[k], dens[k], H, plan)
+            Wn = W * neg / (pos + EPS)
+            newWs.append(engine._normalize_W(Wn, plan.ndim).astype(W.dtype))
+        Ws = tuple(newWs)
+    return Ws, Hs
+
+
+_STATICS = ('plans', 'strategies', 'update_H', 'update_W', 'beta')
+
+
+@partial(jax.jit, static_argnames=_STATICS)
+def ms_update_step(Vd, Vps, Ws, Hs, sparsities, mask=None, *,
+                   plans, strategies, update_H=True, update_W=True, beta=2.0):
+    return _step(Vd, Vps, Ws, Hs, sparsities, mask,
+                 plans=plans, strategies=strategies,
+                 update_H=update_H, update_W=update_W, beta=beta)
+
+
+@partial(jax.jit, static_argnames=_STATICS, donate_argnums=(2, 3))
+def ms_fit_loop(Vd, Vps, Ws, Hs, n_iterations, sparsities, mask=None, *,
+                plans, strategies, update_H=True, update_W=True, beta=2.0):
+    """The whole multi-scale fit as one on-device loop (donated pytrees;
+    traced iteration count — no recompile when it changes)."""
+    def body(_, WH):
+        return _step(Vd, Vps, WH[0], WH[1], sparsities, mask,
+                     plans=plans, strategies=strategies,
+                     update_H=update_H, update_W=update_W, beta=beta)
+
+    Ws, Hs = jax.lax.fori_loop(0, n_iterations, body, (Ws, Hs))
+    return Ws, Hs
+
+
+@partial(jax.jit, static_argnames=_STATICS + ('chunk',), donate_argnums=(2, 3))
+def _ms_energies_chunk(Vd, Vps, Ws, Hs, k, sparsities, mask=None, *,
+                       chunk, plans, strategies, update_H=True,
+                       update_W=True, beta=2.0):
+    acc = jnp.promote_types(Vd.dtype, jnp.float32)
+
+    def active(WH):
+        Ws, Hs = _step(Vd, Vps, WH[0], WH[1], sparsities, mask,
+                       plans=plans, strategies=strategies,
+                       update_H=update_H, update_W=update_W, beta=beta)
+        R = _reconstruct(Ws, Hs, plans, strategies)
+        return (Ws, Hs), beta_ops.divergence(Vd, R, beta, mask).astype(acc)
+
+    def idle(WH):
+        return WH, jnp.asarray(jnp.inf, acc)
+
+    def body(WH, i):
+        return jax.lax.cond(i < k, active, idle, WH)
+
+    (Ws, Hs), es = jax.lax.scan(body, (Ws, Hs), jnp.arange(chunk))
+    return Ws, Hs, es
+
+
+class MultiScaleTNMF:
+    """Shift-invariant NMF with per-scale atom banks (no reference
+    counterpart — the reference fixes one atom_shape per model).
+
+    Parameters
+    ----------
+    n_atoms : Tuple[int, ...]
+        Atoms per scale, e.g. ``(8, 4)``.
+    atom_shapes : Tuple[Tuple[int, ...], ...]
+        One spatial shape per scale, e.g. ``((5, 5), (13, 13))``; all must
+        share the same rank.
+    reconstruction_mode, backend, dtype, seed, verbose, beta_loss, precision
+        As in :class:`tnmf_tpu.models.tnmf.TransformInvariantNMF` (backend
+        'auto' resolves per scale; the phased lowering is not used here).
+    """
+
+    def __init__(self, n_atoms: Tuple[int, ...],
+                 atom_shapes: Tuple[Tuple[int, ...], ...],
+                 reconstruction_mode: str = 'valid',
+                 backend: str = 'auto',
+                 dtype=None,
+                 seed: Optional[int] = None,
+                 verbose: int = 0,
+                 beta_loss=2.0,
+                 precision: Optional[str] = None,
+                 logger: Optional[logging.Logger] = None):
+        if len(n_atoms) != len(atom_shapes) or not n_atoms:
+            raise ValueError('n_atoms and atom_shapes must be equal-length, '
+                             'non-empty tuples (one entry per scale)')
+        ranks = {len(a) for a in atom_shapes}
+        if len(ranks) != 1:
+            raise ValueError(f'all atom shapes must share one rank, got {atom_shapes}')
+        self.n_scales = len(n_atoms)
+        self.n_atoms = tuple(int(m) for m in n_atoms)
+        self.atom_shapes = tuple(tuple(int(a) for a in s) for s in atom_shapes)
+        self._mode = reconstruction_mode
+        self._backend = backend
+        self._dtype = dtype
+        self._precision = precision
+        self._beta = beta_ops.resolve_beta_loss(beta_loss)
+        self._rng = np.random.default_rng(seed) if seed is not None else np.random
+        self._logger = logger if logger is not None else logging.getLogger(self.__class__.__name__)
+        self._logger.setLevel([logging.ERROR, logging.WARNING, logging.INFO, logging.DEBUG][verbose])
+
+        self._plans = None
+        self._strategies = None
+        self._Ws = None
+        self._Hs = None
+        self._Vd = None
+        self._mask_d = None
+        self.energies_ = None
+
+    # -- accessors ------------------------------------------------------
+
+    @property
+    def W(self) -> Tuple[np.ndarray, ...]:
+        """Per-scale dictionaries, ``W[k]: (n_atoms[k], C, *atom_shapes[k])``."""
+        return tuple(np.asarray(w) for w in self._Ws)
+
+    @property
+    def H(self) -> Tuple[np.ndarray, ...]:
+        """Per-scale activations, ``H[k]: (N, n_atoms[k], *transform_k)``."""
+        return tuple(np.asarray(h) for h in self._Hs)
+
+    @property
+    def R(self) -> np.ndarray:
+        R = _reconstruct(self._Ws, self._Hs, self._plans, self._strategies)
+        return np.asarray(R.astype(jnp.float32) if R.dtype == jnp.bfloat16 else R)
+
+    def R_scale(self, k: int) -> np.ndarray:
+        """Reconstruction contribution of scale ``k`` alone."""
+        return np.asarray(engine.reconstruct(
+            self._Ws[k], self._Hs[k], plan=self._plans[k],
+            strategy=self._strategies[k]))
+
+    def _energy_function(self) -> float:
+        R = _reconstruct(self._Ws, self._Hs, self._plans, self._strategies)
+        return float(beta_ops.divergence(self._Vd, R, self._beta, self._mask_d))
+
+    # -- fitting --------------------------------------------------------
+
+    def _initialize(self, V, keep_W, mask):
+        V = np.asarray(V)
+        assert np.all(V >= 0)
+        sample_shape = V.shape[2:]
+        self._plans = tuple(
+            ConvPlan.create(self._mode, sample_shape, a, precision=self._precision)
+            for a in self.atom_shapes)
+        if self._backend in ('auto', 'jax'):
+            strategies = tuple(engine.choose_strategy(p, m, V.shape[1])
+                               for p, m in zip(self._plans, self.n_atoms))
+        else:
+            from .tnmf import _BACKEND_STRATEGY
+            s = _BACKEND_STRATEGY[self._backend.lower()]
+            if s == 'auto':
+                raise KeyError(self._backend)
+            strategies = (s,) * self.n_scales
+        self._strategies = strategies
+
+        if self._dtype is not None:
+            dtype = jnp.dtype(self._dtype)
+        elif jax.config.jax_enable_x64 and V.dtype == np.float64:
+            dtype = jnp.dtype(np.float64)
+        else:
+            dtype = jnp.dtype(np.float32)
+
+        # host init, reference distribution (1 - U[0,1)); all H banks first
+        # (scale order), then all W banks — one documented stream order
+        Hs = tuple(np.asarray(1 - self._rng.random(
+            (V.shape[0], m) + p.transform_shape), dtype=V.dtype)
+            for m, p in zip(self.n_atoms, self._plans))
+        if keep_W and self._Ws is not None:
+            Ws = tuple(np.asarray(w) for w in self._Ws)
+        else:
+            Ws = []
+            for m, a in zip(self.n_atoms, self.atom_shapes):
+                Wk = np.asarray(1 - self._rng.random((m, V.shape[1]) + a),
+                                dtype=V.dtype)
+                Wk /= Wk.sum(axis=tuple(range(-len(a), 0)), keepdims=True)
+                Ws.append(Wk)
+            Ws = tuple(Ws)
+
+        self._Vd = jnp.asarray(V, dtype=dtype)
+        self._Ws = tuple(jnp.asarray(w, dtype=dtype) for w in Ws)
+        self._Hs = tuple(jnp.asarray(h, dtype=dtype) for h in Hs)
+
+        if mask is not None:
+            mask = np.asarray(mask)
+            if mask.ndim != V.ndim:
+                raise ValueError(
+                    f'mask must have the same rank as V ({V.ndim}), got {mask.ndim}')
+            np.broadcast_shapes(mask.shape, V.shape)
+            if np.any(mask < 0):
+                raise ValueError('mask entries must be nonnegative')
+            self._mask_d = jnp.asarray(mask, dtype=dtype)
+        else:
+            self._mask_d = None
+
+        if self._beta != 2.0:
+            self._Vps = (self._Vd,) * self.n_scales  # factors prepared per step
+        else:
+            Vm = (self._Vd if self._mask_d is None
+                  else self._Vd * self._mask_d.astype(dtype))
+            self._Vps = tuple(
+                engine.prepare_data(Vm, plan=p, strategy=s)
+                for p, s in zip(self._plans, self._strategies))
+
+    def fit(self, V, n_iterations: int = 1000, update_H: bool = True,
+            update_W: bool = True, keep_W: bool = False,
+            sparsity_H=0.0, mask=None, record_energies: bool = False,
+            progress_callback=None):
+        """Full-batch multi-scale MU fit.  ``sparsity_H`` is a scalar or a
+        per-scale tuple (larger atoms often want more sparsity pressure)."""
+        assert update_H or update_W
+        if np.isscalar(sparsity_H):
+            sparsity_H = (float(sparsity_H),) * self.n_scales
+        sparsity_H = tuple(float(s) for s in sparsity_H)
+        assert len(sparsity_H) == self.n_scales and min(sparsity_H) >= 0
+        self._initialize(V, keep_W, mask)
+        dt = self._Vd.dtype
+        sp = tuple(jnp.asarray(s, dt) for s in sparsity_H)
+        statics = dict(plans=self._plans, strategies=self._strategies,
+                       update_H=update_H, update_W=update_W, beta=self._beta)
+
+        self.energies_ = None
+        if record_energies and progress_callback is None:
+            chunk = engine.ENERGY_CHUNK
+            traces, done = [], 0
+            n = int(n_iterations)
+            while done < n:
+                k = jnp.int32(min(chunk, n - done))
+                self._Ws, self._Hs, es = _ms_energies_chunk(
+                    self._Vd, self._Vps, self._Ws, self._Hs, k, sp,
+                    self._mask_d, chunk=chunk, **statics)
+                traces.append(np.asarray(es))
+                done += chunk
+            self.energies_ = np.concatenate(traces)[:n] if traces else np.zeros((0,))
+        elif progress_callback is None:
+            self._Ws, self._Hs = ms_fit_loop(
+                self._Vd, self._Vps, self._Ws, self._Hs, n_iterations, sp,
+                self._mask_d, **statics)
+        else:
+            energies = [] if record_energies else None
+            for it in range(int(n_iterations)):
+                self._Ws, self._Hs = ms_update_step(
+                    self._Vd, self._Vps, self._Ws, self._Hs, sp,
+                    self._mask_d, **statics)
+                if record_energies:
+                    energies.append(self._energy_function())
+                if not progress_callback(self, it):
+                    break
+            if record_energies:
+                self.energies_ = np.asarray(energies)
+        self._logger.info('MultiScale TNMF finished.')
+        return self
+
+    def transform(self, V, n_iterations: int = 100, **kwargs) -> Tuple[np.ndarray, ...]:
+        """Encode new data against the frozen multi-scale dictionary."""
+        if self._Ws is None:
+            raise RuntimeError('transform() requires a fitted model')
+        self.fit(V, n_iterations=n_iterations, update_W=False, keep_W=True,
+                 **kwargs)
+        return self.H
+
+    def inverse_transform(self) -> np.ndarray:
+        return self.R
+
+    # -- checkpointing ---------------------------------------------------
+
+    def save(self, path: str, include_H: bool = False):
+        """Atomic ``.npz`` checkpoint of the per-scale banks."""
+        if self._Ws is None:
+            raise ValueError('nothing to save: the model has not been fit yet')
+        payload = dict(
+            n_scales=self.n_scales,
+            n_atoms=np.asarray(self.n_atoms),
+            reconstruction_mode=self._mode,
+            dtype=str(self._Ws[0].dtype),
+            version=1,
+        )
+        for k in range(self.n_scales):
+            payload[f'atom_shape_{k}'] = np.asarray(self.atom_shapes[k])
+            payload[f'W_{k}'] = np.asarray(self._Ws[k], dtype=np.float32) \
+                if jnp.dtype(self._Ws[k].dtype).itemsize < 4 else np.asarray(self._Ws[k])
+            if include_H and self._Hs is not None:
+                payload[f'H_{k}'] = np.asarray(self._Hs[k], dtype=np.float32) \
+                    if jnp.dtype(self._Hs[k].dtype).itemsize < 4 else np.asarray(self._Hs[k])
+        final = path if path.endswith('.npz') else path + '.npz'
+        tmp = final + '.tmp'
+        with open(tmp, 'wb') as f:
+            np.savez(f, **payload)
+        os.replace(tmp, final)
+
+    @classmethod
+    def load(cls, path: str, **kwargs) -> 'MultiScaleTNMF':
+        with np.load(path, allow_pickle=False) as data:
+            K = int(data['n_scales'])
+            cfg = dict(
+                n_atoms=tuple(int(m) for m in data['n_atoms']),
+                atom_shapes=tuple(tuple(int(a) for a in data[f'atom_shape_{k}'])
+                                  for k in range(K)),
+                reconstruction_mode=str(data['reconstruction_mode']),
+            )
+            cfg.update(kwargs)
+            model = cls(**cfg)
+            dtype = jnp.dtype(str(data['dtype']))
+            model._Ws = tuple(jnp.asarray(data[f'W_{k}'], dtype=dtype)
+                              for k in range(K))
+        return model
