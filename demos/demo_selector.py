@@ -19,6 +19,7 @@ DEMO_NAME_DICT = {
     '1-D Synthetic Signals': ('synthetic_signals', {'n_dims': 1}),
     '2-D Synthetic Signals': ('synthetic_signals', {'n_dims': 2}),
     'Test Image': ('demo_image', {}),
+    'Image Inpainting (masked fit)': ('demo_inpainting', {}),
 }
 
 

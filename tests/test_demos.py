@@ -17,7 +17,8 @@ _ENV = dict(
     TNMF_TPU_SMOKE='1',
 )
 
-DEMOS = ['1-D Synthetic Signals', '2-D Synthetic Signals', 'Test Image']
+DEMOS = ['1-D Synthetic Signals', '2-D Synthetic Signals', 'Test Image',
+         'Image Inpainting (masked fit)']
 
 
 @pytest.mark.parametrize('name', DEMOS)
