@@ -164,6 +164,52 @@ def test_save_load_and_serving(tmp_path):
         np.testing.assert_allclose(m2.W[k], m.W[k], rtol=1e-12)
 
 
+def test_callback_path_matches_fused_loop():
+    """The per-step Python path (progress_callback) must produce the same
+    trajectory as the fused on-device loop, and honor early abort."""
+    V = _data(seed=14, c=1)
+    m1 = MultiScaleTNMF(n_atoms=(2, 1), atom_shapes=((3,), (6,)), seed=7)
+    m1.fit(V, n_iterations=5, sparsity_H=0.05)
+    seen = []
+    m2 = MultiScaleTNMF(n_atoms=(2, 1), atom_shapes=((3,), (6,)), seed=7)
+    m2.fit(V, n_iterations=5, sparsity_H=0.05, record_energies=True,
+           progress_callback=lambda model, it: seen.append(it) or True)
+    assert seen == list(range(5)) and len(m2.energies_) == 5
+    for k in range(2):
+        np.testing.assert_allclose(m1.W[k], m2.W[k], rtol=1e-10)
+        np.testing.assert_allclose(m1.H[k], m2.H[k], rtol=1e-10)
+    np.testing.assert_allclose(m2.energies_[-1], m2._energy_function(),
+                               rtol=1e-6)
+    # abort after 2 iterations
+    m3 = MultiScaleTNMF(n_atoms=(2, 1), atom_shapes=((3,), (6,)), seed=7)
+    m3.fit(V, n_iterations=5, progress_callback=lambda model, it: it < 1)
+    m4 = MultiScaleTNMF(n_atoms=(2, 1), atom_shapes=((3,), (6,)), seed=7)
+    m4.fit(V, n_iterations=2)
+    for k in range(2):
+        np.testing.assert_allclose(m3.W[k], m4.W[k], rtol=1e-10)
+
+
+def test_dtype_and_backend_aliases(tmp_path):
+    V = _data(seed=15, c=1).astype(np.float32)
+    m = MultiScaleTNMF(n_atoms=(2,), atom_shapes=((4,),), seed=8,
+                       dtype='bfloat16', backend='jax')
+    m.fit(V, n_iterations=3)
+    import jax.numpy as jnp
+    assert m._Ws[0].dtype == jnp.bfloat16
+    p = str(tmp_path / 'bf16')
+    m.save(p, include_H=True)  # bf16 widened to f32 in the npz
+    m2 = MultiScaleTNMF.load(p + '.npz')
+    assert np.isfinite(m2.W[0]).all()
+    # reference backend names map onto strategies
+    m3 = MultiScaleTNMF(n_atoms=(2,), atom_shapes=((4,),), seed=8,
+                        backend='numpy_fft')
+    m3.fit(V, n_iterations=2)
+    assert m3._strategies == ('fft',)
+    with pytest.raises(KeyError):
+        MultiScaleTNMF(n_atoms=(2,), atom_shapes=((4,),),
+                       backend='nope').fit(V, n_iterations=1)
+
+
 def test_error_paths():
     with pytest.raises(ValueError, match='equal-length'):
         MultiScaleTNMF(n_atoms=(2,), atom_shapes=((3,), (5,)))

@@ -248,9 +248,9 @@ class MultiScaleTNMF:
                                for p, m in zip(self._plans, self.n_atoms))
         else:
             from .tnmf import _BACKEND_STRATEGY
+            # 'auto'/'jax' are handled above; every other valid name maps to
+            # a concrete strategy (unknown names raise KeyError here)
             s = _BACKEND_STRATEGY[self._backend.lower()]
-            if s == 'auto':
-                raise KeyError(self._backend)
             strategies = (s,) * self.n_scales
         self._strategies = strategies
 
