@@ -28,7 +28,7 @@ from tnmf_tpu.ops.modes import ConvPlan  # noqa: E402
 def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
         dtype='float32', strategy='conv', iters=(20, 120),
         inhibition=0.0, use_pallas=False, label='', resolve=True, mode='valid',
-        update_W=True, transform_type=None):
+        update_W=True, transform_type=None, masked=False):
     plan = ConvPlan.create(mode, sample, atom)
     group = None
     if transform_type:  # tied transform-invariant dictionary (ops/transforms)
@@ -49,6 +49,11 @@ def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
         h_shape=(n_samples, n_maps) + plan.transform_shape,
         n_shift_axes=plan.ndim, dtype=dt)
 
+    mask = None
+    if masked:  # per-entry missing-data mask (~30% zeros), on device
+        km = jax.random.PRNGKey(7)
+        mask = (jax.random.uniform(km, V.shape) > 0.3).astype(dt)
+        V = V * mask
     Vp = engine.prepare_data(V, plan=plan, strategy=strategy)
     z = jnp.zeros((), dt)
     kernels = ()
@@ -64,7 +69,7 @@ def run(n_samples=64, sample=(256, 256), atom=(9, 9), n_atoms=16, n_channels=1,
     def go(n):
         # fit_loop donates W/H: clone on device (cheap) instead of re-uploading
         Wn, _ = engine.fit_loop(Vp, W0 + 0, H0 + 0, n, z, jnp.asarray(inhibition, dt),
-                                z, kernels, **statics)
+                                z, kernels, mask, **statics)
         return float(np.asarray(Wn.astype(jnp.float32)).sum())
 
     go(2)  # compile + settle
@@ -104,6 +109,9 @@ def main():
     # iteration (the expand/tie ops touch only the tiny W)
     run(n_samples=n, n_atoms=4, transform_type='shift+flip',
         label=' flip-tied 4x4 maps')
+    # masked objective: one extra fused V-shaped elementwise multiply per
+    # gradient pair — should cost a few percent at most
+    run(n_samples=n, masked=True, label=' masked (30% missing)')
     # serving path: transform() = H inference with the dictionary frozen
     # (update_W=False) — the per-iteration cost of encoding new data
     # against a trained model
