@@ -210,6 +210,25 @@ def test_dtype_and_backend_aliases(tmp_path):
                        backend='nope').fit(V, n_iterations=1)
 
 
+def test_mesh_parity():
+    """Data-parallel multi-scale fit matches single-device execution."""
+    from tnmf_tpu.parallel import make_mesh
+    V = _data(seed=16, n=8, c=1)
+    M = (np.random.default_rng(17).random(V.shape) > 0.3).astype(np.float64)
+    m1 = MultiScaleTNMF(n_atoms=(2, 1), atom_shapes=((3,), (6,)), seed=9)
+    m1.fit(V, n_iterations=5, mask=M)
+    m2 = MultiScaleTNMF(n_atoms=(2, 1), atom_shapes=((3,), (6,)), seed=9,
+                        mesh=make_mesh())
+    m2.fit(V, n_iterations=5, mask=M)
+    for k in range(2):
+        np.testing.assert_allclose(m1.W[k], m2.W[k], rtol=1e-7)
+        np.testing.assert_allclose(m1.H[k], m2.H[k], rtol=1e-7)
+    with pytest.raises(ValueError, match='divisible'):
+        MultiScaleTNMF(n_atoms=(2,), atom_shapes=((3,),),
+                       mesh=make_mesh()).fit(_data(seed=1, n=3, c=1),
+                                             n_iterations=1)
+
+
 def test_error_paths():
     with pytest.raises(ValueError, match='equal-length'):
         MultiScaleTNMF(n_atoms=(2,), atom_shapes=((3,), (5,)))

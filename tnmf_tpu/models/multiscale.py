@@ -169,6 +169,11 @@ class MultiScaleTNMF:
     reconstruction_mode, backend, dtype, seed, verbose, beta_loss, precision
         As in :class:`tnmf_tpu.models.tnmf.TransformInvariantNMF` (backend
         'auto' resolves per scale; the phased lowering is not used here).
+    mesh : jax.sharding.Mesh, optional
+        Data parallelism over the sample axis: V and every per-scale H
+        shard along mesh axis 0, the W banks replicate, and each scale's
+        W-statistic sample reduction becomes an all-reduce — the same
+        layout as the single-scale model's ``shard_axis='samples'``.
     """
 
     def __init__(self, n_atoms: Tuple[int, ...],
@@ -180,6 +185,7 @@ class MultiScaleTNMF:
                  verbose: int = 0,
                  beta_loss=2.0,
                  precision: Optional[str] = None,
+                 mesh=None,
                  logger: Optional[logging.Logger] = None):
         if len(n_atoms) != len(atom_shapes) or not n_atoms:
             raise ValueError('n_atoms and atom_shapes must be equal-length, '
@@ -195,6 +201,7 @@ class MultiScaleTNMF:
         self._dtype = dtype
         self._precision = precision
         self._beta = beta_ops.resolve_beta_loss(beta_loss)
+        self._mesh = mesh
         self._rng = np.random.default_rng(seed) if seed is not None else np.random
         self._logger = logger if logger is not None else logging.getLogger(self.__class__.__name__)
         self._logger.setLevel([logging.ERROR, logging.WARNING, logging.INFO, logging.DEBUG][verbose])
@@ -280,6 +287,18 @@ class MultiScaleTNMF:
         self._Vd = jnp.asarray(V, dtype=dtype)
         self._Ws = tuple(jnp.asarray(w, dtype=dtype) for w in Ws)
         self._Hs = tuple(jnp.asarray(h, dtype=dtype) for h in Hs)
+        if self._mesh is not None:
+            from ..parallel.sharding import data_sharding, replicated
+            if V.shape[0] % self._mesh.devices.size:
+                raise ValueError(
+                    f'n_samples ({V.shape[0]}) must be divisible by the mesh '
+                    f'size ({self._mesh.devices.size})')
+            rep = replicated(self._mesh)
+            self._Vd = jax.device_put(
+                self._Vd, data_sharding(self._mesh, self._Vd.ndim))
+            self._Ws = tuple(jax.device_put(w, rep) for w in self._Ws)
+            self._Hs = tuple(jax.device_put(
+                h, data_sharding(self._mesh, h.ndim)) for h in self._Hs)
 
         if mask is not None:
             mask = np.asarray(mask)
@@ -290,6 +309,12 @@ class MultiScaleTNMF:
             if np.any(mask < 0):
                 raise ValueError('mask entries must be nonnegative')
             self._mask_d = jnp.asarray(mask, dtype=dtype)
+            if self._mesh is not None:
+                if mask.shape != V.shape:
+                    raise ValueError(
+                        'under a mesh the mask must have the full data shape '
+                        f'{V.shape}, got {mask.shape}')
+                self._mask_d = jax.device_put(self._mask_d, self._Vd.sharding)
         else:
             self._mask_d = None
 
