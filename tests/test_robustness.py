@@ -94,3 +94,36 @@ def test_circular_shift_equivariance():
                                       plan=plan, strategy=a._strategy))
     R_expected = np.roll(a.R, (3, 5), axis=(2, 3))
     np.testing.assert_allclose(R, R_expected, rtol=1e-8, atol=1e-10)
+
+
+def test_zero_input_masked_and_grouped():
+    """Degenerate inputs stay finite under the round-3 extensions too:
+    all-zero data with a mask, and a flip-tied dictionary."""
+    V = np.zeros((2, 1, 12, 12))
+    M = np.zeros_like(V)
+    M[:, :, ::2] = 1.0
+    np.random.seed(0)
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3),
+                                transform_type='shift+flip')
+    nmf.fit(V, n_iterations=3, mask=M)
+    assert np.isfinite(nmf.W).all() and np.isfinite(nmf.H).all()
+    assert nmf._energy_function() == 0.0
+
+
+def test_all_zero_mask():
+    """A mask of zeros means NO observed data: H decays, W stays finite
+    (normalized zero atoms are kept at zero, not NaN)."""
+    V = np.random.default_rng(0).random((2, 1, 10))
+    np.random.seed(0)
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3,))
+    nmf.fit(V, n_iterations=3, mask=np.zeros_like(V))
+    assert np.isfinite(nmf.W).all() and np.isfinite(nmf.H).all()
+    assert nmf._energy_function() == 0.0
+
+
+def test_multiscale_zero_input():
+    from tnmf_tpu import MultiScaleTNMF
+    m = MultiScaleTNMF(n_atoms=(2, 1), atom_shapes=((3,), (5,)), seed=0)
+    m.fit(np.zeros((2, 1, 12)), n_iterations=3)
+    assert all(np.isfinite(w).all() for w in m.W)
+    assert all(np.isfinite(h).all() for h in m.H)
