@@ -1,0 +1,167 @@
+"""Vmapped hyperparameter sweeps (tnmf_tpu.models.sweep).
+
+The defining property: a sweep is *exactly* S independent fits — the
+vmapped graph must reproduce, model by model, what the engine produces
+when each (key, strengths) pair is initialized and fitted on its own.
+The reference library has no counterpart (sweeps there are a Python loop
+of ``fit`` calls); the per-model strength vectors are exact because the
+engine treats strengths as traced scalars and strength 0 contributes
+``0 * term`` to the MU denominator.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tnmf_tpu import engine, sweep_fit
+from tnmf_tpu.models.sweep import SweepResult
+from tnmf_tpu.ops.inhibition import inhibition_kernels, resolve_inhibition_range
+from tnmf_tpu.ops.modes import ConvPlan
+from tnmf_tpu.parallel import MODEL_AXIS, make_mesh_models
+
+needs_8_devices = pytest.mark.skipif(
+    jax.device_count() < 8, reason='needs 8 (virtual) devices')
+
+
+def _make_V(n=4, c=1, s=12):
+    rng = np.random.default_rng(7)
+    return rng.random((n, c, s, s)).astype(np.float32)
+
+
+def _fit_one_by_hand(V, key, n_atoms, atom_shape, n_iter, sp, inh, cross,
+                     mode='valid', strategy=None, beta=2.0):
+    """One model through the engine directly — the sweep's ground truth."""
+    plan = ConvPlan.create(mode, V.shape[2:], atom_shape)
+    if strategy is None:
+        strategy = engine.resolve_strategy(
+            engine.choose_strategy(plan, n_atoms, V.shape[1]),
+            plan, n_atoms, V.shape[1])
+    kernels = tuple(jnp.asarray(k, dtype=V.dtype) for k in inhibition_kernels(
+        resolve_inhibition_range(None, atom_shape)))
+    Vd = jnp.asarray(V)
+    Vp = engine.prepare_data(Vd, plan=plan, strategy=strategy)
+    W0, H0 = engine.init_matrices(
+        key, w_shape=(n_atoms, V.shape[1]) + atom_shape,
+        h_shape=(V.shape[0], n_atoms) + plan.transform_shape,
+        n_shift_axes=plan.ndim, dtype=Vd.dtype)
+    W, H = engine.fit_loop(
+        Vp, W0, H0, n_iter, jnp.float32(sp), jnp.float32(inh),
+        jnp.float32(cross), kernels, plan=plan, strategy=strategy,
+        use_inhibition=True, use_cross=True,  # strength 0 is an exact no-op
+        beta=beta)
+    E = engine.energy(Vd, W, H, plan=plan, strategy=strategy, beta=beta)
+    return np.asarray(W), np.asarray(H), float(E)
+
+
+def test_sweep_matches_individual_fits():
+    V = _make_V()
+    sp = np.array([0.0, 0.1, 0.5], np.float32)
+    inh = np.array([0.1, 0.0, 0.2], np.float32)
+    res = sweep_fit(V, 3, (3, 3), n_models=3, seed=11, n_iterations=5,
+                    sparsity=sp, inhibition=inh, cross_inhibition=0.05)
+    assert isinstance(res, SweepResult)
+    assert res.W.shape == (3, 3, 1, 3, 3)
+    assert res.H.shape[0] == 3
+
+    keys = jax.random.split(jax.random.PRNGKey(11), 3)
+    for s in range(3):
+        W, H, E = _fit_one_by_hand(V, keys[s], 3, (3, 3), 5,
+                                   sp[s], inh[s], 0.05)
+        np.testing.assert_allclose(np.asarray(res.W[s]), W, rtol=1e-5,
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(res.H[s]), H, rtol=1e-5,
+                                   atol=1e-7)
+        np.testing.assert_allclose(float(res.energies[s]), E, rtol=1e-5)
+
+
+def test_sweep_regularization_vector_actually_differs():
+    V = _make_V()
+    res = sweep_fit(V, 2, (3, 3), n_models=2, seed=0, n_iterations=6,
+                    sparsity=np.array([0.0, 2.0], np.float32))
+    # identical keys would make the models equal; different sparsity and
+    # different keys must separate both H and the objective
+    l1 = np.sum(np.abs(np.asarray(res.H)), axis=tuple(range(1, res.H.ndim)))
+    assert l1[1] < l1[0]  # sparsity shrinks activations
+    assert res.best in (0, 1)
+    W0, H0 = res.model(0)
+    assert isinstance(W0, np.ndarray) and isinstance(H0, np.ndarray)
+    assert res.n_models == 2
+
+
+def test_sweep_seed_vector_reproducible():
+    V = _make_V(n=2, s=10)
+    a = sweep_fit(V, 2, (3, 3), seed=np.array([3, 9]), n_iterations=3)
+    b = sweep_fit(V, 2, (3, 3), seed=np.array([3, 9]), n_iterations=3)
+    np.testing.assert_array_equal(np.asarray(a.W), np.asarray(b.W))
+    np.testing.assert_array_equal(a.seeds, np.array([3, 9], np.uint32))
+    # different seeds give different models
+    assert not np.allclose(np.asarray(a.W[0]), np.asarray(a.W[1]))
+
+
+@needs_8_devices
+def test_sweep_mesh_parity_and_layout():
+    V = _make_V()
+    mesh = make_mesh_models(8)
+    kw = dict(n_models=8, seed=5, n_iterations=4,
+              sparsity=np.linspace(0, 1, 8).astype(np.float32))
+    plain = sweep_fit(V, 2, (3, 3), **kw)
+    sharded = sweep_fit(V, 2, (3, 3), mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(sharded.W), np.asarray(plain.W),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sharded.energies),
+                               np.asarray(plain.energies), rtol=1e-6)
+    spec = sharded.H.sharding.spec
+    assert spec[0] == MODEL_AXIS  # model axis is really distributed
+
+
+def test_sweep_phased_strategy_matches_individual(monkeypatch):
+    monkeypatch.setattr(engine, '_phased_platform_ok', lambda: True)
+    V = _make_V()
+    res = sweep_fit(V, 2, (3, 3), n_models=2, seed=4, n_iterations=4,
+                    strategy='conv', sparsity=0.1)
+    # the channel-poor geometry upgrades to the phased lowering
+    keys = jax.random.split(jax.random.PRNGKey(4), 2)
+    for s in range(2):
+        W, H, E = _fit_one_by_hand(V, keys[s], 2, (3, 3), 4, 0.1, 0.0, 0.0,
+                                   strategy=engine.resolve_strategy(
+                                       'conv', ConvPlan.create(
+                                           'valid', V.shape[2:], (3, 3)),
+                                       2, 1))
+        np.testing.assert_allclose(np.asarray(res.W[s]), W, rtol=1e-5,
+                                   atol=1e-7)
+
+
+def test_sweep_beta_and_mask_smoke():
+    V = _make_V(n=2, s=10) + 0.05
+    res = sweep_fit(V, 2, (3, 3), n_models=2, seed=1, n_iterations=3,
+                    beta_loss=1.0)
+    E = np.asarray(res.energies)
+    assert np.all(np.isfinite(E)) and np.all(E >= 0)
+    assert np.all(np.asarray(res.W) >= 0)
+
+    mask = np.ones(V.shape, np.float32)
+    mask[:, :, :3] = 0.0
+    Vg = V.copy()
+    Vg[:, :, :3] = 77.0  # garbage under the mask must not matter
+    r1 = sweep_fit(V, 2, (3, 3), n_models=2, seed=2, n_iterations=3,
+                   mask=mask)
+    r2 = sweep_fit(Vg, 2, (3, 3), n_models=2, seed=2, n_iterations=3,
+                   mask=mask)
+    np.testing.assert_allclose(np.asarray(r1.W), np.asarray(r2.W),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_sweep_error_paths():
+    V = _make_V(n=2, s=10)
+    with pytest.raises(ValueError, match='n_models'):
+        sweep_fit(V, 2, (3, 3), seed=0)  # scalar seed without n_models
+    with pytest.raises(ValueError, match='either n_models'):
+        sweep_fit(V, 2, (3, 3), n_models=2, seed=np.array([1, 2]))
+    with pytest.raises(ValueError, match='sparsity'):
+        sweep_fit(V, 2, (3, 3), n_models=3, seed=0,
+                  sparsity=np.array([0.1, 0.2], np.float32))
+    if jax.device_count() >= 8:
+        with pytest.raises(ValueError, match='divisible'):
+            sweep_fit(V, 2, (3, 3), n_models=3, seed=0,
+                      mesh=make_mesh_models(8))

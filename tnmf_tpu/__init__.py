@@ -15,10 +15,11 @@ Public API::
 """
 
 from .models.multiscale import MultiScaleTNMF
+from .models.sweep import SweepResult, sweep_fit
 from .models.tnmf import MiniBatchAlgorithm, TransformInvariantNMF
 from .ops.transforms import TransformGroup
 
 __all__ = ['TransformInvariantNMF', 'MiniBatchAlgorithm', 'TransformGroup',
-           'MultiScaleTNMF']
+           'MultiScaleTNMF', 'SweepResult', 'sweep_fit']
 
 __version__ = '0.1.0'

@@ -1,0 +1,234 @@
+"""Vmapped hyperparameter sweeps: fit many independent TNMF models in ONE
+compiled graph.
+
+Dictionary learning is sensitive to the random initialization and to the
+regularization strengths, so practitioners routinely fit the same data
+many times (restarts over seeds, grids over sparsity / inhibition) and
+keep the best model.  The reference library can only run such sweeps as a
+Python loop of full fits (one ``TransformInvariantNMF.fit`` per setting,
+``tnmf/TransformInvariantNMF.py:282``).  On TPU the natural formulation is
+``jax.vmap``: the model axis becomes a leading batch dimension of W and H,
+the data tensor (and its loop-invariant preparation) is shared by
+broadcast, and the whole sweep — S inits, S fit loops, S final energies —
+is a single XLA program in which every convolution carries ``S`` times the
+batch, filling the MXU that a lone small problem leaves idle.
+
+Regularization strengths are *traced* scalars in the engine
+(:func:`tnmf_tpu.engine.fit_loop`), so a sweep over sparsity /
+inhibition / cross-inhibition is exact: strength 0 contributes
+``0 * term`` to the MU denominator — bit-for-bit the unregularized
+update — and per-model strengths simply become vmapped vectors over one
+shared graph.  Anything that changes graph *structure* (reconstruction
+mode, beta, strategy, atom count/shape) is static and therefore one value
+per sweep.
+
+The model axis is embarrassingly parallel: under ``mesh=`` every
+per-model array is sharded on its leading axis and the fit runs with zero
+collectives — linear scaling across chips
+(:func:`tnmf_tpu.parallel.sharding.make_mesh_models`).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import engine
+from ..ops.inhibition import inhibition_kernels, resolve_inhibition_range
+from ..ops.modes import ConvPlan
+
+__all__ = ['SweepResult', 'sweep_fit']
+
+
+@dataclass(frozen=True)
+class SweepResult:
+    """Outcome of :func:`sweep_fit`: per-model arrays stacked on axis 0."""
+
+    W: jax.Array          # (S, n_atoms, n_channels, *atom_shape)
+    H: jax.Array          # (S, n_samples, n_atoms, *transform_shape)
+    energies: jax.Array   # (S,) final objective per model
+    seeds: np.ndarray     # (S,) per-model seed labels used for the init keys
+
+    @property
+    def n_models(self) -> int:
+        return self.W.shape[0]
+
+    @property
+    def best(self) -> int:
+        """Index of the model with the lowest final objective."""
+        return int(jnp.argmin(self.energies))
+
+    def model(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        """``(W, H)`` of model ``i`` as NumPy arrays."""
+        return np.asarray(self.W[i]), np.asarray(self.H[i])
+
+
+def _per_model(x, n_models: int, name: str, dtype) -> jnp.ndarray:
+    """Broadcast a scalar, or validate a length-S vector, of strengths."""
+    arr = jnp.asarray(x, dtype=dtype)
+    if arr.ndim == 0:
+        return jnp.full((n_models,), arr, dtype=dtype)
+    if arr.shape != (n_models,):
+        raise ValueError(
+            f'{name} must be a scalar or a vector of one value per model '
+            f'(expected shape ({n_models},), got {tuple(arr.shape)})')
+    return arr
+
+
+@partial(jax.jit,
+         static_argnames=('n_iterations', 'n_atoms') + engine._STEP_STATICS)
+def _sweep_impl(Vp, V, keys, sparsity, inhibition, cross_inhibition,
+                kernels, mask, *, n_iterations, n_atoms, plan, strategy,
+                update_H, update_W, use_inhibition, use_cross,
+                use_pallas, use_pallas_gw, beta):
+    """Init + fit + final energy for all models as one program.
+
+    ``keys`` is (S, 2) PRNG keys; W/H gain a leading model axis inside
+    ``vmap``.  Data, kernels and mask are shared by broadcast; strengths
+    are per-model vectors.
+    """
+    w_shape = (n_atoms, V.shape[1]) + plan.atom_shape
+    h_shape = (V.shape[0], n_atoms) + plan.transform_shape
+
+    def init_one(key):
+        return engine.init_matrices(
+            key, w_shape=w_shape, h_shape=h_shape,
+            n_shift_axes=plan.ndim, dtype=V.dtype)
+
+    W0, H0 = jax.vmap(init_one)(keys)
+
+    def fit_one(W, H, sp, inh, cross):
+        return engine.fit_loop(
+            Vp, W, H, n_iterations, sp, inh, cross, kernels, mask,
+            plan=plan, strategy=strategy, update_H=update_H,
+            update_W=update_W, use_inhibition=use_inhibition,
+            use_cross=use_cross, use_pallas=use_pallas,
+            use_pallas_gw=use_pallas_gw, beta=beta)
+
+    W, H = jax.vmap(fit_one)(W0, H0, sparsity, inhibition, cross_inhibition)
+
+    def energy_one(W, H):
+        return engine.energy(V, W, H, mask, plan=plan, strategy=strategy,
+                             beta=beta)
+
+    return W, H, jax.vmap(energy_one)(W, H)
+
+
+def sweep_fit(
+    V,
+    n_atoms: int,
+    atom_shape: Tuple[int, ...],
+    *,
+    n_models: Optional[int] = None,
+    seed: Union[int, np.ndarray] = 0,
+    n_iterations: int = 100,
+    sparsity=0.0,
+    inhibition=0.0,
+    cross_inhibition=0.0,
+    inhibition_range: Optional[Tuple[int, ...]] = None,
+    reconstruction_mode: str = 'valid',
+    strategy: str = 'auto',
+    beta_loss: float = 2.0,
+    mask=None,
+    dtype=None,
+    precision: Optional[str] = None,
+    mesh=None,
+) -> SweepResult:
+    """Fit ``n_models`` independent TNMF models on the same data in one
+    compiled graph and return all of them with their final objectives.
+
+    Each model gets its own device-side random initialization (derived from
+    ``seed``: an int, split into per-model keys — or an explicit vector of
+    per-model integer seeds) and its own regularization strengths:
+    ``sparsity`` / ``inhibition`` / ``cross_inhibition`` may each be a
+    scalar (shared) or a length-``n_models`` vector (a grid).  When every
+    hyperparameter is scalar this is a pure multi-restart; mixed vectors
+    give seed x strength grids by construction (build the vectors
+    accordingly).
+
+    Static per-sweep (they change the compiled graph, not a traced value):
+    ``reconstruction_mode``, ``strategy``, ``beta_loss``, ``n_atoms``,
+    ``atom_shape``, ``inhibition_range``.
+
+    With ``mesh=`` (a 1-D ``jax.sharding.Mesh``, e.g.
+    :func:`tnmf_tpu.parallel.sharding.make_mesh_models`) the model axis is
+    sharded across devices — the sweep is embarrassingly parallel (zero
+    collectives), so ``n_models`` must be divisible by the mesh size.
+
+    Unsupported here (use
+    :class:`~tnmf_tpu.models.tnmf.TransformInvariantNMF` per model
+    instead): transform groups, minibatch/stream drivers, callbacks,
+    host-RNG reference-parity init.
+    """
+    V = jnp.asarray(V)
+    if dtype is not None:
+        V = V.astype(dtype)
+    if V.dtype == jnp.float64:
+        V = V.astype(jnp.float32)
+
+    if n_models is None:
+        seeds = np.atleast_1d(np.asarray(seed, dtype=np.uint32))
+        if np.ndim(seed) == 0:
+            raise ValueError('pass n_models (or a vector of per-model '
+                             'seeds) to size the sweep')
+        n_models = int(seeds.shape[0])
+        keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+    else:
+        if np.ndim(seed) != 0:
+            raise ValueError('pass either n_models with a scalar seed, or a '
+                             'vector of per-model seeds without n_models')
+        keys = jax.random.split(jax.random.PRNGKey(int(seed)), n_models)
+        seeds = np.arange(n_models, dtype=np.uint32)  # positional labels
+
+    n_atoms = int(n_atoms)
+    atom_shape = tuple(int(a) for a in atom_shape)
+    plan = ConvPlan.create(reconstruction_mode, tuple(V.shape[2:]),
+                           atom_shape, precision=precision)
+    if strategy == 'auto':
+        strategy = engine.choose_strategy(plan, n_atoms, V.shape[1])
+    strategy = engine.resolve_strategy(strategy, plan, n_atoms, V.shape[1])
+
+    sdt = V.dtype  # strengths ride in the storage dtype, like the model
+    sp = _per_model(sparsity, n_models, 'sparsity', sdt)
+    inh = _per_model(inhibition, n_models, 'inhibition', sdt)
+    cross = _per_model(cross_inhibition, n_models, 'cross_inhibition', sdt)
+    use_inh = bool(np.any(np.asarray(inh, np.float32) > 0))
+    use_cross = bool(np.any(np.asarray(cross, np.float32) > 0))
+    rng_range = resolve_inhibition_range(inhibition_range, atom_shape)
+    kernels = tuple(jnp.asarray(k, dtype=sdt)
+                    for k in inhibition_kernels(rng_range))
+
+    if mask is not None:
+        mask = jnp.broadcast_to(jnp.asarray(mask), V.shape).astype(V.dtype)
+    Vc = V if mask is None or beta_loss != 2.0 else V * mask
+    if beta_loss == 2.0:
+        Vp = engine.prepare_data(Vc, plan=plan, strategy=strategy)
+    else:
+        Vp = Vc  # beta losses consume the canonical tensor
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_dev = int(np.prod(mesh.devices.shape))
+        if n_models % n_dev:
+            raise ValueError(
+                f'n_models ({n_models}) must be divisible by the mesh size '
+                f'({n_dev}) for the embarrassingly-parallel model axis')
+        model_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        rep = NamedSharding(mesh, P())
+        keys, sp, inh, cross = (jax.device_put(x, model_sh)
+                                for x in (keys, sp, inh, cross))
+        Vp = jax.device_put(Vp, rep)
+        V = jax.device_put(V, rep)
+        if mask is not None:
+            mask = jax.device_put(mask, rep)
+
+    W, H, E = _sweep_impl(
+        Vp, V, keys, sp, inh, cross, kernels, mask,
+        n_iterations=int(n_iterations), n_atoms=n_atoms, plan=plan,
+        strategy=strategy, update_H=True, update_W=True,
+        use_inhibition=use_inh, use_cross=use_cross,
+        use_pallas=False, use_pallas_gw=False, beta=float(beta_loss))
+    return SweepResult(W=W, H=H, energies=E, seeds=seeds)

@@ -36,6 +36,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = 'data'
 SPATIAL_AXIS = 'space'
 ATOM_AXIS = 'atoms'
+MODEL_AXIS = 'models'
+
+
+def make_mesh_models(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over the *model* axis of a hyperparameter sweep
+    (:func:`tnmf_tpu.models.sweep.sweep_fit`): each device fits its own
+    slice of the independent models — embarrassingly parallel, zero
+    collectives."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (MODEL_AXIS,))
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
