@@ -214,6 +214,17 @@ class TransformInvariantNMF:
             beta_loss: Union[float, str] = 2.0,
             transform_type: str = 'shift',
     ):
+        # raw constructor arguments, captured before any processing — the
+        # sklearn estimator protocol (get_params/set_params/clone) hands
+        # these back unmodified
+        self._init_params = dict(
+            n_atoms=n_atoms, atom_shape=atom_shape,
+            inhibition_range=inhibition_range, backend=backend,
+            logger=logger, verbose=verbose,
+            reconstruction_mode=reconstruction_mode, dtype=dtype, mesh=mesh,
+            seed=seed, fft_policy=fft_policy, use_pallas=use_pallas,
+            init=init, shard_axis=shard_axis, precision=precision,
+            beta_loss=beta_loss, transform_type=transform_type)
         self.atom_shape = tuple(int(a) for a in atom_shape)
         self.n_atoms = int(n_atoms)
         from ..ops.transforms import make_group
@@ -1073,10 +1084,56 @@ class TransformInvariantNMF:
                 self._logger.info('Sample iterator exhausted. TNMF on full iterator finished.')
                 return
 
-    def fit(self, V, **kwargs):
+    # ------------------------------------------------------------------
+    # sklearn estimator protocol: get_params / set_params make the model
+    # compose with sklearn.base.clone, Pipeline and the CV search tools
+    # (the reference model predates this; its ctor kwargs map 1:1)
+    # ------------------------------------------------------------------
+
+    def get_params(self, deep: bool = True) -> dict:
+        """Constructor parameters, unmodified (sklearn estimator API)."""
+        del deep  # no nested estimators
+        return dict(self._init_params)
+
+    def __sklearn_tags__(self):
+        """Estimator tags (sklearn >= 1.6 protocol).  Lazy import keeps
+        sklearn an optional dependency — this is only called by sklearn
+        meta-estimators (Pipeline, the CV search tools), which implies
+        sklearn is importable."""
+        from sklearn.utils import Tags, TargetTags, TransformerTags
+        return Tags(
+            estimator_type='transformer',
+            target_tags=TargetTags(required=False),
+            transformer_tags=TransformerTags(),
+            regressor_tags=None,
+            classifier_tags=None,
+            non_deterministic=False,
+            no_validation=True,  # V is an n-d tensor, not a 2-D X matrix
+        )
+
+    def set_params(self, **params) -> 'TransformInvariantNMF':
+        """Re-configure constructor parameters in place (sklearn API).
+
+        Resets any fitted state — call before ``fit``, like sklearn does.
+        Unknown names raise ``ValueError`` (the sklearn contract for CV
+        search error reporting).
+        """
+        unknown = set(params) - set(self._init_params)
+        if unknown:
+            raise ValueError(
+                f'invalid parameter(s) {sorted(unknown)} for estimator '
+                f'{type(self).__name__}; valid parameters are '
+                f'{sorted(self._init_params)}')
+        merged = {**self._init_params, **params}
+        self.__init__(**merged)
+        return self
+
+    def fit(self, V, y=None, **kwargs):
         """Kwarg-dispatching front door (reference :525-531):
         ``subsample_size``/``max_subsamples`` -> fit_stream,
-        ``batch_size``/``algorithm`` -> fit_minibatches, else fit_batch."""
+        ``batch_size``/``algorithm`` -> fit_minibatches, else fit_batch.
+        ``y`` is accepted and ignored (sklearn unsupervised convention)."""
+        del y
         if 'subsample_size' in kwargs or 'max_subsamples' in kwargs:
             self.fit_stream(iter(V), **kwargs)
         elif 'batch_size' in kwargs or 'algorithm' in kwargs:
@@ -1106,10 +1163,11 @@ class TransformInvariantNMF:
                        keep_W=True, **kwargs)
         return self.H
 
-    def fit_transform(self, V, **kwargs) -> np.ndarray:
+    def fit_transform(self, V, y=None, **kwargs) -> np.ndarray:
         """Fit the model to ``V`` and return the learned activations ``H``
-        (sklearn estimator convention).  Accepts every ``fit`` kwarg."""
-        self.fit(V, **kwargs)
+        (sklearn estimator convention; ``y`` is accepted and ignored).
+        Accepts every ``fit`` kwarg."""
+        self.fit(V, y, **kwargs)
         return self.H
 
     def inverse_transform(self, H: Optional[np.ndarray] = None) -> np.ndarray:
