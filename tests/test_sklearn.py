@@ -76,6 +76,22 @@ def test_pipeline_fit_transform_matches_direct():
     assert H_new.shape == H_direct.shape
 
 
+def test_multiscale_estimator_protocol():
+    from tnmf_tpu import MultiScaleTNMF
+    V = _make_V()
+    ms = MultiScaleTNMF(n_atoms=(2, 2), atom_shapes=((3, 3), (5, 5)), seed=4)
+    twin = clone(ms)
+    assert twin.get_params() == ms.get_params()
+    ms.fit(V, n_iterations=3, sparsity_H=0.1)
+    twin.fit(V, n_iterations=3, sparsity_H=0.1)
+    for a, b in zip(ms.W, twin.W):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    ms.set_params(n_atoms=(3, 1))
+    assert ms._Ws is None and ms.n_atoms == (3, 1)
+    with pytest.raises(ValueError, match='invalid parameter'):
+        ms.set_params(bogus=1)
+
+
 def test_grid_search_over_constructor_params():
     from sklearn.model_selection import GridSearchCV, KFold
     V = _make_V()

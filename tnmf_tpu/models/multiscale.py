@@ -187,6 +187,13 @@ class MultiScaleTNMF:
                  precision: Optional[str] = None,
                  mesh=None,
                  logger: Optional[logging.Logger] = None):
+        # raw ctor args for the sklearn estimator protocol (get_params /
+        # set_params / clone), captured before any processing
+        self._init_params = dict(
+            n_atoms=n_atoms, atom_shapes=atom_shapes,
+            reconstruction_mode=reconstruction_mode, backend=backend,
+            dtype=dtype, seed=seed, verbose=verbose, beta_loss=beta_loss,
+            precision=precision, mesh=mesh, logger=logger)
         if len(n_atoms) != len(atom_shapes) or not n_atoms:
             raise ValueError('n_atoms and atom_shapes must be equal-length, '
                              'non-empty tuples (one entry per scale)')
@@ -327,12 +334,42 @@ class MultiScaleTNMF:
                 engine.prepare_data(Vm, plan=p, strategy=s)
                 for p, s in zip(self._plans, self._strategies))
 
-    def fit(self, V, n_iterations: int = 1000, update_H: bool = True,
+    def get_params(self, deep: bool = True) -> dict:
+        """Constructor parameters, unmodified (sklearn estimator API)."""
+        del deep  # no nested estimators
+        return dict(self._init_params)
+
+    def set_params(self, **params) -> 'MultiScaleTNMF':
+        """Re-configure constructor parameters in place (sklearn API);
+        resets fitted state.  Unknown names raise ``ValueError``."""
+        unknown = set(params) - set(self._init_params)
+        if unknown:
+            raise ValueError(
+                f'invalid parameter(s) {sorted(unknown)} for estimator '
+                f'{type(self).__name__}; valid parameters are '
+                f'{sorted(self._init_params)}')
+        self.__init__(**{**self._init_params, **params})
+        return self
+
+    def __sklearn_tags__(self):
+        """sklearn >= 1.6 tag protocol; lazy import keeps sklearn optional
+        (only sklearn meta-estimators call this)."""
+        from sklearn.utils import Tags, TargetTags, TransformerTags
+        return Tags(
+            estimator_type='transformer',
+            target_tags=TargetTags(required=False),
+            transformer_tags=TransformerTags(),
+            regressor_tags=None, classifier_tags=None,
+            no_validation=True)
+
+    def fit(self, V, y=None, n_iterations: int = 1000, update_H: bool = True,
             update_W: bool = True, keep_W: bool = False,
             sparsity_H=0.0, mask=None, record_energies: bool = False,
             progress_callback=None):
         """Full-batch multi-scale MU fit.  ``sparsity_H`` is a scalar or a
-        per-scale tuple (larger atoms often want more sparsity pressure)."""
+        per-scale tuple (larger atoms often want more sparsity pressure).
+        ``y`` is accepted and ignored (sklearn unsupervised convention)."""
+        del y
         assert update_H or update_W
         if np.isscalar(sparsity_H):
             sparsity_H = (float(sparsity_H),) * self.n_scales
