@@ -36,6 +36,26 @@ def test_reference_backend_names_accepted():
         assert nmf.W.shape == (2, 1, 3)
 
 
+def test_torch_tensor_input_accepted():
+    """Drop-in for reference users holding torch data: V may be a (CPU)
+    torch.Tensor anywhere an array is accepted (np.asarray interop)."""
+    torch = pytest.importorskip('torch')
+    V = _V((2, 1, 10, 10)).astype(np.float32)
+    np.random.seed(0)
+    a = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    a.fit(torch.from_numpy(V.copy()), n_iterations=3, sparsity_H=0.1)
+    np.random.seed(0)
+    b = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    b.fit(V, n_iterations=3, sparsity_H=0.1)
+    np.testing.assert_allclose(a.W, b.W, rtol=1e-6)
+    # masks too
+    np.random.seed(0)
+    c = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    c.fit(torch.from_numpy(V.copy()), n_iterations=3, sparsity_H=0.1,
+          mask=torch.ones(V.shape))
+    np.testing.assert_allclose(c.W, b.W, rtol=1e-6)
+
+
 def test_negative_input_rejected():
     nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3,))
     with pytest.raises(AssertionError):
