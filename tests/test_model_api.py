@@ -36,6 +36,28 @@ def test_reference_backend_names_accepted():
         assert nmf.W.shape == (2, 1, 3)
 
 
+def test_set_dictionary_enables_serving_without_a_checkpoint():
+    V = _V((2, 1, 12, 12)).astype(np.float32)
+    teacher = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3), seed=1)
+    teacher.fit(V, n_iterations=4)
+
+    a = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3), seed=9)
+    assert a.set_dictionary(teacher.W) is a  # chains
+    np.testing.assert_allclose(a.W.sum(axis=(-2, -1)), 1.0, rtol=1e-6)
+    Ha = a.transform(V, n_iterations=4)
+
+    b = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3), seed=9)
+    b.set_dictionary(teacher.W)
+    Hb = b.transform(V, n_iterations=4)
+    np.testing.assert_allclose(Ha, Hb, rtol=1e-7)  # deterministic serving
+    np.testing.assert_allclose(a.W, teacher.W, rtol=1e-6)  # W stayed frozen
+
+    with pytest.raises(ValueError, match='does not match'):
+        a.set_dictionary(np.ones((2, 1, 3, 3)))
+    with pytest.raises(ValueError, match='nonnegative'):
+        a.set_dictionary(-np.ones((3, 1, 3, 3)))
+
+
 def test_torch_tensor_input_accepted():
     """Drop-in for reference users holding torch data: V may be a (CPU)
     torch.Tensor anywhere an array is accepted (np.asarray interop)."""

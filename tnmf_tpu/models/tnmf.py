@@ -1146,6 +1146,33 @@ class TransformInvariantNMF:
     # frozen-dictionary encoding API)
     # ------------------------------------------------------------------
 
+    def set_dictionary(self, W) -> 'TransformInvariantNMF':
+        """Install an externally supplied dictionary (e.g. transferred from
+        another model, or shipped without a checkpoint file) so that
+        ``transform`` / ``fit(keep_W=True)`` can run against it.
+
+        ``W`` must be nonnegative with shape
+        ``(n_atoms, n_channels, *atom_shape)`` matching this model's
+        configuration; atoms are sum-normalized like after every W update
+        (reference ``_Backend.py:75-77``).  Returns ``self`` for chaining.
+        """
+        W = np.asarray(W)
+        expected_nd = 2 + len(self.atom_shape)
+        if W.ndim != expected_nd or W.shape[0] != self.n_atoms \
+                or W.shape[2:] != self.atom_shape:
+            raise ValueError(
+                f'dictionary shape {tuple(W.shape)} does not match the '
+                f'model: expected (n_atoms={self.n_atoms}, n_channels, '
+                f'*atom_shape={self.atom_shape})')
+        if np.any(W < 0):
+            raise ValueError('dictionary entries must be nonnegative')
+        s = W.sum(axis=self._axes_W_normalization, keepdims=True)
+        self._W = W / np.where(s == 0, 1, s)
+        # dictionary replaced: any previous fit state is inconsistent
+        self._H = None
+        self._plan = None
+        return self
+
     def transform(self, V, n_iterations: int = 100, **kwargs) -> np.ndarray:
         """Infer activations for new data with the dictionary **frozen**
         (sklearn-style encoding — the serving path: fit once, then encode
