@@ -157,6 +157,13 @@ def test_save_load_and_serving(tmp_path):
     m2 = MultiScaleTNMF.load(p + '.npz')
     for k in range(2):
         np.testing.assert_allclose(m2.W[k], m.W[k])
+    # include_H restores activations AND plans: R / R_scale / the full
+    # reconstruction work immediately after load, matching the fit state
+    np.testing.assert_allclose(np.asarray(m2.R), np.asarray(m.R),
+                               rtol=1e-6)
+    for k in range(2):
+        np.testing.assert_allclose(m2.H[k], m.H[k], rtol=1e-7)
+    np.testing.assert_allclose(m2.inverse_transform(), m.R, rtol=1e-6)
     H = m2.transform(V, n_iterations=4)
     assert len(H) == 2 and H[0].shape[0] == V.shape[0]
     # the dictionary stayed frozen during serving

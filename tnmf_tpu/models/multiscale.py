@@ -465,4 +465,27 @@ class MultiScaleTNMF:
             dtype = jnp.dtype(str(data['dtype']))
             model._Ws = tuple(jnp.asarray(data[f'W_{k}'], dtype=dtype)
                               for k in range(K))
+            if 'H_0' in data:
+                # checkpoints written with include_H restore the activations
+                # and the execution plans, so R / R_scale work immediately
+                # (same convention as the single-scale load)
+                model._Hs = tuple(jnp.asarray(data[f'H_{k}'], dtype=dtype)
+                                  for k in range(K))
+                t0 = model._Hs[0].shape[2:]
+                a0 = model.atom_shapes[0]
+                mode = model._mode
+                if mode == 'valid':
+                    sample = tuple(t - a + 1 for t, a in zip(t0, a0))
+                elif mode == 'full':
+                    sample = tuple(t + a - 1 for t, a in zip(t0, a0))
+                else:
+                    sample = tuple(t0)
+                model._plans = tuple(
+                    ConvPlan.create(mode, sample, a,
+                                    precision=model._precision)
+                    for a in model.atom_shapes)
+                n_channels = int(model._Ws[0].shape[1])
+                model._strategies = tuple(
+                    engine.choose_strategy(p, m, n_channels)
+                    for p, m in zip(model._plans, model.n_atoms))
         return model
