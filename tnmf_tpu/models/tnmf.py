@@ -869,7 +869,7 @@ class TransformInvariantNMF:
             self.energies_ = []
         from ..engine_minibatch import minibatch_fit_loop
         nb = -(-n // batch_size) if batch_size else 0
-        n_pad = nb * batch_size - n
+        n_pad = nb * batch_size - n if batch_size else 0
         if self._global_input and n_pad:
             # zero-padding a ragged final batch would concatenate a
             # process-local array onto the global one; the Python loop path
