@@ -83,6 +83,27 @@ def test_matmul_dft_matches_fft(mode, monkeypatch):
             np.testing.assert_allclose(np.asarray(a), b, rtol=1e-9, atol=1e-11)
 
 
+def test_matmul_dft_precision_highest(monkeypatch):
+    """plan.precision='highest' upgrades the DFT contractions to
+    Precision.HIGHEST (full-precision multiplies); every other setting is
+    floored at HIGH because the spectral roundtrip amplifies bf16 error
+    (fft.py:_dft_precision, round-2 advisor finding)."""
+    monkeypatch.setattr(fft, '_use_matmul_dft', lambda plan: True)
+    rng = np.random.default_rng(5)
+    S, A = (9, 11), (3, 4)
+    plan = ConvPlan.create('valid', S, A, precision='highest')
+    V = rng.random((2, 1) + S)
+    W = rng.random((2, 1) + A)
+    H = rng.random((2, 2) + plan.transform_shape)
+    Vp = fft.prepare_data(V, plan)
+    R = np.asarray(fft.reconstruct(W, H, plan))
+    np.testing.assert_allclose(R, oracle.reconstruct(W, H, 'valid'),
+                               rtol=1e-9, atol=1e-11)
+    for a, b in zip(fft.grad_H_pair(Vp, R, W, plan),
+                    oracle.reconstruction_gradient_H(V, W, H, 'valid')):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-9, atol=1e-11)
+
+
 @pytest.mark.parametrize('mode', ['valid', 'circular'])
 def test_two_stage_dft_long_axis(mode, monkeypatch):
     """Axes beyond _DFT_MAX_LEN run as a two-stage Cooley-Tukey matmul-DFT
