@@ -1,0 +1,98 @@
+"""Dead-atom detection and revival (tnmf_tpu.utils.atoms).
+
+MU's absorbing zero state: an atom with an all-zero activation map can
+never recover (the update multiplies by H itself). The revival utility
+re-draws exactly the dead atoms and their maps so a keep_W/keep_H refit
+continues with the full dictionary live.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tnmf_tpu import TransformInvariantNMF
+from tnmf_tpu.utils.atoms import find_dead_atoms, revive_dead_atoms
+
+
+def _V(shape=(3, 1, 12, 12), seed=0):
+    return np.random.default_rng(seed).random(shape).astype(np.float32)
+
+
+def _kill_atom(nmf, m):
+    H = np.asarray(nmf._H).copy()
+    H[:, m] = 0.0
+    nmf._H = jnp.asarray(H, dtype=nmf._H.dtype)
+
+
+def test_find_and_revive_dead_atom():
+    V = _V()
+    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3), seed=5)
+    nmf.fit(V, n_iterations=3)
+    assert find_dead_atoms(nmf).size == 0
+
+    _kill_atom(nmf, 1)
+    np.testing.assert_array_equal(find_dead_atoms(nmf), [1])
+    W_before = nmf.W
+
+    dead = revive_dead_atoms(nmf)
+    np.testing.assert_array_equal(dead, [1])
+    W_after = nmf.W
+    # only the dead atom was re-drawn; the others are untouched
+    np.testing.assert_array_equal(W_after[0], W_before[0])
+    np.testing.assert_array_equal(W_after[2], W_before[2])
+    assert not np.allclose(W_after[1], W_before[1])
+    np.testing.assert_allclose(W_after[1].sum(), 1.0, rtol=1e-6)
+    assert find_dead_atoms(nmf).size == 0  # H maps are live again
+
+    # zero is absorbing without revival: a keep_W/keep_H refit keeps the
+    # revived atom alive, whereas the killed atom would have stayed at 0
+    nmf.fit(V, n_iterations=3, keep_W=True, keep_H=True)
+    assert find_dead_atoms(nmf).size == 0
+
+
+def test_absorbing_state_without_revival():
+    V = _V()
+    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3), seed=5)
+    nmf.fit(V, n_iterations=2)
+    _kill_atom(nmf, 2)
+    nmf.fit(V, n_iterations=3, keep_W=True, keep_H=True)
+    np.testing.assert_array_equal(find_dead_atoms(nmf), [2])  # still dead
+
+
+def test_revival_is_reproducible_with_seed():
+    V = _V()
+    outs = []
+    for _ in range(2):
+        nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), seed=9)
+        nmf.fit(V, n_iterations=2)
+        _kill_atom(nmf, 0)
+        revive_dead_atoms(nmf)
+        outs.append(nmf.W)
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_transform_group_atom_mass_and_revival():
+    V = _V()
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), seed=3,
+                                transform_type='shift+flip')
+    nmf.fit(V, n_iterations=2)
+    g = nmf.n_transforms
+    assert g == 4
+    # kill every tied map of canonical atom 0
+    H = np.asarray(nmf._H).copy()
+    H[:, 0:g] = 0.0
+    nmf._H = jnp.asarray(H, dtype=nmf._H.dtype)
+    np.testing.assert_array_equal(find_dead_atoms(nmf), [0])
+    revive_dead_atoms(nmf)
+    assert find_dead_atoms(nmf).size == 0
+
+
+def test_errors_and_noop():
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    with pytest.raises(RuntimeError, match='fitted'):
+        find_dead_atoms(nmf)
+    V = _V()
+    nmf.fit(V, n_iterations=2)
+    W = nmf.W
+    assert revive_dead_atoms(nmf).size == 0
+    np.testing.assert_array_equal(nmf.W, W)  # no-op when nothing is dead
