@@ -132,6 +132,39 @@ def test_sweep_phased_strategy_matches_individual(monkeypatch):
                                    atol=1e-7)
 
 
+def test_sweep_transform_group_matches_individual():
+    """Sweeps compose with tied transform-invariant dictionaries: each
+    model's trajectory equals a standalone engine fit under the same
+    (strategy, group) tuple."""
+    from tnmf_tpu.ops.transforms import make_group
+    V = _make_V(n=2, s=10)
+    res = sweep_fit(V, 2, (3, 3), n_models=2, seed=6, n_iterations=3,
+                    sparsity=0.1, transform_type='shift+flip')
+    group = make_group('shift+flip', (3, 3))
+    assert res.H.shape[2] == 2 * group.size  # m-major tied maps
+    plan = ConvPlan.create('valid', V.shape[2:], (3, 3))
+    base = engine.resolve_strategy(
+        engine.choose_strategy(plan, 2 * group.size, 1),
+        plan, 2 * group.size, 1)
+    keys = jax.random.split(jax.random.PRNGKey(6), 2)
+    for s in range(2):
+        Vd = jnp.asarray(V)
+        Vp = engine.prepare_data(Vd, plan=plan, strategy=(base, group))
+        W0, H0 = engine.init_matrices(
+            keys[s], w_shape=(2, 1, 3, 3),
+            h_shape=(2, 2 * group.size) + plan.transform_shape,
+            n_shift_axes=plan.ndim, dtype=Vd.dtype)
+        kernels = tuple(jnp.asarray(k, dtype=Vd.dtype)
+                        for k in inhibition_kernels(
+                            resolve_inhibition_range(None, (3, 3))))
+        W, H = engine.fit_loop(
+            Vp, W0, H0, 3, jnp.float32(0.1), jnp.float32(0),
+            jnp.float32(0), kernels, plan=plan, strategy=(base, group),
+            use_inhibition=False, use_cross=False)
+        np.testing.assert_allclose(np.asarray(res.W[s]), np.asarray(W),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_sweep_beta_and_mask_smoke():
     V = _make_V(n=2, s=10) + 0.05
     res = sweep_fit(V, 2, (3, 3), n_models=2, seed=1, n_iterations=3,

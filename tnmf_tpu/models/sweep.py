@@ -48,7 +48,7 @@ class SweepResult:
     """Outcome of :func:`sweep_fit`: per-model arrays stacked on axis 0."""
 
     W: jax.Array          # (S, n_atoms, n_channels, *atom_shape)
-    H: jax.Array          # (S, n_samples, n_atoms, *transform_shape)
+    H: jax.Array          # (S, n_samples, n_atoms * n_transforms, *transform_shape)
     energies: jax.Array   # (S,) final objective per model
     seeds: np.ndarray     # (S,) per-model seed labels used for the init keys
 
@@ -79,19 +79,21 @@ def _per_model(x, n_models: int, name: str, dtype) -> jnp.ndarray:
 
 
 @partial(jax.jit,
-         static_argnames=('n_iterations', 'n_atoms') + engine._STEP_STATICS)
+         static_argnames=('n_iterations', 'n_atoms',
+                          'n_maps') + engine._STEP_STATICS)
 def _sweep_impl(Vp, V, keys, sparsity, inhibition, cross_inhibition,
-                kernels, mask, *, n_iterations, n_atoms, plan, strategy,
-                update_H, update_W, use_inhibition, use_cross,
+                kernels, mask, *, n_iterations, n_atoms, n_maps, plan,
+                strategy, update_H, update_W, use_inhibition, use_cross,
                 use_pallas, use_pallas_gw, beta):
     """Init + fit + final energy for all models as one program.
 
     ``keys`` is (S, 2) PRNG keys; W/H gain a leading model axis inside
     ``vmap``.  Data, kernels and mask are shared by broadcast; strengths
-    are per-model vectors.
+    are per-model vectors.  Under a transform group H carries ``n_maps =
+    n_atoms * group.size`` activation maps per model.
     """
     w_shape = (n_atoms, V.shape[1]) + plan.atom_shape
-    h_shape = (V.shape[0], n_atoms) + plan.transform_shape
+    h_shape = (V.shape[0], n_maps) + plan.transform_shape
 
     def init_one(key):
         return engine.init_matrices(
@@ -132,6 +134,7 @@ def sweep_fit(
     reconstruction_mode: str = 'valid',
     strategy: str = 'auto',
     beta_loss: float = 2.0,
+    transform_type: str = 'shift',
     mask=None,
     dtype=None,
     precision: Optional[str] = None,
@@ -158,10 +161,14 @@ def sweep_fit(
     sharded across devices — the sweep is embarrassingly parallel (zero
     collectives), so ``n_models`` must be divisible by the mesh size.
 
+    ``transform_type`` ties each atom across flip/rotation copies exactly
+    like the model class (H then carries ``n_atoms * n_transforms`` maps
+    per model, m-major).
+
     Unsupported here (use
     :class:`~tnmf_tpu.models.tnmf.TransformInvariantNMF` per model
-    instead): transform groups, minibatch/stream drivers, callbacks,
-    host-RNG reference-parity init.
+    instead): minibatch/stream drivers, callbacks, host-RNG
+    reference-parity init.
     """
     V = jnp.asarray(V)
     if dtype is not None:
@@ -185,11 +192,16 @@ def sweep_fit(
 
     n_atoms = int(n_atoms)
     atom_shape = tuple(int(a) for a in atom_shape)
+    from ..ops.transforms import make_group
+    group = make_group(transform_type, atom_shape)
+    n_maps = n_atoms * (group.size if group is not None else 1)
     plan = ConvPlan.create(reconstruction_mode, tuple(V.shape[2:]),
                            atom_shape, precision=precision)
     if strategy == 'auto':
-        strategy = engine.choose_strategy(plan, n_atoms, V.shape[1])
-    strategy = engine.resolve_strategy(strategy, plan, n_atoms, V.shape[1])
+        strategy = engine.choose_strategy(plan, n_maps, V.shape[1])
+    strategy = engine.resolve_strategy(strategy, plan, n_maps, V.shape[1])
+    if group is not None:
+        strategy = (strategy, group)
 
     sdt = V.dtype  # strengths ride in the storage dtype, like the model
     sp = _per_model(sparsity, n_models, 'sparsity', sdt)
@@ -227,8 +239,8 @@ def sweep_fit(
 
     W, H, E = _sweep_impl(
         Vp, V, keys, sp, inh, cross, kernels, mask,
-        n_iterations=int(n_iterations), n_atoms=n_atoms, plan=plan,
-        strategy=strategy, update_H=True, update_W=True,
+        n_iterations=int(n_iterations), n_atoms=n_atoms, n_maps=n_maps,
+        plan=plan, strategy=strategy, update_H=True, update_W=True,
         use_inhibition=use_inh, use_cross=use_cross,
         use_pallas=False, use_pallas_gw=False, beta=float(beta_loss))
     return SweepResult(W=W, H=H, energies=E, seeds=seeds)
