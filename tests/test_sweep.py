@@ -185,6 +185,24 @@ def test_sweep_beta_and_mask_smoke():
                                rtol=1e-6, atol=1e-8)
 
 
+def test_sweep_energy_traces():
+    """record_energies: per-iteration objective traces per model.  MU is
+    monotone for the Euclidean loss, the last trace entry is the reported
+    final energy, and the fitted state matches the untraced path."""
+    V = _make_V(n=2, s=10)
+    kw = dict(n_models=2, seed=7, n_iterations=6,
+              sparsity=np.array([0.0, 0.3], np.float32))
+    traced = sweep_fit(V, 2, (3, 3), record_energies=True, **kw)
+    plain = sweep_fit(V, 2, (3, 3), **kw)
+    assert traced.energy_traces.shape == (2, 6)
+    t = np.asarray(traced.energy_traces)
+    assert np.all(np.diff(t[0]) <= 1e-6)  # unregularized: monotone descent
+    np.testing.assert_allclose(np.asarray(traced.energies), t[:, -1])
+    np.testing.assert_allclose(np.asarray(traced.W), np.asarray(plain.W),
+                               rtol=1e-5, atol=1e-7)
+    assert plain.energy_traces is None
+
+
 def test_sweep_error_paths():
     V = _make_V(n=2, s=10)
     with pytest.raises(ValueError, match='n_models'):

@@ -51,6 +51,7 @@ class SweepResult:
     H: jax.Array          # (S, n_samples, n_atoms * n_transforms, *transform_shape)
     energies: jax.Array   # (S,) final objective per model
     seeds: np.ndarray     # (S,) per-model seed labels used for the init keys
+    energy_traces: Optional[jax.Array] = None  # (S, n_iterations) if recorded
 
     @property
     def n_models(self) -> int:
@@ -119,6 +120,46 @@ def _sweep_impl(Vp, V, keys, sparsity, inhibition, cross_inhibition,
     return W, H, jax.vmap(energy_one)(W, H)
 
 
+@partial(jax.jit,
+         static_argnames=('n_iterations', 'n_atoms',
+                          'n_maps') + engine._STEP_STATICS)
+def _sweep_impl_traced(Vp, V, keys, sparsity, inhibition, cross_inhibition,
+                       kernels, mask, *, n_iterations, n_atoms, n_maps,
+                       plan, strategy, update_H, update_W, use_inhibition,
+                       use_cross, use_pallas, use_pallas_gw, beta):
+    """Like :func:`_sweep_impl` but records the objective after every
+    iteration via a ``lax.scan`` over update steps (one extra
+    reconstruction per iteration — the same cost the reference pays for
+    its default per-iteration energy log)."""
+    w_shape = (n_atoms, V.shape[1]) + plan.atom_shape
+    h_shape = (V.shape[0], n_maps) + plan.transform_shape
+
+    def init_one(key):
+        return engine.init_matrices(
+            key, w_shape=w_shape, h_shape=h_shape,
+            n_shift_axes=plan.ndim, dtype=V.dtype)
+
+    W0, H0 = jax.vmap(init_one)(keys)
+
+    def fit_one(W, H, sp, inh, cross):
+        def step(WH, _):
+            W, H = WH
+            W, H = engine.update_step(
+                Vp, W, H, sp, inh, cross, kernels, mask,
+                plan=plan, strategy=strategy, update_H=update_H,
+                update_W=update_W, use_inhibition=use_inhibition,
+                use_cross=use_cross, use_pallas=use_pallas,
+                use_pallas_gw=use_pallas_gw, beta=beta)
+            e = engine.energy(V, W, H, mask, plan=plan, strategy=strategy,
+                              beta=beta)
+            return (W, H), e
+
+        (W, H), es = jax.lax.scan(step, (W, H), None, length=n_iterations)
+        return W, H, es
+
+    return jax.vmap(fit_one)(W0, H0, sparsity, inhibition, cross_inhibition)
+
+
 def sweep_fit(
     V,
     n_atoms: int,
@@ -139,6 +180,7 @@ def sweep_fit(
     dtype=None,
     precision: Optional[str] = None,
     mesh=None,
+    record_energies: bool = False,
 ) -> SweepResult:
     """Fit ``n_models`` independent TNMF models on the same data in one
     compiled graph and return all of them with their final objectives.
@@ -237,10 +279,18 @@ def sweep_fit(
         if mask is not None:
             mask = jax.device_put(mask, rep)
 
-    W, H, E = _sweep_impl(
-        Vp, V, keys, sp, inh, cross, kernels, mask,
+    statics = dict(
         n_iterations=int(n_iterations), n_atoms=n_atoms, n_maps=n_maps,
         plan=plan, strategy=strategy, update_H=True, update_W=True,
         use_inhibition=use_inh, use_cross=use_cross,
         use_pallas=False, use_pallas_gw=False, beta=float(beta_loss))
+    if record_energies:
+        # per-iteration objective traces (one extra reconstruction per
+        # iteration — what the reference pays for its default energy log)
+        W, H, traces = _sweep_impl_traced(
+            Vp, V, keys, sp, inh, cross, kernels, mask, **statics)
+        return SweepResult(W=W, H=H, energies=traces[:, -1], seeds=seeds,
+                           energy_traces=traces)
+    W, H, E = _sweep_impl(
+        Vp, V, keys, sp, inh, cross, kernels, mask, **statics)
     return SweepResult(W=W, H=H, energies=E, seeds=seeds)
