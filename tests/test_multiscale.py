@@ -17,7 +17,7 @@ import numpy as np
 import pytest
 
 from tnmf_tpu.models.multiscale import MultiScaleTNMF
-from tnmf_tpu.models.tnmf import TransformInvariantNMF
+from tnmf_tpu.models.tnmf import MiniBatchAlgorithm, TransformInvariantNMF
 from tnmf_tpu.ops import beta as beta_ops
 from tnmf_tpu.ops import oracle
 
@@ -215,6 +215,75 @@ def test_dtype_and_backend_aliases(tmp_path):
     with pytest.raises(KeyError):
         MultiScaleTNMF(n_atoms=(2,), atom_shapes=((4,),),
                        backend='nope').fit(V, n_iterations=1)
+
+
+def test_minibatch_cyclic_equals_full_batch():
+    """Cyclic_MU over sequential slices IS full-batch MU (per-batch H
+    updates have no cross-sample term, and the W statistics are summed
+    over all batches) — the identity the reference pins at
+    test_minibatch.py:19-20, here for the joint multi-scale updates."""
+    V = _data(seed=4, n=4)
+    ms_mb = MultiScaleTNMF(n_atoms=(2, 2), atom_shapes=((3,), (6,)), seed=3)
+    ms_mb.fit_minibatches(V, algorithm=MiniBatchAlgorithm.Cyclic_MU,
+                          batch_size=2, n_epochs=4)
+    ms_fb = MultiScaleTNMF(n_atoms=(2, 2), atom_shapes=((3,), (6,)), seed=3)
+    ms_fb.fit(V, n_iterations=4)
+    for a, b in zip(ms_mb.W, ms_fb.W):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7)
+    for a, b in zip(ms_mb.H, ms_fb.H):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7)
+
+
+def test_minibatch_k1_equals_single_scale_model():
+    """One scale + the same seed must reproduce the single-scale model's
+    minibatch trajectory (same init stream, same shuffle consumption)."""
+    V = _data(seed=9, n=6, c=1)
+    ms = MultiScaleTNMF(n_atoms=(3,), atom_shapes=((4,),), seed=11)
+    ms.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU,
+                       batch_size=2, n_epochs=3)
+    single = TransformInvariantNMF(n_atoms=3, atom_shape=(4,), seed=11)
+    single.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU,
+                           batch_size=2, n_epochs=3)
+    np.testing.assert_allclose(ms.W[0], single.W, rtol=2e-5, atol=1e-8)
+    np.testing.assert_allclose(ms.H[0], single.H, rtol=2e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize('algorithm', list(MiniBatchAlgorithm))
+def test_minibatch_algorithms_decrease_energy(algorithm):
+    V = _data(seed=6, n=4)
+    ms = MultiScaleTNMF(n_atoms=(2, 1), atom_shapes=((3,), (7,)), seed=1)
+    ms.fit_minibatches(V, algorithm=algorithm, batch_size=3, n_epochs=4,
+                       sparsity_H=(0.05, 0.0), record_energies=True)
+    e = np.asarray(ms.energies_)
+    assert e.shape == (4,) and np.all(np.isfinite(e))
+    assert e[-1] < e[0]  # multiplicative updates make progress
+    for Wk, a in zip(ms.W, ms.atom_shapes):
+        shape_axes = tuple(range(-len(a), 0))
+        np.testing.assert_allclose(Wk.sum(axis=shape_axes), 1.0, rtol=1e-5)
+
+
+def test_minibatch_callback_and_mask():
+    V = _data(seed=2, n=4)
+    M = np.ones_like(V)
+    M[:, :, :4] = 0.0
+    Vg = V.copy()
+    Vg[:, :, :4] = 50.0  # masked-out garbage must not matter
+    seen = []
+
+    def cb(model, epoch):
+        seen.append(epoch)
+        return epoch < 1
+
+    a = MultiScaleTNMF(n_atoms=(2,), atom_shapes=((3,),), seed=5)
+    a.fit_minibatches(V, batch_size=2, n_epochs=50, mask=M,
+                      progress_callback=cb)
+    assert seen == [0, 1]
+    b = MultiScaleTNMF(n_atoms=(2,), atom_shapes=((3,),), seed=5)
+    b.fit_minibatches(Vg, batch_size=2, n_epochs=2, mask=M)
+    c = MultiScaleTNMF(n_atoms=(2,), atom_shapes=((3,),), seed=5)
+    c.fit_minibatches(V, batch_size=2, n_epochs=2, mask=M)
+    for x, y in zip(b.W, c.W):
+        np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-9)
 
 
 def test_mesh_parity():

@@ -155,6 +155,31 @@ def _ms_energies_chunk(Vd, Vps, Ws, Hs, k, sparsities, mask=None, *,
     return Ws, Hs, es
 
 
+@partial(jax.jit, static_argnames=('plans', 'strategies', 'beta'))
+def ms_grad_W_stats(Vd, Vps, Ws, Hs, mask=None, *, plans, strategies,
+                    beta=2.0):
+    """Per-scale W-gradient ``(neg, pos)`` pairs against the current total
+    reconstruction (the minibatch accumulation unit — single-scale
+    counterpart: :func:`tnmf_tpu.engine.grad_W_stats`)."""
+    R = _reconstruct(Ws, Hs, plans, strategies)
+    nums, dens = _grad_inputs(Vd, Vps, R, mask, beta, plans, strategies)
+    stats = []
+    for k, (H, plan, strat) in enumerate(zip(Hs, plans, strategies)):
+        ops = engine.get_ops(strat)
+        stats.append(ops.grad_W_pair(nums[k], dens[k], H, plan))
+    return tuple(stats)
+
+
+@partial(jax.jit, static_argnames=('plans',))
+def ms_apply_W_stats(Ws, stats, *, plans):
+    """MU ratio + atom normalization per scale from accumulated stats."""
+    out = []
+    for W, (neg, pos), plan in zip(Ws, stats, plans):
+        Wn = W * neg / (pos + EPS)
+        out.append(engine._normalize_W(Wn, plan.ndim).astype(W.dtype))
+    return tuple(out)
+
+
 class MultiScaleTNMF:
     """Shift-invariant NMF with per-scale atom banks (no reference
     counterpart — the reference fixes one atom_shape per model).
@@ -411,6 +436,132 @@ class MultiScaleTNMF:
             if record_energies:
                 self.energies_ = np.asarray(energies)
         self._logger.info('MultiScale TNMF finished.')
+        return self
+
+    def fit_minibatches(self, V, algorithm=None, batch_size: int = 3,
+                        n_epochs: int = 1000, sag_lambda: float = 0.2,
+                        keep_W: bool = False, sparsity_H=0.0, mask=None,
+                        record_energies: bool = False,
+                        progress_callback=None):
+        """Minibatch MU for multi-scale dictionaries: the reference's five
+        epoch schedules (``MiniBatchAlgorithm`` 4-8, Serizel et al. 2016 —
+        ``TransformInvariantNMF.py:350-504``) applied to the joint
+        block-MU updates.  Per batch, every scale's H slice updates against
+        the shared total reconstruction; the W schedules accumulate
+        per-scale ``(neg, pos)`` statistics exactly like the single-scale
+        driver (summed for Cyclic_MU, per-batch for ASG/GSG, exponentially
+        averaged with ``sag_lambda`` for ASAG/GSAG).
+
+        Runs as a Python loop of jitted per-batch steps (the single-scale
+        model additionally offers an all-epochs-on-device scan; minibatch
+        steps are small, so the dispatch overhead dominates either way).
+        """
+        from .tnmf import (MiniBatchAlgorithm,
+                           _compute_sequential_minibatches)
+        if algorithm is None:
+            algorithm = MiniBatchAlgorithm.ASG_MU
+        if np.isscalar(sparsity_H):
+            sparsity_H = (float(sparsity_H),) * self.n_scales
+        sparsity_H = tuple(float(s) for s in sparsity_H)
+        assert len(sparsity_H) == self.n_scales and min(sparsity_H) >= 0
+        self._initialize(V, keep_W, mask)
+        dt = self._Vd.dtype
+        sp = tuple(jnp.asarray(s, dt) for s in sparsity_H)
+        statics = dict(plans=self._plans, strategies=self._strategies,
+                       beta=self._beta)
+        n = int(self._Vd.shape[0])
+        batches = list(_compute_sequential_minibatches(n, batch_size))
+        lam = jnp.asarray(sag_lambda, dt)
+
+        def mask_slice(s):
+            if self._mask_d is None:
+                return None
+            if self._mask_d.shape[0] == n:
+                return self._mask_d[s]
+            return self._mask_d  # broadcast mask (sample axis of 1)
+
+        def sliced(s):
+            return (self._Vd[s], tuple(vp[s] for vp in self._Vps),
+                    tuple(h[s] for h in self._Hs), mask_slice(s))
+
+        def update_H_batch(s):
+            Vb, Vpb, Hb, Mb = sliced(s)
+            _, Hn = ms_update_step(Vb, Vpb, self._Ws, Hb, sp, Mb,
+                                   update_H=True, update_W=False, **statics)
+            self._Hs = tuple(h.at[s].set(hn) for h, hn in zip(self._Hs, Hn))
+
+        def update_W_batch(s):
+            Vb, Vpb, Hb, Mb = sliced(s)
+            self._Ws, _ = ms_update_step(Vb, Vpb, self._Ws, Hb, sp, Mb,
+                                         update_H=False, update_W=True,
+                                         **statics)
+
+        def grad_W_batch(s):
+            Vb, Vpb, Hb, Mb = sliced(s)
+            return ms_grad_W_stats(Vb, Vpb, self._Ws, Hb, Mb, **statics)
+
+        def apply_W(stats):
+            self._Ws = ms_apply_W_stats(self._Ws, stats, plans=self._plans)
+
+        def shuffled():
+            idx = self._rng.permutation(len(batches))
+            return [batches[i] for i in idx]
+
+        def acc_sum(acc, stats):
+            if acc is None:
+                return stats
+            return tuple((a[0] + s[0], a[1] + s[1])
+                         for a, s in zip(acc, stats))
+
+        def acc_avg(acc, stats):
+            if acc is None:
+                acc = tuple((jnp.zeros_like(s[0]), jnp.zeros_like(s[1]))
+                            for s in stats)
+            return tuple(engine.accumulate_gradient(*a, *s, lam)
+                         for a, s in zip(acc, stats))
+
+        A = MiniBatchAlgorithm
+        inner_stat = None
+        self.energies_ = [] if record_energies else None
+        for epoch in range(int(n_epochs)):
+            if algorithm is A.Cyclic_MU:
+                acc = None
+                for b in batches:
+                    update_H_batch(b)
+                    acc = acc_sum(acc, grad_W_batch(b))
+                apply_W(acc)
+            elif algorithm is A.ASG_MU:
+                for b in shuffled():
+                    update_H_batch(b)
+                    update_W_batch(b)
+            elif algorithm is A.GSG_MU:
+                for b in shuffled():
+                    update_H_batch(b)
+                update_W_batch(b)
+            elif algorithm is A.ASAG_MU:
+                for b in shuffled():
+                    update_H_batch(b)
+                    inner_stat = acc_avg(inner_stat, grad_W_batch(b))
+                    apply_W(inner_stat)
+            elif algorithm is A.GSAG_MU:
+                b = batches[-1]
+                for b in shuffled():
+                    update_H_batch(b)
+                inner_stat = acc_avg(inner_stat, grad_W_batch(b))
+                apply_W(inner_stat)
+            else:
+                raise ValueError(f'unknown algorithm {algorithm!r}')
+            if record_energies:
+                self.energies_.append(self._energy_function())
+            if progress_callback is not None:
+                if not progress_callback(self, epoch):
+                    break
+            else:
+                self._logger.info('Epoch: %d\tEnergy function: %s',
+                                  epoch, self._energy_function())
+        if record_energies:
+            self.energies_ = np.asarray(self.energies_)
+        self._logger.info('MultiScale MiniBatch TNMF finished.')
         return self
 
     def transform(self, V, n_iterations: int = 100, **kwargs) -> Tuple[np.ndarray, ...]:
