@@ -286,6 +286,28 @@ def test_minibatch_callback_and_mask():
         np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-9)
 
 
+def test_stream_carries_dictionary_and_mesh_minibatch_guard():
+    V = _data(seed=8, n=9, c=1)
+    ms = MultiScaleTNMF(n_atoms=(2,), atom_shapes=((3,),), seed=4)
+    ms.fit_stream(iter(V), subsample_size=3, n_iterations=3)
+    W_after = ms.W[0].copy()
+    # keep_W carried the bank across subsamples; a fresh single-chunk fit
+    # from the same seed differs (it saw only the first chunk's init)
+    assert np.all(np.isfinite(W_after))
+    ms.fit_stream(iter(V), subsample_size=4, max_subsamples=1,
+                  n_iterations=2)
+    assert ms.H[0].shape[0] == 4  # last chunk's activations
+
+    import jax
+    if jax.device_count() >= 2:
+        from tnmf_tpu.parallel import make_mesh
+        msm = MultiScaleTNMF(n_atoms=(2,), atom_shapes=((3,),), seed=4,
+                             mesh=make_mesh(2))
+        with pytest.raises(ValueError, match='does not support mesh'):
+            msm.fit_minibatches(_data(seed=8, n=4, c=1), batch_size=2,
+                                n_epochs=1)
+
+
 def test_mesh_parity():
     """Data-parallel multi-scale fit matches single-device execution."""
     from tnmf_tpu.parallel import make_mesh

@@ -458,6 +458,12 @@ class MultiScaleTNMF:
         """
         from .tnmf import (MiniBatchAlgorithm,
                            _compute_sequential_minibatches)
+        if self._mesh is not None:
+            raise ValueError(
+                'MultiScaleTNMF.fit_minibatches does not support mesh= yet '
+                '(per-batch H slicing across a sample-sharded mesh is '
+                'unvalidated); use the full-batch fit under a mesh, or the '
+                'single-scale model for sharded minibatch fits')
         if algorithm is None:
             algorithm = MiniBatchAlgorithm.ASG_MU
         if np.isscalar(sparsity_H):
@@ -563,6 +569,24 @@ class MultiScaleTNMF:
             self.energies_ = np.asarray(self.energies_)
         self._logger.info('MultiScale MiniBatch TNMF finished.')
         return self
+
+    def fit_stream(self, V, subsample_size: int = 3,
+                   max_subsamples: Optional[int] = None, **kwargs):
+        """Streaming fit over an iterator of samples (reference
+        ``fit_stream``, ``TransformInvariantNMF.py:506-523``): each
+        subsample refits with ``keep_W=True`` so the dictionary banks
+        carry across chunks while the activations re-solve per chunk."""
+        from itertools import count, islice
+        for isub in count(0):
+            subsample = list(islice(V, subsample_size))
+            if not subsample:
+                self._logger.info('Sample iterator exhausted.')
+                return self
+            self._logger.info('Processing subsample %d.', isub)
+            self.fit(np.asarray(subsample), keep_W=True, **kwargs)
+            if max_subsamples is not None and isub == max_subsamples - 1:
+                self._logger.info('Processed %d subsamples.', max_subsamples)
+                return self
 
     def transform(self, V, n_iterations: int = 100, **kwargs) -> Tuple[np.ndarray, ...]:
         """Encode new data against the frozen multi-scale dictionary."""
