@@ -22,4 +22,4 @@ from .ops.transforms import TransformGroup
 __all__ = ['TransformInvariantNMF', 'MiniBatchAlgorithm', 'TransformGroup',
            'MultiScaleTNMF', 'SweepResult', 'sweep_fit']
 
-__version__ = '0.1.0'
+__version__ = '0.3.0.dev0'
