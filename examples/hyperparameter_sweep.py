@@ -43,11 +43,14 @@ def main():
 
     t0 = time.perf_counter()
     res = sweep_fit(V, 5, (5, 5), seed=seeds, n_iterations=n_iterations,
-                    sparsity=sp)
+                    sparsity=sp, record_energies=True)
     res.W.block_until_ready()
     dt = time.perf_counter() - t0
     print(f'{n_models} models x {n_iterations} iterations in {dt:.2f} s '
           f'(one compiled graph, {jax.devices()[0].platform})')
+    tr = np.asarray(res.energy_traces)
+    print(f'convergence: model 0 objective {tr[0, 0]:.2f} -> {tr[0, -1]:.2f} '
+          f'over {tr.shape[1]} iterations (traces recorded per model)')
 
     l1 = np.sum(np.abs(np.asarray(res.H)), axis=tuple(range(1, res.H.ndim)))
     print(f'{"seed":>4} {"sparsity":>9} {"energy":>12} {"|H|_1":>12}')
