@@ -203,8 +203,22 @@ def test_sweep_energy_traces():
     assert plain.energy_traces is None
 
 
+def test_sweep_bfloat16_runs():
+    V = _make_V(n=2, s=10)
+    res = sweep_fit(V, 2, (3, 3), n_models=2, seed=0, n_iterations=3,
+                    dtype='bfloat16')
+    assert str(res.W.dtype) == 'bfloat16'
+    assert np.all(np.isfinite(np.asarray(res.energies, np.float32)))
+
+
 def test_sweep_error_paths():
     V = _make_V(n=2, s=10)
+    with pytest.raises(ValueError, match='nonnegative'):
+        sweep_fit(V - 1.0, 2, (3, 3), n_models=2, seed=0)
+    with pytest.raises(ValueError, match='strictly positive'):
+        Vz = V.copy()
+        Vz[0, 0, 0, 0] = 0.0
+        sweep_fit(Vz, 2, (3, 3), n_models=2, seed=0, beta_loss=0.0)
     with pytest.raises(ValueError, match='n_models'):
         sweep_fit(V, 2, (3, 3), seed=0)  # scalar seed without n_models
     with pytest.raises(ValueError, match='either n_models'):

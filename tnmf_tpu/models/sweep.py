@@ -217,6 +217,14 @@ def sweep_fit(
         V = V.astype(dtype)
     if V.dtype == jnp.float64:
         V = V.astype(jnp.float32)
+    if not bool(jnp.all(V >= 0)):
+        raise ValueError('sweep_fit requires nonnegative data '
+                         '(reference precondition, '
+                         'TransformInvariantNMF.py:326)')
+    if float(beta_loss) <= 0 and not bool(jnp.all(V > 0)) and mask is None:
+        raise ValueError('beta_loss <= 0 (Itakura-Saito family) requires '
+                         'strictly positive data (or a mask excluding the '
+                         'zeros): D_beta(v || r) diverges as v -> 0')
 
     if n_models is None:
         seeds = np.atleast_1d(np.asarray(seed, dtype=np.uint32))
