@@ -20,6 +20,7 @@ DEMO_NAME_DICT = {
     '2-D Synthetic Signals': ('synthetic_signals', {'n_dims': 2}),
     'Test Image': ('demo_image', {}),
     'Image Inpainting (masked fit)': ('demo_inpainting', {}),
+    'Hyperparameter Sweep (vmapped)': ('demo_sweep', {}),
 }
 
 

@@ -18,7 +18,7 @@ _ENV = dict(
 )
 
 DEMOS = ['1-D Synthetic Signals', '2-D Synthetic Signals', 'Test Image',
-         'Image Inpainting (masked fit)']
+         'Image Inpainting (masked fit)', 'Hyperparameter Sweep (vmapped)']
 
 
 @pytest.mark.parametrize('name', DEMOS)
