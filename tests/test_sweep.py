@@ -203,6 +203,69 @@ def test_sweep_energy_traces():
     assert plain.energy_traces is None
 
 
+def test_sweep_tol_matches_fit_loop_tol_per_model():
+    """tol= early stopping is exactly S independent ``fit_loop_tol`` runs:
+    per model the stop iteration, final tensors and final objective must
+    match the engine's single-model adaptive loop (converged lanes freeze
+    while the others keep iterating)."""
+    V = _make_V()
+    sp = np.array([0.0, 0.8], np.float32)
+    res = sweep_fit(V, 3, (3, 3), n_models=2, seed=13, n_iterations=40,
+                    sparsity=sp, tol=2e-3, tol_check_every=4)
+    assert res.n_iters is not None and res.n_iters.shape == (2,)
+    keys = jax.random.split(jax.random.PRNGKey(13), 2)
+    plan = ConvPlan.create('valid', V.shape[2:], (3, 3))
+    strategy = engine.resolve_strategy(
+        engine.choose_strategy(plan, 3, 1), plan, 3, 1)
+    kernels = tuple(jnp.asarray(k, dtype=V.dtype) for k in inhibition_kernels(
+        resolve_inhibition_range(None, (3, 3))))
+    Vd = jnp.asarray(V)
+    Vp = engine.prepare_data(Vd, plan=plan, strategy=strategy)
+    for s in range(2):
+        W0, H0 = engine.init_matrices(
+            keys[s], w_shape=(3, 1, 3, 3),
+            h_shape=(V.shape[0], 3) + plan.transform_shape,
+            n_shift_axes=plan.ndim, dtype=Vd.dtype)
+        W, H, n_done, E = engine.fit_loop_tol(
+            Vp, Vd, W0, H0, jnp.int32(40), jnp.float32(2e-3),
+            jnp.float32(sp[s]), jnp.float32(0), jnp.float32(0), kernels,
+            check_every=4, plan=plan, strategy=strategy)
+        assert int(res.n_iters[s]) == int(n_done)
+        np.testing.assert_allclose(np.asarray(res.W[s]), np.asarray(W),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(res.H[s]), np.asarray(H),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(float(res.energies[s]), float(E),
+                                   rtol=1e-5)
+
+
+def test_sweep_tol_zero_runs_to_n_iterations():
+    """tol=0 never triggers (the single-model semantics: continue while
+    rel >= tol) — the result equals the fixed-iteration sweep exactly."""
+    V = _make_V(n=2, s=10)
+    kw = dict(n_models=2, seed=3, n_iterations=12,
+              sparsity=np.array([0.0, 0.4], np.float32))
+    fixed = sweep_fit(V, 2, (3, 3), **kw)
+    tolled = sweep_fit(V, 2, (3, 3), tol=0.0, tol_check_every=5, **kw)
+    np.testing.assert_array_equal(np.asarray(tolled.n_iters), [12, 12])
+    np.testing.assert_allclose(np.asarray(tolled.W), np.asarray(fixed.W),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(tolled.energies),
+                               np.asarray(fixed.energies), rtol=1e-6)
+
+
+def test_sweep_tol_error_paths():
+    V = _make_V(n=2, s=10)
+    with pytest.raises(ValueError, match='mutually exclusive'):
+        sweep_fit(V, 2, (3, 3), n_models=2, seed=0, tol=1e-3,
+                  record_energies=True)
+    with pytest.raises(ValueError, match='tol must be'):
+        sweep_fit(V, 2, (3, 3), n_models=2, seed=0, tol=-1.0)
+    with pytest.raises(ValueError, match='tol must be'):
+        sweep_fit(V, 2, (3, 3), n_models=2, seed=0, tol=1e-3,
+                  tol_check_every=0)
+
+
 def test_sweep_bfloat16_runs():
     V = _make_V(n=2, s=10)
     res = sweep_fit(V, 2, (3, 3), n_models=2, seed=0, n_iterations=3,

@@ -52,6 +52,7 @@ class SweepResult:
     energies: jax.Array   # (S,) final objective per model
     seeds: np.ndarray     # (S,) per-model seed labels used for the init keys
     energy_traces: Optional[jax.Array] = None  # (S, n_iterations) if recorded
+    n_iters: Optional[jax.Array] = None  # (S,) iterations run, if tol= was set
 
     @property
     def n_models(self) -> int:
@@ -160,6 +161,86 @@ def _sweep_impl_traced(Vp, V, keys, sparsity, inhibition, cross_inhibition,
     return jax.vmap(fit_one)(W0, H0, sparsity, inhibition, cross_inhibition)
 
 
+@partial(jax.jit,
+         static_argnames=('n_atoms', 'n_maps',
+                          'check_every') + engine._STEP_STATICS)
+def _sweep_impl_tol(Vp, V, keys, sparsity, inhibition, cross_inhibition,
+                    kernels, mask, n_max, tol, *, n_atoms, n_maps,
+                    check_every, plan, strategy, update_H, update_W,
+                    use_inhibition, use_cross, use_pallas, use_pallas_gw,
+                    beta):
+    """Like :func:`_sweep_impl` but with per-model convergence detection
+    (the single-model semantics of :func:`tnmf_tpu.engine.fit_loop_tol`):
+    every ``check_every`` iterations each model's relative energy
+    improvement ``(e_prev - e) / e_init`` is tested against ``tol``;
+    converged models freeze (their W/H stop moving, exactly as if that fit
+    had returned) while the rest keep iterating, and the single
+    ``lax.while_loop`` exits when every model converged or at ``n_max``.
+    ``n_max`` and ``tol`` are traced — changing them never recompiles."""
+    w_shape = (n_atoms, V.shape[1]) + plan.atom_shape
+    h_shape = (V.shape[0], n_maps) + plan.transform_shape
+    acc = jnp.promote_types(V.dtype, jnp.float32)
+
+    def init_one(key):
+        return engine.init_matrices(
+            key, w_shape=w_shape, h_shape=h_shape,
+            n_shift_axes=plan.ndim, dtype=V.dtype)
+
+    W, H = jax.vmap(init_one)(keys)
+
+    def step_one(W, H, sp, inh, cross):
+        return engine.update_step(
+            Vp, W, H, sp, inh, cross, kernels, mask,
+            plan=plan, strategy=strategy, update_H=update_H,
+            update_W=update_W, use_inhibition=use_inhibition,
+            use_cross=use_cross, use_pallas=use_pallas,
+            use_pallas_gw=use_pallas_gw, beta=beta)
+
+    def energy_one(W, H):
+        return engine.energy(V, W, H, mask, plan=plan, strategy=strategy,
+                             beta=beta).astype(acc)
+
+    vstep = jax.vmap(step_one)
+    venergy = jax.vmap(energy_one)
+
+    e0 = venergy(W, H)
+    scale = jnp.maximum(e0, jnp.asarray(jnp.finfo(acc).tiny, acc))
+
+    def lane(done, x):  # broadcast the (S,) done mask over a model tensor
+        return done.reshape(done.shape + (1,) * (x.ndim - 1))
+
+    def cond(state):
+        _, _, i, _, done, _ = state
+        return jnp.logical_and(i < n_max, ~jnp.all(done))
+
+    def body(state):
+        W, H, i, e_prev, done, iters = state
+        k = jnp.minimum(check_every, n_max - i)
+
+        def inner(_, WH):
+            W2, H2 = vstep(WH[0], WH[1], sparsity, inhibition,
+                           cross_inhibition)
+            return W2, H2
+
+        W2, H2 = jax.lax.fori_loop(0, k, inner, (W, H))
+        e = venergy(W2, H2)
+        rel = (e_prev - e) / scale
+        # frozen lanes keep their tensors / energy / iteration count; the
+        # rest adopt the block's result and re-test convergence
+        W = jnp.where(lane(done, W2), W, W2)
+        H = jnp.where(lane(done, H2), H, H2)
+        e = jnp.where(done, e_prev, e)
+        iters = jnp.where(done, iters, i + k)
+        done = jnp.logical_or(done, rel < tol)
+        return W, H, i + k, e, done, iters
+
+    S = keys.shape[0]
+    state = (W, H, jnp.asarray(0, jnp.int32), e0,
+             jnp.zeros((S,), bool), jnp.zeros((S,), jnp.int32))
+    W, H, _, e, _, iters = jax.lax.while_loop(cond, body, state)
+    return W, H, e, iters
+
+
 def sweep_fit(
     V,
     n_atoms: int,
@@ -181,6 +262,8 @@ def sweep_fit(
     precision: Optional[str] = None,
     mesh=None,
     record_energies: bool = False,
+    tol: Optional[float] = None,
+    tol_check_every: int = 10,
 ) -> SweepResult:
     """Fit ``n_models`` independent TNMF models on the same data in one
     compiled graph and return all of them with their final objectives.
@@ -206,6 +289,14 @@ def sweep_fit(
     ``transform_type`` ties each atom across flip/rotation copies exactly
     like the model class (H then carries ``n_atoms * n_transforms`` maps
     per model, m-major).
+
+    ``tol`` enables per-model early stopping (the model's
+    ``fit_batch(tol=...)`` semantics, checked every ``tol_check_every``
+    iterations): converged models freeze in place while the rest keep
+    iterating, and the sweep's single on-device while_loop exits as soon
+    as every model converged (or at ``n_iterations``).  The result then
+    carries ``n_iters`` (iterations each model actually ran).  Mutually
+    exclusive with ``record_energies`` (traces need a static length).
 
     Unsupported here (use
     :class:`~tnmf_tpu.models.tnmf.TransformInvariantNMF` per model
@@ -292,6 +383,21 @@ def sweep_fit(
         plan=plan, strategy=strategy, update_H=True, update_W=True,
         use_inhibition=use_inh, use_cross=use_cross,
         use_pallas=False, use_pallas_gw=False, beta=float(beta_loss))
+    if tol is not None:
+        if record_energies:
+            raise ValueError('tol= and record_energies are mutually '
+                             'exclusive (per-iteration traces need a '
+                             'static iteration count)')
+        if tol < 0 or int(tol_check_every) < 1:
+            raise ValueError('tol must be >= 0 and tol_check_every >= 1')
+        tol_statics = dict(statics)
+        n_max = tol_statics.pop('n_iterations')
+        acc = jnp.promote_types(V.dtype, jnp.float32)
+        W, H, E, iters = _sweep_impl_tol(
+            Vp, V, keys, sp, inh, cross, kernels, mask,
+            jnp.asarray(n_max, jnp.int32), jnp.asarray(tol, acc),
+            check_every=int(tol_check_every), **tol_statics)
+        return SweepResult(W=W, H=H, energies=E, seeds=seeds, n_iters=iters)
     if record_energies:
         # per-iteration objective traces (one extra reconstruction per
         # iteration — what the reference pays for its default energy log)
