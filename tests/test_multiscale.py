@@ -171,6 +171,35 @@ def test_save_load_and_serving(tmp_path):
         np.testing.assert_allclose(m2.W[k], m.W[k], rtol=1e-12)
 
 
+def test_tol_early_stopping():
+    """fit(tol=) mirrors the single-scale semantics: a loose tol stops at a
+    block boundary and the result equals a plain fit truncated there; tol=0
+    never triggers and reproduces the fixed-iteration fit exactly."""
+    V = _data(seed=21, sample=(12, 12), c=1)
+    kw = dict(n_atoms=(2, 2), atom_shapes=((3, 3), (5, 5)), seed=3)
+
+    loose = MultiScaleTNMF(**kw)
+    loose.fit(V, n_iterations=60, tol=5e-3, tol_check_every=5)
+    n_done = loose.n_iterations_
+    assert 5 <= n_done < 60 and n_done % 5 == 0
+    plain = MultiScaleTNMF(**kw)
+    plain.fit(V, n_iterations=n_done)
+    for k in range(2):
+        np.testing.assert_allclose(loose.W[k], plain.W[k], rtol=1e-6)
+        np.testing.assert_allclose(loose.H[k], plain.H[k], rtol=1e-6)
+
+    z = MultiScaleTNMF(**kw)
+    z.fit(V, n_iterations=8, tol=0.0)
+    full = MultiScaleTNMF(**kw)
+    full.fit(V, n_iterations=8)
+    assert z.n_iterations_ == 8
+    for k in range(2):
+        np.testing.assert_allclose(z.W[k], full.W[k], rtol=1e-7)
+
+    with pytest.raises(ValueError, match='cannot combine'):
+        MultiScaleTNMF(**kw).fit(V, tol=1e-3, record_energies=True)
+
+
 def test_callback_path_matches_fused_loop():
     """The per-step Python path (progress_callback) must produce the same
     trajectory as the fused on-device loop, and honor early abort."""

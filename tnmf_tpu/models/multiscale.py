@@ -132,6 +132,48 @@ def ms_fit_loop(Vd, Vps, Ws, Hs, n_iterations, sparsities, mask=None, *,
     return Ws, Hs
 
 
+@partial(jax.jit, static_argnames=_STATICS + ('check_every',),
+         donate_argnums=(2, 3))
+def ms_fit_loop_tol(Vd, Vps, Ws, Hs, n_max, tol, sparsities, mask=None, *,
+                    check_every, plans, strategies, update_H=True,
+                    update_W=True, beta=2.0):
+    """Adaptive multi-scale fit with on-device convergence detection — the
+    single-scale semantics of :func:`tnmf_tpu.engine.fit_loop_tol`: blocks
+    of ``check_every`` joint block-MU iterations inside one
+    ``lax.while_loop``, stopping when the relative objective improvement
+    over a block, ``(e_prev - e) / e_init``, drops below ``tol`` — or at
+    ``n_max``.  ``n_max`` and ``tol`` are traced (no recompile when they
+    change).  Returns ``(Ws, Hs, n_done, e_final)``."""
+    acc = jnp.promote_types(Vd.dtype, jnp.float32)
+
+    def e_of(Ws, Hs):
+        R = _reconstruct(Ws, Hs, plans, strategies)
+        return beta_ops.divergence(Vd, R, beta, mask).astype(acc)
+
+    def inner(_, WH):
+        return _step(Vd, Vps, WH[0], WH[1], sparsities, mask,
+                     plans=plans, strategies=strategies,
+                     update_H=update_H, update_W=update_W, beta=beta)
+
+    e0 = e_of(Ws, Hs)
+    scale = jnp.maximum(e0, jnp.asarray(jnp.finfo(acc).tiny, acc))
+
+    def cond(state):
+        _, _, i, _, rel = state
+        return jnp.logical_and(i < n_max, rel >= tol)
+
+    def body(state):
+        Ws, Hs, i, e_prev, _ = state
+        k = jnp.minimum(check_every, n_max - i)
+        Ws, Hs = jax.lax.fori_loop(0, k, inner, (Ws, Hs))
+        e = e_of(Ws, Hs)
+        return Ws, Hs, i + k, e, (e_prev - e) / scale
+
+    state = (Ws, Hs, jnp.asarray(0, jnp.int32), e0, jnp.asarray(jnp.inf, acc))
+    Ws, Hs, n_done, e, _ = jax.lax.while_loop(cond, body, state)
+    return Ws, Hs, n_done, e
+
+
 @partial(jax.jit, static_argnames=_STATICS + ('chunk',), donate_argnums=(2, 3))
 def _ms_energies_chunk(Vd, Vps, Ws, Hs, k, sparsities, mask=None, *,
                        chunk, plans, strategies, update_H=True,
@@ -245,6 +287,7 @@ class MultiScaleTNMF:
         self._Vd = None
         self._mask_d = None
         self.energies_ = None
+        self.n_iterations_ = None
 
     # -- accessors ------------------------------------------------------
 
@@ -390,10 +433,17 @@ class MultiScaleTNMF:
     def fit(self, V, y=None, n_iterations: int = 1000, update_H: bool = True,
             update_W: bool = True, keep_W: bool = False,
             sparsity_H=0.0, mask=None, record_energies: bool = False,
-            progress_callback=None):
+            progress_callback=None, tol: Optional[float] = None,
+            tol_check_every: int = 10):
         """Full-batch multi-scale MU fit.  ``sparsity_H`` is a scalar or a
         per-scale tuple (larger atoms often want more sparsity pressure).
-        ``y`` is accepted and ignored (sklearn unsupervised convention)."""
+        ``tol`` enables sklearn-style early stopping with the single-scale
+        model's semantics (relative objective improvement per
+        ``tol_check_every``-iteration block below ``tol`` — one on-device
+        while_loop, so it cannot combine with ``record_energies`` or
+        ``progress_callback``); ``n_iterations_`` then reports where the
+        fit stopped.  ``y`` is accepted and ignored (sklearn unsupervised
+        convention)."""
         del y
         assert update_H or update_W
         if np.isscalar(sparsity_H):
@@ -407,6 +457,23 @@ class MultiScaleTNMF:
                        update_H=update_H, update_W=update_W, beta=self._beta)
 
         self.energies_ = None
+        self.n_iterations_ = int(n_iterations)
+        if tol is not None:
+            if progress_callback is not None or record_energies:
+                raise ValueError(
+                    'tol-based early stopping runs as one on-device '
+                    'while_loop and cannot combine with progress_callback '
+                    'or record_energies')
+            assert tol >= 0 and tol_check_every >= 1
+            acc = jnp.promote_types(dt, jnp.float32)
+            self._Ws, self._Hs, n_done, _ = ms_fit_loop_tol(
+                self._Vd, self._Vps, self._Ws, self._Hs,
+                jnp.asarray(int(n_iterations), jnp.int32),
+                jnp.asarray(tol, acc), sp, self._mask_d,
+                check_every=int(tol_check_every), **statics)
+            self.n_iterations_ = int(n_done)
+            self._logger.info('MultiScale TNMF finished.')
+            return self
         if record_energies and progress_callback is None:
             chunk = engine.ENERGY_CHUNK
             traces, done = [], 0
@@ -432,6 +499,7 @@ class MultiScaleTNMF:
                 if record_energies:
                     energies.append(self._energy_function())
                 if not progress_callback(self, it):
+                    self.n_iterations_ = it + 1  # aborted early
                     break
             if record_energies:
                 self.energies_ = np.asarray(energies)
