@@ -60,6 +60,13 @@ def main():
     print(f'best model: #{res.best} '
           f'(seed {int(seeds[res.best])}, sparsity {sp[res.best]:.2f})')
 
+    # per-model early stopping: converged models freeze, the sweep's one
+    # while_loop exits when all are done (or at n_iterations)
+    res_tol = sweep_fit(V, 5, (5, 5), seed=seeds, n_iterations=n_iterations,
+                        sparsity=sp, tol=1e-3, tol_check_every=5)
+    print('tol=1e-3 per-model stop iterations:',
+          np.asarray(res_tol.n_iters).tolist())
+
     # a sweep over only seeds distributes across a device mesh untouched:
     # the model axis is embarrassingly parallel (no collectives at all)
     n_dev = jax.device_count()
