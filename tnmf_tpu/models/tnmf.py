@@ -287,6 +287,11 @@ class TransformInvariantNMF:
         # iterations actually run by the last fit_batch (sklearn n_iter_
         # semantics: < n_iterations when tol or a callback stopped early)
         self.n_iterations_: Optional[int] = None
+        # online-learning state (partial_fit): exponentially averaged
+        # (neg, pos) W statistics carried across calls, and the number of
+        # partial_fit steps taken (sklearn MiniBatchNMF n_steps_ semantics)
+        self._sag_stat_ = None
+        self.n_steps_: int = 0
 
     # ------------------------------------------------------------------
     # accessors (reference TransformInvariantNMF.py:188-215)
@@ -662,6 +667,7 @@ class TransformInvariantNMF:
         """
         _assert_nonnegative(V)
         self._assert_beta_domain(V, mask)
+        self._sag_stat_ = None  # fresh optimization: drop partial_fit state
         assert update_H or update_W
         assert sparsity_H >= 0
         assert inhibition_strength >= 0
@@ -806,6 +812,7 @@ class TransformInvariantNMF:
     ):
         _assert_nonnegative(V)
         self._assert_beta_domain(V, mask)
+        self._sag_stat_ = None  # fresh optimization: drop partial_fit state
         assert sparsity_H >= 0
         assert inhibition_strength >= 0
         assert cross_atom_inhibition_strength >= 0
@@ -1083,6 +1090,84 @@ class TransformInvariantNMF:
             else:
                 self._logger.info('Sample iterator exhausted. TNMF on full iterator finished.')
                 return
+
+    # ------------------------------------------------------------------
+    # online / out-of-core learning (sklearn MiniBatchNMF partial_fit
+    # protocol; no reference counterpart — the closest reference facility,
+    # fit_stream (TransformInvariantNMF.py:506-523), needs the caller to
+    # hand over an iterator up front, whereas partial_fit is caller-driven:
+    # feed minibatches as they arrive, never holding the dataset)
+    # ------------------------------------------------------------------
+
+    def partial_fit(
+            self,
+            V: np.ndarray,
+            y=None,
+            sag_lambda: float = 0.2,
+            sparsity_H: float = 0.,
+            inhibition_strength: float = 0.,
+            cross_atom_inhibition_strength: float = 0.,
+            mask=None,
+    ) -> 'TransformInvariantNMF':
+        """Update the model with ONE minibatch (online learning).
+
+        Every call runs a single ASAG-style multiplicative-update step on
+        ``V`` as a minibatch: activations ``H`` are drawn fresh for the
+        batch and updated once, then the dictionary is updated from
+        exponentially averaged ``(neg, pos)`` statistics carried across
+        calls (forgetting factor ``sag_lambda``; Serizel et al. 2016,
+        matching ``fit_minibatches(algorithm=ASAG_MU)``'s per-batch rule).
+        ``sag_lambda=1`` keeps no memory — each call then uses only its own
+        batch's gradient (the ASG_MU per-batch rule), making a first call
+        identical to ``fit_batch(V, n_iterations=1)``.
+
+        The first call initializes the dictionary from the batch geometry;
+        later calls keep it (``keep_W`` semantics).  Batches may differ in
+        sample count and even spatial size — only the channel count must
+        stay constant — but each distinct geometry compiles its own update
+        program, so keep batch shapes uniform in hot loops.  Any ``fit*``
+        call starts a fresh optimization and clears the averaged state.
+
+        Composes with masks, ``beta_loss`` and transform groups like the
+        other drivers.  Returns ``self`` (sklearn protocol); the number of
+        online steps taken is ``self.n_steps_``.
+        """
+        del y
+        _assert_nonnegative(V)
+        self._assert_beta_domain(V, mask)
+        assert sparsity_H >= 0
+        assert inhibition_strength >= 0
+        assert cross_atom_inhibition_strength >= 0
+        # per-batch steps are small; the phased lowering measured slower at
+        # minibatch scale (see fit_minibatches) and SAG statistics must stay
+        # in the canonical W layout across calls, so allow_phased=False
+        self._initialize_matrices(V, keep_W=True, allow_phased=False,
+                                  mask=mask)
+        dt = self._W.dtype
+        self._mb_scalars = (jnp.asarray(sparsity_H, dt),
+                            jnp.asarray(inhibition_strength, dt),
+                            jnp.asarray(cross_atom_inhibition_strength, dt))
+        self._mb_flags = dict(use_inhibition=inhibition_strength > 0,
+                              use_cross=cross_atom_inhibition_strength > 0,
+                              use_pallas=self._pallas_mu_enabled(
+                                  int(self._Vd.shape[0])),
+                              beta=self._beta)
+        self._update_H_batch(sliceNone)
+        neg, pos = self._grad_W_batch(sliceNone)
+        if sag_lambda == 1.0 or self._sag_stat_ is None:
+            # no memory (or nothing to remember yet): the batch's own
+            # statistics.  NOT engine.accumulate_gradient's sag_lambda == 1
+            # branch, which is a plain SUM (the reference's within-epoch
+            # Cyclic_MU accumulation) — online semantics want replacement.
+            stat = (neg, pos)
+        else:
+            lam = jnp.asarray(sag_lambda, dt)
+            stat = engine.accumulate_gradient(*self._sag_stat_, neg, pos, lam)
+        self._sag_stat_ = None if sag_lambda == 1.0 else stat
+        self._apply_W_stats(*stat)
+        self.n_steps_ += 1
+        self._logger.info('partial_fit step %d done.', self.n_steps_)
+        return self
 
     # ------------------------------------------------------------------
     # sklearn estimator protocol: get_params / set_params make the model
