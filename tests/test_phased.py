@@ -180,11 +180,11 @@ def test_phased_minibatch_and_callback_paths(force_phased, monkeypatch):
         if phased:
             monkeypatch.setattr(
                 engine, 'resolve_strategy',
-                lambda s, p, c, m, allow_phased=True: orig(s, p, c, m, True))
+                lambda s, p, c, m, allow_phased=True, **kw: orig(s, p, c, m, True, **kw))
         else:
             monkeypatch.setattr(
                 engine, 'resolve_strategy',
-                lambda s, p, c, m, allow_phased=True: s)
+                lambda s, p, c, m, allow_phased=True, **kw: s)
         np.random.seed(42)
         nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 9),
                                     backend='jax_conv', seed=0)

@@ -4,9 +4,10 @@ This module owns every jitted function of the framework.  The algorithm layer
 (:mod:`tnmf_tpu.models.tnmf`) is a thin stateful wrapper that calls into
 these pure functions, mirroring the algorithm/backend split of the reference
 (``/root/reference/tnmf/TransformInvariantNMF.py`` vs ``tnmf/backends/``) —
-except that the five interchangeable CPU backends collapse into three XLA
-strategies ('fft', 'conv', and the TPU 'phased' lowering that
-:func:`resolve_strategy` auto-selects) behind one functional interface.
+except that the five interchangeable CPU backends collapse into four XLA
+strategies ('fft', 'conv', the TPU 'phased' lowering, and the plain-NMF
+'dot' matmul lowering — the latter two auto-selected by
+:func:`resolve_strategy`) behind one functional interface.
 
 Design notes (TPU):
 
@@ -66,8 +67,12 @@ def get_ops(strategy):
     if strategy == 'phased':
         from .ops import phased
         return phased
+    if strategy == 'dot':
+        from .ops import dot
+        return dot
     raise ValueError(
-        f'unknown strategy {strategy!r}; choose "fft", "conv" or "phased"')
+        f'unknown strategy {strategy!r}; choose "fft", "conv", "phased" '
+        f'or "dot"')
 
 
 def _enc_h(H, plan: ConvPlan, strategy):
@@ -105,20 +110,31 @@ def _phased_platform_ok() -> bool:  # separate hook so tests can force it on CPU
 
 
 def resolve_strategy(strategy: str, plan: ConvPlan, n_atoms: int,
-                     n_channels: int, allow_phased: bool = True) -> str:
-    """Upgrade 'conv' to the phase-decomposed lowering where it wins.
+                     n_channels: int, allow_phased: bool = True,
+                     allow_dot: bool = True) -> str:
+    """Upgrade 'conv' to a faster specialized lowering where one wins.
 
-    The phased path (:mod:`tnmf_tpu.ops.phased`) re-lowers the MU iteration
-    with phase-multiplied channel counts; measured 2.4x faster at the
-    flagship 64x256x256 scale on v5e.  It applies on TPU for every
-    reconstruction mode when channels are few; trajectories match the
-    plain conv strategy to float roundoff (tests/test_phased.py).
+    * 'dot' (:mod:`tnmf_tpu.ops.dot`): the degenerate single-transform
+      problem (mode 'full' with atom_shape == sample_shape) is plain NMF —
+      pure matmuls beat any conv/fft lowering on every platform.  Gated by
+      ``allow_dot`` (off for forced Pallas kernels and spatial meshes,
+      whose layouts assume the canonical grid; it stays ON for the
+      minibatch drivers, where the phased upgrade is off).
+    * 'phased' (:mod:`tnmf_tpu.ops.phased`): re-lowers the MU iteration
+      with phase-multiplied channel counts; measured 2.4x faster at the
+      flagship 64x256x256 scale on v5e.  Applies on TPU for every
+      reconstruction mode when channels are few; trajectories match the
+      plain conv strategy to float roundoff (tests/test_phased.py).
+
     (n_atoms/n_channels argument order matches :func:`choose_strategy`.)
     """
-    if strategy == 'conv' and allow_phased and _phased_platform_ok():
-        from .ops import phased
-        if phased.applicable(plan, n_channels=n_channels, n_atoms=n_atoms):
-            return 'phased'
+    if strategy == 'conv':
+        if allow_dot and math.prod(plan.transform_shape) == 1:
+            return 'dot'
+        if allow_phased and _phased_platform_ok():
+            from .ops import phased
+            if phased.applicable(plan, n_channels=n_channels, n_atoms=n_atoms):
+                return 'phased'
     return strategy
 
 
@@ -136,6 +152,12 @@ def choose_strategy(plan: ConvPlan, n_atoms: int, n_channels: int) -> str:
     both), conv everywhere at 64x64 — the ``max(512, prod(sample)/64)``
     threshold fits that sweep within measurement noise.
     """
+    if math.prod(plan.transform_shape) == 1:
+        # degenerate plain NMF (any rank — matmuls have no conv rank cap);
+        # resolve_strategy lowers this to 'dot'.  With the dot gate off
+        # (forced Pallas / spatial mesh) conv is the correct rank<=3
+        # fallback and raises its clear NotImplementedError above rank 3.
+        return 'conv'
     if plan.ndim > 3:
         return 'fft'  # lax conv supports at most 3 spatial dims here
     atom_elems = math.prod(plan.atom_shape)

@@ -458,15 +458,18 @@ class TransformInvariantNMF:
         # Excluded: forced Pallas kernels (they expect canonical H) and
         # spatially-sharded meshes (halo exchange is validated on the
         # canonical grid only).
-        allow_phased = (allow_phased
-                        and self._use_pallas_mode is not True
-                        and not (self._mesh is not None
-                                 and self._shard_axis in ('spatial', 'both')))
+        canonical_layout_ok = (
+            self._use_pallas_mode is not True
+            and not (self._mesh is not None
+                     and self._shard_axis in ('spatial', 'both')))
+        allow_phased = allow_phased and canonical_layout_ok
         # under a transform group H carries n_atoms * n_transforms maps —
-        # that is the channel count the phased-applicability cost model sees
+        # that is the channel count the phased-applicability cost model sees.
+        # allow_dot deliberately ignores the minibatch allow_phased=False:
+        # the matmul lowering wins at every batch size
         strategy = engine.resolve_strategy(
             strategy, self._plan, self.n_atoms * self.n_transforms,
-            V.shape[1], allow_phased)
+            V.shape[1], allow_phased, allow_dot=canonical_layout_ok)
         if self._group is not None:
             # transform-group adapter: the base strategy runs on the tied
             # expanded dictionary (tnmf_tpu.ops.transforms); validated for
@@ -1415,7 +1418,7 @@ class TransformInvariantNMF:
                                  and self._shard_axis in ('spatial', 'both')))
         self._strategy = engine.resolve_strategy(
             strategy, self._plan, self.n_atoms * self.n_transforms,
-            self._W.shape[1], allow_phased)
+            self._W.shape[1], allow_phased, allow_dot=allow_phased)
         if self._group is not None:
             self._strategy = (self._strategy, self._group)
 
