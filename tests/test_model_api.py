@@ -202,6 +202,36 @@ def test_transform_frozen_dictionary():
     np.testing.assert_allclose(nmf.inverse_transform(H), nmf.R, rtol=1e-8, atol=1e-12)
 
 
+def test_transform_chunked_matches_manual_chunks():
+    """transform(batch_size=k) (out-of-core serving) is exactly the loop of
+    per-chunk transform calls: same RNG consumption, same H."""
+    V = _V((4, 1, 12, 12))
+    V_new = _V((5, 1, 12, 12), seed=7)  # ragged final chunk (5 = 2+2+1)
+
+    def fitted(seed):
+        m = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 5), seed=seed)
+        m.fit(V, n_iterations=5)
+        return m
+
+    a = fitted(3)
+    H_chunked = a.transform(V_new, n_iterations=10, batch_size=2)
+    b = fitted(3)
+    H_manual = np.concatenate(
+        [b.transform(V_new[i:i + 2], n_iterations=10) for i in (0, 2, 4)])
+    np.testing.assert_allclose(H_chunked, H_manual, rtol=0, atol=0)
+    assert H_chunked.shape[0] == 5
+    # a sample-spanning mask is sliced along with the chunks
+    mask = (np.arange(V_new.size).reshape(V_new.shape) % 3 != 0).astype(float)
+    c = fitted(3)
+    H_masked = c.transform(V_new, n_iterations=10, batch_size=2, mask=mask)
+    d = fitted(3)
+    H_masked_manual = np.concatenate(
+        [d.transform(V_new[i:i + 2], n_iterations=10, mask=mask[i:i + 2])
+         for i in (0, 2, 4)])
+    np.testing.assert_allclose(H_masked, H_masked_manual, rtol=0, atol=0)
+    assert not np.allclose(H_masked, H_chunked)
+
+
 def test_transform_requires_fit():
     nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 5))
     with pytest.raises(RuntimeError, match='transform'):

@@ -1261,7 +1261,8 @@ class TransformInvariantNMF:
         self._plan = None
         return self
 
-    def transform(self, V, n_iterations: int = 100, **kwargs) -> np.ndarray:
+    def transform(self, V, n_iterations: int = 100,
+                  batch_size: Optional[int] = None, **kwargs) -> np.ndarray:
         """Infer activations for new data with the dictionary **frozen**
         (sklearn-style encoding — the serving path: fit once, then encode
         batches against the learned atoms).
@@ -1269,14 +1270,37 @@ class TransformInvariantNMF:
         Equivalent to ``fit_batch(V, update_W=False, keep_W=True, ...)``;
         accepts the same regularizer/callback kwargs.  Returns the
         activations ``H`` as a NumPy array.
+
+        ``batch_size`` enables chunked (out-of-core) encoding for datasets
+        whose activations don't fit device memory: samples are encoded in
+        independent chunks (H has no cross-sample coupling when W is
+        frozen, so chunking is exact) and the full H is assembled on host.
+        Identical to encoding the chunks one ``transform`` call at a time;
+        uniform chunks reuse one compiled program.  The model's own
+        ``V``/``H``/``R`` accessors then refer to the *last* chunk only —
+        use the returned array.  A sample-spanning ``mask`` is sliced
+        along with the chunks.
         """
         if self._W is None:
             raise RuntimeError(
                 'transform() requires a fitted or loaded dictionary; '
                 'call fit() or load() first')
-        self.fit_batch(V, n_iterations=n_iterations, update_W=False,
-                       keep_W=True, **kwargs)
-        return self.H
+        if batch_size is None:
+            self.fit_batch(V, n_iterations=n_iterations, update_W=False,
+                           keep_W=True, **kwargs)
+            return self.H
+        V = np.asarray(V)
+        mask = kwargs.pop('mask', None)
+        mask_per_sample = (mask is not None
+                           and np.ndim(mask) == V.ndim
+                           and np.shape(mask)[0] == V.shape[0])
+        out = []
+        for s in _compute_sequential_minibatches(V.shape[0], batch_size):
+            chunk_mask = mask[s] if mask_per_sample else mask
+            self.fit_batch(V[s], n_iterations=n_iterations, update_W=False,
+                           keep_W=True, mask=chunk_mask, **kwargs)
+            out.append(self.H)
+        return np.concatenate(out, axis=0)
 
     def fit_transform(self, V, y=None, **kwargs) -> np.ndarray:
         """Fit the model to ``V`` and return the learned activations ``H``
