@@ -127,3 +127,39 @@ def test_negative_input_rejected():
     m = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), seed=1)
     with pytest.raises(AssertionError):
         m.partial_fit(-_batches(2))
+
+
+# -- MultiScaleTNMF.partial_fit ---------------------------------------------
+
+def _ms():
+    from tnmf_tpu import MultiScaleTNMF
+    return MultiScaleTNMF(n_atoms=(2, 2), atom_shapes=((3,), (7,)), seed=9)
+
+
+def test_multiscale_first_call_lambda_one_equals_one_fit_iteration():
+    V = _batches(4, shape=(24,))
+    a = _ms()
+    a.partial_fit(V, sag_lambda=1.0)
+    b = _ms()
+    b.fit(V, n_iterations=1)
+    for wa, wb in zip(a.W, b.W):
+        np.testing.assert_allclose(wa, wb, rtol=1e-12)
+    for ha, hb in zip(a.H, b.H):
+        np.testing.assert_allclose(ha, hb, rtol=1e-12)
+
+
+def test_multiscale_stream_and_reset():
+    rng = np.random.default_rng(1)
+    m = _ms()
+    for step in range(4):
+        m.partial_fit(rng.random((3, 1, 24)), sag_lambda=0.3)
+        assert m.n_steps_ == step + 1
+    assert m._sag_stat_ is not None
+    for w in m.W:
+        assert (w >= 0).all()
+        np.testing.assert_allclose(w.sum(axis=-1), 1.0, rtol=1e-10)
+    m.fit(rng.random((3, 1, 24)), n_iterations=2)
+    assert m._sag_stat_ is None
+    m.partial_fit(rng.random((3, 1, 24)), sag_lambda=0.3)
+    m.fit_minibatches(rng.random((4, 1, 24)), batch_size=2, n_epochs=1)
+    assert m._sag_stat_ is None

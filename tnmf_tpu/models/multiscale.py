@@ -288,6 +288,10 @@ class MultiScaleTNMF:
         self._mask_d = None
         self.energies_ = None
         self.n_iterations_ = None
+        # online-learning state (partial_fit): per-scale exponentially
+        # averaged (neg, pos) W statistics, and the online step counter
+        self._sag_stat_ = None
+        self.n_steps_: int = 0
 
     # -- accessors ------------------------------------------------------
 
@@ -446,6 +450,7 @@ class MultiScaleTNMF:
         convention)."""
         del y
         assert update_H or update_W
+        self._sag_stat_ = None  # fresh optimization: drop partial_fit state
         if np.isscalar(sparsity_H):
             sparsity_H = (float(sparsity_H),) * self.n_scales
         sparsity_H = tuple(float(s) for s in sparsity_H)
@@ -534,6 +539,7 @@ class MultiScaleTNMF:
                 'single-scale model for sharded minibatch fits')
         if algorithm is None:
             algorithm = MiniBatchAlgorithm.ASG_MU
+        self._sag_stat_ = None  # fresh optimization: drop partial_fit state
         if np.isscalar(sparsity_H):
             sparsity_H = (float(sparsity_H),) * self.n_scales
         sparsity_H = tuple(float(s) for s in sparsity_H)
@@ -655,6 +661,44 @@ class MultiScaleTNMF:
             if max_subsamples is not None and isub == max_subsamples - 1:
                 self._logger.info('Processed %d subsamples.', max_subsamples)
                 return self
+
+    def partial_fit(self, V, y=None, sag_lambda: float = 0.2,
+                    sparsity_H=0.0, mask=None) -> 'MultiScaleTNMF':
+        """Update the model with ONE minibatch (online learning) — the
+        multi-scale counterpart of
+        :meth:`TransformInvariantNMF.partial_fit` (sklearn ``MiniBatchNMF``
+        protocol).  Each call draws fresh per-scale activations for the
+        batch, updates them once jointly against the shared total
+        reconstruction, then updates every scale's dictionary from
+        exponentially averaged ``(neg, pos)`` statistics carried across
+        calls (``sag_lambda``; ``sag_lambda=1`` is memoryless and a first
+        call equals one ``fit`` iteration).  Any ``fit*`` call starts a
+        fresh optimization and clears the averaged state."""
+        del y
+        if np.isscalar(sparsity_H):
+            sparsity_H = (float(sparsity_H),) * self.n_scales
+        sparsity_H = tuple(float(s) for s in sparsity_H)
+        assert len(sparsity_H) == self.n_scales and min(sparsity_H) >= 0
+        self._initialize(V, keep_W=True, mask=mask)
+        dt = self._Vd.dtype
+        sp = tuple(jnp.asarray(s, dt) for s in sparsity_H)
+        statics = dict(plans=self._plans, strategies=self._strategies,
+                       beta=self._beta)
+        _, self._Hs = ms_update_step(
+            self._Vd, self._Vps, self._Ws, self._Hs, sp, self._mask_d,
+            update_H=True, update_W=False, **statics)
+        stats = ms_grad_W_stats(self._Vd, self._Vps, self._Ws, self._Hs,
+                                self._mask_d, **statics)
+        if sag_lambda == 1.0 or self._sag_stat_ is None:
+            stat = stats  # the batch's own statistics (see single-scale)
+        else:
+            lam = jnp.asarray(sag_lambda, dt)
+            stat = tuple(engine.accumulate_gradient(*a, *s, lam)
+                         for a, s in zip(self._sag_stat_, stats))
+        self._sag_stat_ = None if sag_lambda == 1.0 else stat
+        self._Ws = ms_apply_W_stats(self._Ws, stat, plans=self._plans)
+        self.n_steps_ += 1
+        return self
 
     def transform(self, V, n_iterations: int = 100, **kwargs) -> Tuple[np.ndarray, ...]:
         """Encode new data against the frozen multi-scale dictionary."""
