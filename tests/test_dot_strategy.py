@@ -126,6 +126,30 @@ def test_solution_quality_matches_sklearn_mu():
     assert err <= err_sk * 1.05
 
 
+@pytest.mark.skipif(__import__('jax').device_count() < 8,
+                    reason='needs 8 (virtual) devices')
+@pytest.mark.parametrize('shard_axis', ['samples', 'atoms'])
+def test_dot_under_mesh_matches_single_device(shard_axis):
+    """Plain NMF shards too: the matmul contractions become psum-reduced
+    shards (samples: grad_W sums over n; atoms: reconstruct sums over m)."""
+    from tnmf_tpu.parallel import make_mesh, make_mesh_atoms
+    rng = np.random.default_rng(7)
+    V = rng.random((8, 1, 16, 16))
+    mesh = make_mesh(8) if shard_axis == 'samples' else make_mesh_atoms(8)
+
+    def run(mesh_arg):
+        m = TransformInvariantNMF(n_atoms=8, atom_shape=(16, 16), seed=3,
+                                  reconstruction_mode='full', mesh=mesh_arg,
+                                  shard_axis=shard_axis)
+        m.fit(V, n_iterations=5, sparsity_H=0.1)
+        return m
+
+    single, sharded = run(None), run(mesh)
+    assert single._strategy == 'dot' and sharded._strategy == 'dot'
+    np.testing.assert_allclose(sharded.W, single.W, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(sharded.H, single.H, rtol=1e-8, atol=1e-10)
+
+
 def test_rank4_plain_nmf_runs_on_dot():
     # >3 spatial dims: no lax-conv path exists, but matmuls have no rank cap
     rng = np.random.default_rng(5)
