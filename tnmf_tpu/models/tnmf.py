@@ -36,6 +36,7 @@ References
 from __future__ import annotations
 
 import logging
+import math
 import os
 from enum import Enum
 from itertools import count, islice
@@ -192,6 +193,18 @@ class TransformInvariantNMF:
         cross-atom inhibition spans all ``n_atoms * n_transforms`` maps.
         A custom ``tnmf_tpu.ops.transforms.TransformGroup`` is also
         accepted.  See :mod:`tnmf_tpu.ops.transforms`.
+    w_init : {'random', 'patches', 'nndsvd'}, default 'random'
+        Dictionary initialization scheme (the reference only has uniform
+        random, ``_Backend.py:83-98``).  ``'patches'`` starts every atom as
+        an atom-shaped window cut from the data at a random (sample,
+        position) — the dictionary-learning warm start; any geometry.
+        ``'nndsvd'`` is sklearn's deterministic ``NMF(init='nndsvda')``
+        scheme (Boutsidis & Gallopoulos 2008; zeros filled with the data
+        mean so MU can move them) initializing W *and* H — plain-NMF
+        geometry only (``'full'`` mode with atom-sized samples).  Both are
+        data-dependent host-side schemes (require ``init='host'``); seeded
+        cross-library RNG parity applies to ``'random'`` only.  See
+        :mod:`tnmf_tpu.utils.initialization`.
     """
 
     def __init__(
@@ -213,6 +226,7 @@ class TransformInvariantNMF:
             precision: Optional[str] = None,
             beta_loss: Union[float, str] = 2.0,
             transform_type: str = 'shift',
+            w_init: str = 'random',
     ):
         # raw constructor arguments, captured before any processing — the
         # sklearn estimator protocol (get_params/set_params/clone) hands
@@ -224,7 +238,8 @@ class TransformInvariantNMF:
             reconstruction_mode=reconstruction_mode, dtype=dtype, mesh=mesh,
             seed=seed, fft_policy=fft_policy, use_pallas=use_pallas,
             init=init, shard_axis=shard_axis, precision=precision,
-            beta_loss=beta_loss, transform_type=transform_type)
+            beta_loss=beta_loss, transform_type=transform_type,
+            w_init=w_init)
         self.atom_shape = tuple(int(a) for a in atom_shape)
         self.n_atoms = int(n_atoms)
         from ..ops.transforms import make_group
@@ -264,6 +279,18 @@ class TransformInvariantNMF:
         if init not in ('host', 'device'):
             raise ValueError(f"init must be 'host' or 'device', got {init!r}")
         self._init = init
+        if w_init not in ('random', 'patches', 'nndsvd'):
+            raise ValueError(
+                f"w_init must be 'random', 'patches' or 'nndsvd', got {w_init!r}")
+        if w_init != 'random' and init == 'device':
+            raise ValueError(
+                f"w_init={w_init!r} is a data-dependent host-side scheme; "
+                "it requires init='host'")
+        if w_init == 'nndsvd' and self._group is not None:
+            raise ValueError(
+                "w_init='nndsvd' applies to the plain-NMF geometry only and "
+                "does not combine with transform groups")
+        self._w_init = w_init
         self._device_key = jax.random.PRNGKey(seed if seed is not None else 0)
         self._rng = np.random.default_rng(seed) if seed is not None else np.random
 
@@ -538,6 +565,34 @@ class TransformInvariantNMF:
                     dtype=V.dtype)
             if keep:
                 W = np.asarray(self._W)
+            elif self._w_init == 'patches':
+                # data-dependent warm start: atoms begin as data windows
+                # (tnmf_tpu.utils.initialization); consumes the RNG stream
+                # differently from the reference, so seeded cross-library
+                # parity applies to w_init='random' only
+                from ..utils.initialization import patches_init
+                W = patches_init(np.asarray(V), self.n_atoms,
+                                 self.atom_shape, self._rng).astype(V.dtype)
+                W /= W.sum(axis=self._axes_W_normalization, keepdims=True)
+            elif self._w_init == 'nndsvd':
+                if math.prod(self._plan.transform_shape) != 1:
+                    raise ValueError(
+                        "w_init='nndsvd' applies to the plain-NMF geometry "
+                        "only (reconstruction_mode='full' with atom_shape =="
+                        ' sample_shape); use w_init=\'patches\' for '
+                        'transform-invariant problems')
+                from ..utils.initialization import nndsvda_init
+                X = np.asarray(V, dtype=np.float64).reshape(V.shape[0], -1)
+                A, B = nndsvda_init(X, self.n_atoms)
+                W = B.reshape((self.n_atoms, V.shape[1]) + self.atom_shape)
+                s = W.sum(axis=self._axes_W_normalization, keepdims=True)
+                W = (W / s).astype(V.dtype)
+                if not keep_h:
+                    # rescale H so the product A @ B is preserved under the
+                    # model's sum-normalized-atoms invariant
+                    H = (A * s.reshape(1, self.n_atoms)).reshape(
+                        (V.shape[0], n_maps)
+                        + self._plan.transform_shape).astype(V.dtype)
             else:
                 W = np.asarray(
                     1 - self._rng.random((self.n_atoms, V.shape[1]) + self.atom_shape),
