@@ -141,6 +141,24 @@ def test_w_init_guard_rails():
         m.fit(_V((4, 1, 10)), n_iterations=1)
 
 
+def test_multiscale_patches_init():
+    from tnmf_tpu import MultiScaleTNMF
+    from tnmf_tpu.utils.signals import generate_pulse_train
+    np.random.seed(11)
+    V = np.stack([generate_pulse_train(pulse_length=12, n_pulses=4)[0]
+                  for _ in range(5)])
+
+    def final_energy(w_init):
+        m = MultiScaleTNMF(n_atoms=(2, 2), atom_shapes=((4,), (12,)), seed=1,
+                           w_init=w_init)
+        m.fit(V, n_iterations=25)
+        return m._energy_function()
+
+    assert final_energy('patches') < final_energy('random')
+    with pytest.raises(ValueError, match='plain-NMF geometry'):
+        MultiScaleTNMF(n_atoms=(2,), atom_shapes=((3,),), w_init='nndsvd')
+
+
 def test_keep_w_overrides_w_init():
     V = _V((4, 1, 12, 12))
     m = TransformInvariantNMF(n_atoms=2, atom_shape=(4, 4), seed=1,

@@ -253,14 +253,15 @@ class MultiScaleTNMF:
                  beta_loss=2.0,
                  precision: Optional[str] = None,
                  mesh=None,
-                 logger: Optional[logging.Logger] = None):
+                 logger: Optional[logging.Logger] = None,
+                 w_init: str = 'random'):
         # raw ctor args for the sklearn estimator protocol (get_params /
         # set_params / clone), captured before any processing
         self._init_params = dict(
             n_atoms=n_atoms, atom_shapes=atom_shapes,
             reconstruction_mode=reconstruction_mode, backend=backend,
             dtype=dtype, seed=seed, verbose=verbose, beta_loss=beta_loss,
-            precision=precision, mesh=mesh, logger=logger)
+            precision=precision, mesh=mesh, logger=logger, w_init=w_init)
         if len(n_atoms) != len(atom_shapes) or not n_atoms:
             raise ValueError('n_atoms and atom_shapes must be equal-length, '
                              'non-empty tuples (one entry per scale)')
@@ -275,6 +276,12 @@ class MultiScaleTNMF:
         self._dtype = dtype
         self._precision = precision
         self._beta = beta_ops.resolve_beta_loss(beta_loss)
+        if w_init not in ('random', 'patches'):
+            raise ValueError(
+                "w_init must be 'random' or 'patches' for MultiScaleTNMF "
+                f"(got {w_init!r}; 'nndsvd' needs the plain-NMF geometry, "
+                "which is single-scale by construction)")
+        self._w_init = w_init
         self._mesh = mesh
         self._rng = np.random.default_rng(seed) if seed is not None else np.random
         self._logger = logger if logger is not None else logging.getLogger(self.__class__.__name__)
@@ -357,8 +364,14 @@ class MultiScaleTNMF:
         else:
             Ws = []
             for m, a in zip(self.n_atoms, self.atom_shapes):
-                Wk = np.asarray(1 - self._rng.random((m, V.shape[1]) + a),
-                                dtype=V.dtype)
+                if self._w_init == 'patches':
+                    # per-scale data-window warm start
+                    # (tnmf_tpu.utils.initialization)
+                    from ..utils.initialization import patches_init
+                    Wk = patches_init(V, m, a, self._rng).astype(V.dtype)
+                else:
+                    Wk = np.asarray(1 - self._rng.random((m, V.shape[1]) + a),
+                                    dtype=V.dtype)
                 Wk /= Wk.sum(axis=tuple(range(-len(a), 0)), keepdims=True)
                 Ws.append(Wk)
             Ws = tuple(Ws)
