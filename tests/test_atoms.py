@@ -59,6 +59,42 @@ def test_absorbing_state_without_revival():
     np.testing.assert_array_equal(find_dead_atoms(nmf), [2])  # still dead
 
 
+def test_fit_revive_every_self_heals():
+    """fit(revive_every=k) escapes the absorbing state mid-fit — the same
+    start as test_absorbing_state_without_revival ends with every atom
+    live."""
+    V = _V()
+    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3), seed=5)
+    nmf.fit(V, n_iterations=2)
+    _kill_atom(nmf, 2)
+    nmf.fit(V, n_iterations=6, keep_W=True, keep_H=True, revive_every=2)
+    assert find_dead_atoms(nmf).size == 0
+    assert np.isfinite(nmf.W).all() and (nmf.W >= 0).all()
+
+
+def test_fit_revive_every_noop_when_all_alive():
+    """With no dead atoms the revival hook must not perturb the trajectory:
+    revive_every=k equals the plain fit exactly."""
+    V = _V()
+    a = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3), seed=5)
+    a.fit(V, n_iterations=6, revive_every=2)
+    b = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3), seed=5)
+    b.fit(V, n_iterations=6)
+    np.testing.assert_allclose(a.W, b.W, rtol=0, atol=0)
+    np.testing.assert_allclose(a.H, b.H, rtol=0, atol=0)
+
+
+def test_fit_revive_every_guard_rails():
+    V = _V()
+    nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3), seed=5)
+    with pytest.raises(ValueError, match='revive_every'):
+        nmf.fit(V, revive_every=2, progress_callback=lambda m, i: True)
+    with pytest.raises(ValueError, match='revive_every'):
+        nmf.fit(V, revive_every=2, tol=1e-4)
+    with pytest.raises(ValueError, match='update_H'):
+        nmf.fit(V, revive_every=2, update_W=False)
+
+
 def test_revival_is_reproducible_with_seed():
     V = _V()
     outs = []

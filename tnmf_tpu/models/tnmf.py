@@ -672,6 +672,8 @@ class TransformInvariantNMF:
             tol: Optional[float] = None,
             tol_check_every: int = 10,
             mask=None,
+            revive_every: Optional[int] = None,
+            revive_threshold: float = 1e-4,
     ):
         r"""Full-batch multiplicative-update factorization of ``V``.
 
@@ -722,6 +724,14 @@ class TransformInvariantNMF:
           Exact MU semantics: both gradient halves are correlations of
           mask-weighted V-shaped streams, so the masked objective's
           update costs one extra elementwise multiply per iteration.
+        * ``revive_every=k`` makes the fit self-healing against MU's
+          absorbing zero state (atoms collapsed under sparsity pressure can
+          never recover on their own): every ``k`` fused on-device
+          iterations, atoms whose activation mass fell below
+          ``revive_threshold`` times the mean are re-drawn from the model's
+          RNG (:func:`tnmf_tpu.utils.atoms.revive_dead_atoms`) and the fit
+          continues with the full dictionary live.  Requires both factor
+          updates; single-device fits only.
         """
         _assert_nonnegative(V)
         self._assert_beta_domain(V, mask)
@@ -754,6 +764,34 @@ class TransformInvariantNMF:
                 return True
 
             callback_interval = int(checkpoint_every)
+        if revive_every is not None:
+            assert revive_every >= 1
+            if progress_callback is not None or tol is not None:
+                raise ValueError(
+                    'revive_every uses the chunked fused loop and cannot '
+                    'combine with progress_callback / checkpoint_every / '
+                    'tol; call utils.atoms.revive_dead_atoms from your own '
+                    'callback instead')
+            if not (update_H and update_W):
+                raise ValueError('revive_every requires update_H and '
+                                 'update_W (revival re-draws both factors)')
+            if self._mesh is not None:
+                raise ValueError(
+                    'revive_every re-draws atoms host-side and is validated '
+                    'for single-device fits only; under a mesh, run '
+                    'utils.atoms.revive_dead_atoms between fits')
+            from ..utils.atoms import revive_dead_atoms
+            thr = float(revive_threshold)
+
+            def progress_callback(model, iteration):  # noqa: F811
+                revived = revive_dead_atoms(model, thr)
+                if revived.size:
+                    model._logger.info('Revived %d dead atom(s) at '
+                                       'iteration %d.', revived.size,
+                                       iteration + 1)
+                return True
+
+            callback_interval = int(revive_every)
 
         self._initialize_matrices(V, keep_W, keep_H=keep_H, mask=mask)
         statics = dict(
