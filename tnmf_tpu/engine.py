@@ -229,6 +229,34 @@ def energy(V, W, H, mask=None, *, plan: ConvPlan, strategy: str,
     return beta_ops.divergence(V, R, beta, mask).astype(acc)
 
 
+@partial(jax.jit, static_argnames=('plan', 'strategy', 'n_atoms'))
+def correlate_init_H(Vp, Vd, W, *, plan: ConvPlan, strategy, n_atoms: int):
+    """Matched-filter activation init: ``H0 = c * (V star W)`` — the
+    correlation of the (prepared) data with every atom, scaled by the
+    least-squares-optimal coefficient along that direction,
+    ``c = <V, R0> / <R0, R0>`` with ``R0 = reconstruct(W, V star W)``.
+
+    Deterministic and computed entirely on device (sharded inputs yield
+    sharded H).  A 1% relative floor keeps every entry strictly positive —
+    zero is absorbing under multiplicative updates.  Returns H in the
+    canonical layout.  No reference counterpart (the reference only draws
+    H uniformly, ``_Backend.py:83-98``); the matched-filter start is the
+    classic sparse-coding warm start and typically halves the iterations
+    a frozen-dictionary ``transform`` needs.
+    """
+    ops = get_ops(strategy)
+    neg, _ = ops.grad_H_pair(Vp, jnp.zeros_like(Vd), W, plan)
+    R0 = ops.reconstruct(W, neg, plan)
+    acc = jnp.promote_types(Vd.dtype, jnp.float32)
+    num = jnp.sum(Vd.astype(acc) * R0.astype(acc))
+    den = jnp.maximum(jnp.sum(R0.astype(acc) ** 2),
+                      jnp.asarray(jnp.finfo(acc).tiny, acc))
+    H0 = (num / den).astype(neg.dtype) * neg
+    H0 = _dec_h(H0, plan, strategy, n_atoms)
+    floor = 0.01 * jnp.mean(H0)
+    return jnp.maximum(H0, floor).astype(W.dtype)
+
+
 def _beta_grad_pair(ops, grad_pair, Vc, R, other, plan, beta, mask=None):
     """(neg, pos) of a beta-divergence gradient: the strategy's Euclidean
     pair operator applied to ``A = V * R**(beta-2)`` (in the prepared-V

@@ -205,6 +205,16 @@ class TransformInvariantNMF:
         data-dependent host-side schemes (require ``init='host'``); seeded
         cross-library RNG parity applies to ``'random'`` only.  See
         :mod:`tnmf_tpu.utils.initialization`.
+    h_init : {'random', 'correlate'}, default 'random'
+        Activation initialization.  ``'correlate'`` is the matched-filter
+        start ``H0 = c * (V star W)`` with the least-squares-optimal scale
+        ``c`` (:func:`tnmf_tpu.engine.correlate_init_H`): deterministic
+        (no RNG consumed for H), computed entirely on device (no host
+        draw or H-sized upload — it also makes ``transform`` serving
+        fully deterministic for a fixed dictionary), and typically
+        reaches a given energy in fewer iterations than the reference's
+        uniform draw.  Applies wherever H would be freshly drawn
+        (``keep_H=True`` still wins).
     """
 
     def __init__(
@@ -227,6 +237,7 @@ class TransformInvariantNMF:
             beta_loss: Union[float, str] = 2.0,
             transform_type: str = 'shift',
             w_init: str = 'random',
+            h_init: str = 'random',
     ):
         # raw constructor arguments, captured before any processing — the
         # sklearn estimator protocol (get_params/set_params/clone) hands
@@ -239,7 +250,7 @@ class TransformInvariantNMF:
             seed=seed, fft_policy=fft_policy, use_pallas=use_pallas,
             init=init, shard_axis=shard_axis, precision=precision,
             beta_loss=beta_loss, transform_type=transform_type,
-            w_init=w_init)
+            w_init=w_init, h_init=h_init)
         self.atom_shape = tuple(int(a) for a in atom_shape)
         self.n_atoms = int(n_atoms)
         from ..ops.transforms import make_group
@@ -291,6 +302,14 @@ class TransformInvariantNMF:
                 "w_init='nndsvd' applies to the plain-NMF geometry only and "
                 "does not combine with transform groups")
         self._w_init = w_init
+        if h_init not in ('random', 'correlate'):
+            raise ValueError(
+                f"h_init must be 'random' or 'correlate', got {h_init!r}")
+        if h_init == 'correlate' and w_init == 'nndsvd':
+            raise ValueError(
+                "w_init='nndsvd' already initializes H from the SVD; it "
+                "does not combine with h_init='correlate'")
+        self._h_init = h_init
         self._device_key = jax.random.PRNGKey(seed if seed is not None else 0)
         self._rng = np.random.default_rng(seed) if seed is not None else np.random
 
@@ -559,6 +578,9 @@ class TransformInvariantNMF:
             # with the reference is moot when resuming from a checkpoint.
             if keep_h:
                 H = np.asarray(self._H)
+            elif self._h_init == 'correlate':
+                H = None  # matched-filter init, computed on device below —
+                # no host draw and no host->device upload of an H-sized array
             else:
                 H = np.asarray(
                     1 - self._rng.random((V.shape[0], n_maps) + self._plan.transform_shape),
@@ -599,7 +621,9 @@ class TransformInvariantNMF:
                     dtype=V.dtype)
                 W /= W.sum(axis=self._axes_W_normalization, keepdims=True)
             Wd = jnp.asarray(W, dtype=dtype)
-            Hd = jnp.asarray(H, dtype=dtype)
+            Hd = (jnp.zeros((V.shape[0], n_maps) + self._plan.transform_shape,
+                            dtype)
+                  if H is None else jnp.asarray(H, dtype=dtype))
 
         self._kernels = tuple(jnp.asarray(k, dtype=dtype) for k in self._inhibition_kernels_1D)
 
@@ -634,6 +658,19 @@ class TransformInvariantNMF:
                                            plan=self._plan, strategy=self._strategy)
         else:
             self._Vp = engine.prepare_data(Vd, plan=self._plan, strategy=self._strategy)
+        if self._h_init == 'correlate' and not keep_h:
+            # matched-filter start (engine.correlate_init_H): deterministic,
+            # on device, sharded inputs yield sharded H.  With a mask the
+            # prepared tensor already carries prepare(mask*V) — the right
+            # matched filter for the masked objective; for beta != 2 the
+            # prepared slot holds the canonical V, so prepare it here.
+            Vp0 = self._Vp
+            if self._beta != 2.0:
+                Vp0 = engine.prepare_data(Vd, plan=self._plan,
+                                          strategy=self._strategy)
+            self._H = engine.correlate_init_H(
+                Vp0, Vd, self._W, plan=self._plan, strategy=self._strategy,
+                n_atoms=self.n_atoms)
 
     def _pallas_mu_enabled(self, n_samples: int) -> bool:
         """Resolve the use_pallas tri-state for the inhibited-H kernel.
