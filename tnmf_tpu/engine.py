@@ -241,8 +241,11 @@ def correlate_init_H(Vp, Vd, W, *, plan: ConvPlan, strategy, n_atoms: int):
     zero is absorbing under multiplicative updates.  Returns H in the
     canonical layout.  No reference counterpart (the reference only draws
     H uniformly, ``_Backend.py:83-98``); the matched-filter start is the
-    classic sparse-coding warm start and typically halves the iterations
-    a frozen-dictionary ``transform`` needs.
+    classic sparse-coding warm start — it reaches a given energy in fewer
+    iterations than the uniform draw (substantially fewer on structured
+    data, tests/test_h_init.py; ~10% on unstructured noise), and its real
+    serving value is determinism plus the absence of any H-sized host
+    draw/upload per ``transform`` call.
     """
     ops = get_ops(strategy)
     neg, _ = ops.grad_H_pair(Vp, jnp.zeros_like(Vd), W, plan)
