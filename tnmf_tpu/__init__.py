@@ -16,10 +16,12 @@ Public API::
 
 from .models.multiscale import MultiScaleTNMF
 from .models.sweep import SweepResult, sweep_fit
-from .models.tnmf import MiniBatchAlgorithm, TransformInvariantNMF
+from .models.tnmf import (MiniBatchAlgorithm, MiniBatchTransformInvariantNMF,
+                          TransformInvariantNMF)
 from .ops.transforms import TransformGroup
 
-__all__ = ['TransformInvariantNMF', 'MiniBatchAlgorithm', 'TransformGroup',
+__all__ = ['TransformInvariantNMF', 'MiniBatchTransformInvariantNMF',
+           'MiniBatchAlgorithm', 'TransformGroup',
            'MultiScaleTNMF', 'SweepResult', 'sweep_fit']
 
 __version__ = '0.3.0.dev0'

@@ -1,6 +1,8 @@
 from .multiscale import MultiScaleTNMF
 from .sweep import SweepResult, sweep_fit
-from .tnmf import MiniBatchAlgorithm, TransformInvariantNMF
+from .tnmf import (MiniBatchAlgorithm, MiniBatchTransformInvariantNMF,
+                   TransformInvariantNMF)
 
-__all__ = ['TransformInvariantNMF', 'MiniBatchAlgorithm', 'MultiScaleTNMF',
+__all__ = ['TransformInvariantNMF', 'MiniBatchTransformInvariantNMF',
+           'MiniBatchAlgorithm', 'MultiScaleTNMF',
            'SweepResult', 'sweep_fit']

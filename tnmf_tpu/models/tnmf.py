@@ -1665,3 +1665,61 @@ class TransformInvariantNMF:
             model._H = state['H']
             model._restore_plan()
         return model
+
+
+class MiniBatchTransformInvariantNMF(TransformInvariantNMF):
+    """Minibatch-first variant of :class:`TransformInvariantNMF` — the
+    sklearn ``MiniBatchNMF`` analogue of this package.
+
+    The base class follows the reference's design, where minibatching is
+    a *method* (``fit_minibatches``) on the one model class
+    (``/root/reference/tnmf/TransformInvariantNMF.py:350``).  This
+    subclass makes it a model *configuration* instead: the batch schedule
+    lives in the constructor (so it rides through ``get_params`` /
+    ``set_params`` / ``clone`` and CV searches over ``batch_size`` or
+    ``algorithm`` work out of the box), ``fit`` runs the minibatch
+    algorithm directly, and the caller-driven online protocol
+    (:meth:`partial_fit <TransformInvariantNMF.partial_fit>`) is
+    inherited.  Everything else — serving, checkpointing, meshes,
+    regularizers — is the base class, unchanged.
+
+    Parameters (in addition to the base class): ``batch_size``,
+    ``algorithm`` (a :class:`MiniBatchAlgorithm` or its name, default
+    ASG_MU — the recommended schedule of Serizel et al. 2016),
+    ``n_epochs`` and ``sag_lambda``; each can still be overridden per
+    ``fit`` call.
+    """
+
+    def __init__(self, n_atoms: int, atom_shape: Tuple[int, ...],
+                 batch_size: int = 3,
+                 algorithm: Union[MiniBatchAlgorithm, str] = MiniBatchAlgorithm.ASG_MU,
+                 n_epochs: int = 1000,
+                 sag_lambda: float = 0.2,
+                 **kwargs):
+        super().__init__(n_atoms, atom_shape, **kwargs)
+        if isinstance(algorithm, str):
+            algorithm = MiniBatchAlgorithm[algorithm]
+        assert isinstance(algorithm, MiniBatchAlgorithm)
+        self.batch_size = None if batch_size is None else int(batch_size)
+        self.algorithm = algorithm
+        self.n_epochs = int(n_epochs)
+        self.sag_lambda = float(sag_lambda)
+        self._init_params.update(batch_size=batch_size, algorithm=algorithm,
+                                 n_epochs=n_epochs, sag_lambda=sag_lambda)
+
+    def fit(self, V, y=None, **kwargs):
+        """Minibatch fit with the constructor's schedule; any of
+        ``batch_size`` / ``algorithm`` / ``n_epochs`` / ``sag_lambda`` may
+        be overridden per call.  ``subsample_size`` / ``max_subsamples``
+        still dispatch to :meth:`fit_stream
+        <TransformInvariantNMF.fit_stream>` (which then runs this
+        minibatch fit per subsample)."""
+        del y
+        if 'subsample_size' in kwargs or 'max_subsamples' in kwargs:
+            self.fit_stream(iter(V), **kwargs)
+            return
+        kwargs.setdefault('batch_size', self.batch_size)
+        kwargs.setdefault('algorithm', self.algorithm)
+        kwargs.setdefault('n_epochs', self.n_epochs)
+        kwargs.setdefault('sag_lambda', self.sag_lambda)
+        self.fit_minibatches(V, **kwargs)
