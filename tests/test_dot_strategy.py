@@ -150,6 +150,38 @@ def test_dot_under_mesh_matches_single_device(shard_axis):
     np.testing.assert_allclose(sharded.H, single.H, rtol=1e-8, atol=1e-10)
 
 
+def test_dot_composes_with_bf16_and_tol():
+    rng = np.random.default_rng(0)
+    V = rng.random((6, 1, 16, 16))
+    d = TransformInvariantNMF(n_atoms=3, atom_shape=(16, 16), seed=1,
+                              reconstruction_mode='full', dtype='bfloat16')
+    d.fit(V, n_iterations=10)
+    assert d._strategy == 'dot' and str(d.W.dtype) == 'bfloat16'
+    assert np.isfinite(np.asarray(d.W, np.float32)).all()
+    t = TransformInvariantNMF(n_atoms=3, atom_shape=(16, 16), seed=1,
+                              reconstruction_mode='full')
+    t.fit(V, n_iterations=200, tol=1e-3, tol_check_every=10)
+    assert t._strategy == 'dot' and 0 < t.n_iterations_ <= 200
+
+
+@pytest.mark.skipif(__import__('jax').device_count() < 8,
+                    reason='needs 8 (virtual) devices')
+def test_partial_fit_under_mesh_matches_single_device():
+    from tnmf_tpu.parallel import make_mesh
+    rng = np.random.default_rng(0)
+    V = rng.random((8, 1, 12, 12)).astype(np.float32)
+
+    def run(mesh):
+        m = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), seed=1,
+                                  mesh=mesh)
+        return m.partial_fit(V).partial_fit(V)
+
+    single, sharded = run(None), run(make_mesh(8))
+    # psum reduction order: f32 parity to a few ulp
+    np.testing.assert_allclose(sharded.W, single.W, rtol=5e-6)
+    np.testing.assert_allclose(sharded.H, single.H, rtol=5e-6)
+
+
 def test_rank4_plain_nmf_runs_on_dot():
     # >3 spatial dims: no lax-conv path exists, but matmuls have no rank cap
     rng = np.random.default_rng(5)
