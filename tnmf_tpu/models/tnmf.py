@@ -56,9 +56,9 @@ sliceNone = slice(None)
 
 def _assert_nonnegative(V):
     """Reference precondition (TransformInvariantNMF.py:326); checked on
-    device for process-spanning global arrays (the all-reduce result is
-    replicated, hence addressable everywhere)."""
-    if isinstance(V, jax.Array) and not V.is_fully_addressable:
+    device for jax arrays (one scalar transfer instead of copying V to
+    host — device-resident inputs, e.g. prefetched batches, stay put)."""
+    if isinstance(V, jax.Array):
         assert bool(jnp.all(V >= 0))
     else:
         assert np.all(np.asarray(V) >= 0)
@@ -373,8 +373,8 @@ class TransformInvariantNMF:
                 'V is not host-addressable under a process-spanning mesh; '
                 'access the per-process shards of the global array instead')
         if self._shuffle_idx is None:
-            return self._V
-        return self._V[np.argsort(self._shuffle_idx)]
+            return np.asarray(self._V)
+        return np.asarray(self._V)[np.argsort(self._shuffle_idx)]
 
     @property
     def R(self) -> np.ndarray:
@@ -481,6 +481,12 @@ class TransformInvariantNMF:
                 raise ValueError('input shuffling is unavailable for global arrays')
             self._shuffle_idx = None
             self._V = None  # V property raises; per-shard access via jax APIs
+        elif isinstance(V, jax.Array) and not shuffle_input:
+            # device-resident input (e.g. a batch from
+            # utils.pipeline.prefetch_to_device): keep it on device — no
+            # host round trip; the V property materializes lazily
+            self._shuffle_idx = None
+            self._V = V
         else:
             V = np.asarray(V)
             if shuffle_input:
