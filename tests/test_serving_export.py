@@ -1,0 +1,157 @@
+"""Serialized serving artifacts (``tnmf_tpu.serving``; jax.export).
+
+Pinned: the exported artifact reproduces ``model.transform`` exactly
+(same compute: matched-filter init + H-only MU loop), the symbolic batch
+dimension serves multiple request sizes from one artifact, the iteration
+count stays a runtime knob, regularizers/groups/beta losses bake in
+correctly, and the file roundtrip + guard rails hold.  No reference
+counterpart: the reference can only pickle its Python objects
+(SURVEY.md §5 checkpoint/resume — none as files).
+"""
+
+import numpy as np
+import pytest
+
+from tnmf_tpu import TransformInvariantNMF, export_serving, load_serving
+from tnmf_tpu.serving import _MAGIC
+
+
+def _data(n=3, shape=(12, 10), channels=1, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.random((n, channels) + shape).astype(np.float32)
+
+
+def _fitted(mode='valid', **kw):
+    m = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 3), seed=0,
+                              reconstruction_mode=mode, h_init='correlate',
+                              **kw)
+    m.fit(_data(), n_iterations=4)
+    return m
+
+
+def test_roundtrip_matches_transform(tmp_path):
+    m = _fitted()
+    p = str(tmp_path / 'model.tnmfsrv')
+    blob = m.export_serving(path=p, n_iterations=6, sparsity_H=0.1)
+    assert blob[:8] == _MAGIC
+    assert (tmp_path / 'model.tnmfsrv').read_bytes() == blob
+
+    V_new = _data(n=3, seed=7)
+    served = load_serving(p)
+    H_art = served.transform(V_new)
+    H_ref = m.transform(V_new, n_iterations=6, sparsity_H=0.1)
+    np.testing.assert_allclose(H_art, H_ref, rtol=1e-6, atol=1e-9)
+
+
+def test_symbolic_batch_serves_any_size():
+    m = _fitted()
+    served = load_serving(m.export_serving(n_iterations=3))
+    for n in (1, 2, 5):
+        V_new = _data(n=n, seed=n)
+        np.testing.assert_allclose(
+            served(V_new), m.transform(V_new, n_iterations=3),
+            rtol=1e-6, atol=1e-9)
+
+
+def test_runtime_iteration_count():
+    m = _fitted()
+    served = load_serving(m.export_serving(n_iterations=2))
+    V_new = _data(seed=5)
+    for n in (1, 8):
+        np.testing.assert_allclose(
+            served.transform(V_new, n_iterations=n),
+            m.transform(V_new, n_iterations=n), rtol=1e-6, atol=1e-9)
+
+
+def test_fixed_batch_size_and_shape_guard():
+    m = _fitted()
+    served = load_serving(m.export_serving(batch_size=2, n_iterations=3))
+    V2 = _data(n=2, seed=9)
+    np.testing.assert_allclose(served(V2), m.transform(V2, n_iterations=3),
+                               rtol=1e-6, atol=1e-9)
+    with pytest.raises(ValueError, match='shape'):
+        served(_data(n=4, seed=9))
+    with pytest.raises(ValueError, match='shape'):
+        served(_data(n=2, shape=(12, 11), seed=9))
+
+
+def test_regularizers_and_modes_bake_in():
+    m = _fitted(mode='circular', inhibition_range=2)
+    kw = dict(sparsity_H=0.05, inhibition_strength=0.4,
+              cross_atom_inhibition_strength=0.2)
+    served = load_serving(m.export_serving(n_iterations=5, **kw))
+    V_new = _data(seed=11)
+    np.testing.assert_allclose(served(V_new),
+                               m.transform(V_new, n_iterations=5, **kw),
+                               rtol=1e-6, atol=1e-9)
+    # the baked strengths actually matter (vs the unregularized encode)
+    plain = m.transform(V_new, n_iterations=5)
+    assert not np.allclose(np.asarray(served(V_new)), plain, rtol=1e-3)
+
+
+def test_transform_group_layout():
+    m = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), seed=0,
+                              h_init='correlate', transform_type='shift+flip')
+    m.fit(_data(), n_iterations=3)
+    served = load_serving(m.export_serving(n_iterations=2))
+    V_new = _data(n=2, seed=13)
+    H = served(V_new)
+    assert H.shape[:3] == (2, 2, 4)  # (n, atoms, transforms)
+    np.testing.assert_allclose(H, m.transform(V_new, n_iterations=2),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_beta_divergence_bakes_in():
+    m = TransformInvariantNMF(n_atoms=2, atom_shape=(4,), seed=0,
+                              h_init='correlate', beta_loss=1.0)
+    V = np.abs(_data(shape=(20,))) + 0.1
+    m.fit(V, n_iterations=3)
+    served = load_serving(m.export_serving(n_iterations=4))
+    V_new = np.abs(_data(n=2, shape=(20,), seed=3)) + 0.1
+    np.testing.assert_allclose(served(V_new),
+                               m.transform(V_new, n_iterations=4),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_phased_strategy_exports(monkeypatch):
+    """The TPU auto-choice (phase-decomposed lowering) must survive export
+    with a symbolic batch: its space-to-depth reshapes touch only the
+    static spatial axes."""
+    from tnmf_tpu import engine
+    monkeypatch.setattr(engine, '_phased_platform_ok', lambda: True)
+    m = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), seed=0,
+                              h_init='correlate')
+    m.fit(_data(shape=(16, 16)), n_iterations=3)
+    assert m._strategy == 'phased'
+    served = load_serving(m.export_serving(n_iterations=3, sparsity_H=0.1))
+    for n in (2, 4):
+        V_new = _data(n=n, shape=(16, 16), seed=n)
+        np.testing.assert_allclose(
+            served(V_new), m.transform(V_new, n_iterations=3, sparsity_H=0.1),
+            rtol=1e-6, atol=1e-9)
+
+
+def test_header_metadata():
+    m = _fitted()
+    served = load_serving(m.export_serving(n_iterations=7, sparsity_H=0.2))
+    h = served.header
+    assert h['n_atoms'] == served.n_atoms == 3
+    assert h['n_iterations'] == 7
+    assert h['sparsity_H'] == 0.2
+    assert h['mode'] == 'valid'
+    assert h['atom_shape'] == [4, 3]
+    assert h['input_shape'] == ['b', 1, 12, 10]
+    assert 'cpu' in served.platforms
+
+
+def test_guards():
+    with pytest.raises(RuntimeError, match='fitted'):
+        export_serving(TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3)))
+    with pytest.raises(ValueError, match='magic'):
+        load_serving(b'not an artifact at all')
+    from tnmf_tpu.parallel.sharding import make_mesh
+    m = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), seed=0,
+                              h_init='correlate', mesh=make_mesh(8))
+    m.fit(_data(n=8), n_iterations=2)
+    with pytest.raises(ValueError, match='single-device'):
+        m.export_serving()

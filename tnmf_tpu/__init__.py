@@ -19,9 +19,11 @@ from .models.sweep import SweepResult, sweep_fit
 from .models.tnmf import (MiniBatchAlgorithm, MiniBatchTransformInvariantNMF,
                           TransformInvariantNMF)
 from .ops.transforms import TransformGroup
+from .serving import ServingModel, export_serving, load_serving
 
 __all__ = ['TransformInvariantNMF', 'MiniBatchTransformInvariantNMF',
            'MiniBatchAlgorithm', 'TransformGroup',
-           'MultiScaleTNMF', 'SweepResult', 'sweep_fit']
+           'MultiScaleTNMF', 'SweepResult', 'sweep_fit',
+           'export_serving', 'load_serving', 'ServingModel']
 
 __version__ = '0.3.0.dev0'

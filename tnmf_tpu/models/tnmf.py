@@ -1438,6 +1438,18 @@ class TransformInvariantNMF:
             out.append(self.H)
         return np.concatenate(out, axis=0)
 
+    def export_serving(self, path: Optional[str] = None, **kwargs) -> bytes:
+        """Serialize this model's encoding step (``transform``'s compute:
+        matched-filter init + H-only MU refinement against the frozen
+        dictionary) as a self-contained StableHLO artifact via
+        :mod:`jax.export` — deployable without this package or any Python
+        model state.  See :func:`tnmf_tpu.serving.export_serving` for the
+        keyword arguments (iteration count, regularizer strengths, batch
+        handling, target platforms).  Returns the artifact bytes and
+        optionally writes them to ``path``."""
+        from ..serving import export_serving
+        return export_serving(self, path=path, **kwargs)
+
     def fit_transform(self, V, y=None, **kwargs) -> np.ndarray:
         """Fit the model to ``V`` and return the learned activations ``H``
         (sklearn estimator convention; ``y`` is accepted and ignored).

@@ -151,7 +151,10 @@ def convolve_multi_1d(
     """
     assert len(kernels) == len(axes)
     out = arr
-    if out.size < _BAND_MIN_ELEMS:
+    # under jax.export shape polymorphism (tnmf_tpu.serving) the batch
+    # dimension is symbolic and the total size is inconclusive; the banded
+    # path is the scalable choice for any batch the artifact will serve
+    if isinstance(out.size, int) and out.size < _BAND_MIN_ELEMS:
         for axis, kernel in zip(axes, kernels):
             out = _conv_1d_small(out, jnp.asarray(kernel, out.dtype), axis % out.ndim)
         return out

@@ -1,0 +1,245 @@
+"""Serialized serving artifacts: the encoding step as one portable file.
+
+``export_serving(model, ...)`` serializes the model's frozen-dictionary
+encoding step ``V -> H`` (the matched-filter activation init followed by
+H-only multiplicative updates — exactly ``model.transform``'s compute) as a
+self-contained StableHLO artifact via :mod:`jax.export`.  The learned
+dictionary, the ConvPlan geometry, the strategy lowering and the
+regularizer strengths are baked into the program; the batch dimension is
+symbolic by default, so one artifact serves any request size.
+``load_serving(path_or_bytes)`` rehydrates a callable that needs jax but
+*not* this package — deploy the dictionary to a fleet without shipping
+model code, Python pickles, or an RNG (the matched-filter init is
+deterministic).
+
+The artifact's signature is ``(V, n_iterations) -> H``: the iteration
+count stays a runtime scalar (latency/quality trade-off per request
+without re-exporting), while the regularizer strengths are export-time
+constants (they select which fused kernels exist in the program).
+
+Reference role: the serving half of ``transform()`` — the reference has no
+counterpart (its models can only be pickled together with the library).
+
+File format: ``b'TNMFSRV1' + <u32 header length> + <JSON header> +
+<jax.export payload>``.  The header carries the metadata needed to call
+the artifact (shapes, dtypes, defaults) and provenance for humans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import tempfile
+from typing import Optional, Sequence, Union
+
+import numpy as np
+
+_MAGIC = b'TNMFSRV1'
+
+
+def export_serving(model, *,
+                   n_iterations: int = 100,
+                   sparsity_H: float = 0.,
+                   inhibition_strength: float = 0.,
+                   cross_atom_inhibition_strength: float = 0.,
+                   batch_size: Optional[int] = None,
+                   path: Optional[str] = None,
+                   platforms: Optional[Sequence[str]] = None,
+                   input_dtype=None) -> bytes:
+    """Serialize ``model``'s encoding step to a self-contained artifact.
+
+    Parameters
+    ----------
+    model : TransformInvariantNMF
+        A fitted (or checkpoint-loaded / ``set_dictionary``-initialized)
+        single-device model.  The artifact encodes against the *current*
+        dictionary with the sample geometry of the last fit.
+    n_iterations : int
+        Default MU iteration count recorded in the artifact header; the
+        exported function also takes the count as a runtime scalar.
+    sparsity_H, inhibition_strength, cross_atom_inhibition_strength : float
+        Regularizer strengths, baked in as constants (same semantics as
+        ``transform``'s kwargs).
+    batch_size : int, optional
+        Fix the batch dimension.  Default: symbolic — one artifact serves
+        any batch size.
+    path : str, optional
+        Also write the artifact to ``path`` (atomically).
+    platforms : sequence of str, optional
+        Lowering platforms (e.g. ``('tpu', 'cpu')``) for a multi-platform
+        artifact; default: the current JAX backend.
+    input_dtype : dtype-like, optional
+        Input array dtype the artifact accepts (cast to the model's
+        compute dtype inside).  Default: the model dtype, or float32 for
+        bfloat16 models (bf16 host arrays are awkward to produce).
+
+    Returns the artifact bytes.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+    from jax import lax
+
+    from . import engine
+
+    if getattr(model, '_W', None) is None or getattr(model, '_plan', None) is None:
+        raise RuntimeError(
+            'export_serving() requires a fitted model (or one restored via '
+            'load()/set_dictionary() + a fit/transform that established the '
+            'sample geometry); call fit() first')
+    if getattr(model, '_mesh', None) is not None:
+        raise ValueError(
+            'export_serving() produces a single-device artifact; export '
+            'from a mesh-free model (the dictionary transfers via '
+            'set_dictionary())')
+    assert sparsity_H >= 0 and inhibition_strength >= 0
+    assert cross_atom_inhibition_strength >= 0
+
+    W = jnp.asarray(model._W)
+    plan = model._plan
+    strategy = model._strategy
+    beta = model._beta
+    n_atoms = model.n_atoms
+    n_transforms = model.n_transforms
+    kernels = model._kernels
+    if kernels is None:  # dictionary installed without a fit on this object
+        kernels = tuple(jnp.asarray(k, W.dtype)
+                        for k in model._inhibition_kernels_1D)
+    use_inh = inhibition_strength > 0
+    use_cross = cross_atom_inhibition_strength > 0
+    s_c = jnp.asarray(sparsity_H, W.dtype)
+    i_c = jnp.asarray(inhibition_strength, W.dtype)
+    x_c = jnp.asarray(cross_atom_inhibition_strength, W.dtype)
+    ops = engine.get_ops(strategy)
+
+    def serve(V, n_iters):
+        V = V.astype(W.dtype)
+        Vp = engine.prepare_data(V, plan=plan, strategy=strategy)
+        # mirror the model's matched-filter init (_initialize_matrices):
+        # for beta != 2 the loop consumes the canonical V, but the matched
+        # filter always correlates the prepared (Euclidean) tensor
+        H0 = engine.correlate_init_H(Vp, V, W, plan=plan, strategy=strategy,
+                                     n_atoms=n_atoms)
+        Vloop = V if beta != 2.0 else Vp
+        Hph = engine._enc_h(H0, plan, strategy)
+
+        def body(_, Hph):
+            return engine._mu_H(ops, Vloop, W, Hph, s_c, i_c, x_c, kernels,
+                                plan=plan, use_inhibition=use_inh,
+                                use_cross=use_cross, beta=beta)
+
+        Hph = lax.fori_loop(0, n_iters, body, Hph)
+        H = engine._dec_h(Hph, plan, strategy, W.shape[0])
+        if n_transforms > 1:
+            H = H.reshape((H.shape[0], n_atoms, n_transforms) + H.shape[2:])
+        return H
+
+    if input_dtype is not None:
+        in_dtype = jnp.dtype(input_dtype)
+    elif W.dtype == jnp.bfloat16:
+        in_dtype = jnp.dtype(jnp.float32)
+    else:
+        in_dtype = W.dtype
+    if batch_size is None:
+        (b,) = jax_export.symbolic_shape('b')
+    else:
+        b = int(batch_size)
+    v_spec = jax.ShapeDtypeStruct((b, W.shape[1]) + plan.sample_shape,
+                                  in_dtype)
+    n_spec = jax.ShapeDtypeStruct((), jnp.int32)
+    exported = jax_export.export(
+        jax.jit(serve),
+        platforms=list(platforms) if platforms is not None else None,
+    )(v_spec, n_spec)
+
+    h_shape = ((n_atoms, n_transforms) if n_transforms > 1 else (n_atoms,))
+    header = {
+        'format': 1,
+        'library': 'tnmf_tpu',
+        'n_iterations': int(n_iterations),
+        'input_shape': ['b' if batch_size is None else int(batch_size),
+                        int(W.shape[1])] + [int(x) for x in plan.sample_shape],
+        'input_dtype': np.dtype(in_dtype).name,
+        'h_leading': [int(x) for x in h_shape],
+        'n_atoms': int(n_atoms),
+        'n_transforms': int(n_transforms),
+        'mode': plan.mode,
+        'atom_shape': [int(x) for x in plan.atom_shape],
+        'platforms': list(exported.platforms),
+        'sparsity_H': float(sparsity_H),
+        'inhibition_strength': float(inhibition_strength),
+        'cross_atom_inhibition_strength': float(cross_atom_inhibition_strength),
+        'beta_loss': float(beta),
+    }
+    head = json.dumps(header).encode('utf-8')
+    blob = _MAGIC + struct.pack('<I', len(head)) + head + exported.serialize()
+    if path is not None:
+        d = os.path.dirname(os.path.abspath(path))
+        fd, tmp = tempfile.mkstemp(dir=d, suffix='.tmp')
+        try:
+            with os.fdopen(fd, 'wb') as f:
+                f.write(blob)
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+    return blob
+
+
+class ServingModel:
+    """A loaded serving artifact: ``transform(V)`` encodes against the
+    baked-in dictionary.  Construct via :func:`load_serving`."""
+
+    def __init__(self, exported, header: dict):
+        self._exported = exported
+        self.header = header
+
+    @property
+    def n_atoms(self) -> int:
+        return self.header['n_atoms']
+
+    @property
+    def platforms(self):
+        return tuple(self.header['platforms'])
+
+    def transform(self, V, n_iterations: Optional[int] = None) -> np.ndarray:
+        """Infer activations for ``V`` (``(n, channels, *sample_shape)``)
+        with ``n_iterations`` MU refinement steps (default: the count
+        recorded at export time)."""
+        import jax.numpy as jnp
+
+        n = self.header['n_iterations'] if n_iterations is None else n_iterations
+        V = jnp.asarray(np.asarray(V), jnp.dtype(self.header['input_dtype']))
+        exp_shape = self.header['input_shape']
+        if (V.ndim != len(exp_shape)
+                or any(isinstance(e, int) and e != s
+                       for e, s in zip(exp_shape, V.shape))):
+            raise ValueError(
+                f'input shape {tuple(V.shape)} does not match the '
+                f'artifact signature {tuple(exp_shape)}')
+        H = self._exported.call(V, jnp.asarray(n, jnp.int32))
+        return np.asarray(H)
+
+    __call__ = transform
+
+
+def load_serving(src: Union[str, bytes, os.PathLike]) -> ServingModel:
+    """Load a serving artifact written by :func:`export_serving` from a
+    path or raw bytes."""
+    from jax import export as jax_export
+
+    if isinstance(src, (str, os.PathLike)):
+        with open(src, 'rb') as f:
+            blob = f.read()
+    else:
+        blob = bytes(src)
+    if blob[:len(_MAGIC)] != _MAGIC:
+        raise ValueError('not a tnmf_tpu serving artifact (bad magic)')
+    off = len(_MAGIC)
+    (hlen,) = struct.unpack('<I', blob[off:off + 4])
+    off += 4
+    header = json.loads(blob[off:off + hlen].decode('utf-8'))
+    exported = jax_export.deserialize(bytearray(blob[off + hlen:]))
+    return ServingModel(exported, header)
