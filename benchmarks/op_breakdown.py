@@ -39,7 +39,7 @@ from tnmf_tpu.ops.modes import ConvPlan  # noqa: E402
 K_LO, K_HI = 16, 64
 
 
-def bench(step_fn, carry0, *consts):
+def bench(step_fn, carry0, *consts, k_lo=None, k_hi=None):
     """Per-iteration time from the K_LO/K_HI *slope*: the loop is scanned at
     two lengths and the difference cancels every constant per-dispatch cost
     (remote-tunnel round trip, arg sync, result fetch).  Subtracting a
@@ -66,7 +66,8 @@ def bench(step_fn, carry0, *consts):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    return (timed(K_HI) - timed(K_LO)) / (K_HI - K_LO)
+    lo, hi = k_lo or K_LO, k_hi or K_HI
+    return (timed(hi) - timed(lo)) / (hi - lo)
 
 
 def main():
@@ -121,6 +122,30 @@ def main():
 
     t = bench(full, (W0, H0e), Vp)
     row('FULL MU iteration', t, 2 * fl_rec + 2 * fl_g)
+
+    # ---- HBM roofline ----
+    # In-situ achievable-bandwidth probe: an elementwise scale of the
+    # H-sized carry (1 read + 1 write), the same access pattern as the MU
+    # ratio.  Measured ~675 GB/s on the v5e tunnel (spec 819).  The probe
+    # is much faster than an MU iteration, so it gets a longer slope to
+    # stay above tunnel jitter.
+    # 1 + 2^-7 is exact in bf16 (7 mantissa bits) AND f32; a sub-lsb
+    # constant rounds to 1.0 in bf16 and XLA elides the whole loop
+    t_bw = bench(lambda c: c * jnp.asarray(1.0078125, dtype), H0e,
+                 k_lo=64, k_hi=512)
+    bw = 2 * H0e.nbytes / t_bw
+    # Analytic byte floor of one exact MU iteration — the streams no
+    # schedule can avoid: H is read by rec(H), the grad_H pair consumer,
+    # rec(H_new) and grad_W (4 reads) and written once by the ratio; the
+    # prepared data is read by both gradient pairs; both reconstructions
+    # write (and their extended forms are re-read as) an R-sized stream.
+    r_bytes = n * C * int(np.prod(S)) * jnp.dtype(dtype).itemsize
+    floor_bytes = 5 * H0e.nbytes + 2 * Vp.nbytes + 2 * r_bytes
+    floor = floor_bytes / bw
+    print(f'  achieved HBM bandwidth (probe)     {bw / 1e9:8.0f} GB/s')
+    print(f'  analytic byte floor / iteration    {floor * 1e3:8.2f} ms '
+          f' ({floor_bytes / 1e6:.0f} MB)  ->  iteration at '
+          f'{100 * floor / t:.0f}% of the memory roofline')
 
 
 if __name__ == '__main__':
