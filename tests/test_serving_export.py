@@ -144,6 +144,19 @@ def test_header_metadata():
     assert 'cpu' in served.platforms
 
 
+def test_multi_platform_artifact():
+    """One artifact lowered for several platforms: export on the training
+    host, serve wherever (cross-lowering needs no TPU present)."""
+    m = _fitted()
+    served = load_serving(m.export_serving(n_iterations=3,
+                                           platforms=('cpu', 'tpu')))
+    assert served.platforms == ('cpu', 'tpu')
+    V_new = _data(n=2, seed=21)
+    np.testing.assert_allclose(served(V_new),
+                               m.transform(V_new, n_iterations=3),
+                               rtol=1e-6, atol=1e-9)
+
+
 def test_guards():
     with pytest.raises(RuntimeError, match='fitted'):
         export_serving(TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3)))
