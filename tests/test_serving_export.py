@@ -144,6 +144,35 @@ def test_header_metadata():
     assert 'cpu' in served.platforms
 
 
+def test_decoder_section_full_codec(tmp_path):
+    """include_decoder=True ships encode AND decode in one file."""
+    m = _fitted(mode='circular')
+    p = str(tmp_path / 'codec.tnmfsrv')
+    m.export_serving(path=p, n_iterations=4, include_decoder=True)
+    served = load_serving(p)
+    V_new = _data(n=2, seed=17)
+    H = served(V_new)
+    np.testing.assert_allclose(served.inverse_transform(H),
+                               m.inverse_transform(H),
+                               rtol=1e-6, atol=1e-9)
+    # encoder-only artifacts say so
+    plain = load_serving(m.export_serving(n_iterations=2))
+    with pytest.raises(RuntimeError, match='decoder'):
+        plain.inverse_transform(H)
+
+
+def test_decoder_with_group_public_layout():
+    m = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), seed=0,
+                              h_init='correlate', transform_type='shift+flip')
+    m.fit(_data(), n_iterations=3)
+    served = load_serving(m.export_serving(n_iterations=2,
+                                           include_decoder=True))
+    H = served(_data(n=2, seed=19))          # (n, atoms, transforms, *shift)
+    np.testing.assert_allclose(served.inverse_transform(H),
+                               m.inverse_transform(H),
+                               rtol=1e-6, atol=1e-9)
+
+
 def test_multi_platform_artifact():
     """One artifact lowered for several platforms: export on the training
     host, serve wherever (cross-lowering needs no TPU present)."""
@@ -155,6 +184,46 @@ def test_multi_platform_artifact():
     np.testing.assert_allclose(served(V_new),
                                m.transform(V_new, n_iterations=3),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_export_from_w_only_checkpoint(tmp_path):
+    """A saved dictionary (no H, hence no restored plan) exports once the
+    sample geometry is named — the deployment path from a trained
+    artifact store."""
+    m = _fitted()
+    ckpt = str(tmp_path / 'w_only.npz')
+    m.save(ckpt)  # W only
+    from tnmf_tpu import TransformInvariantNMF as T
+    loaded = T.load(ckpt, h_init='correlate')
+    with pytest.raises(RuntimeError, match='sample_shape'):
+        loaded.export_serving()
+    served = load_serving(loaded.export_serving(sample_shape=(12, 10),
+                                                n_iterations=3))
+    V_new = _data(n=2, seed=23)
+    np.testing.assert_allclose(served(V_new),
+                               m.transform(V_new, n_iterations=3),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_cli_export(tmp_path):
+    import os
+    import subprocess
+    import sys
+    m = _fitted()
+    ckpt = str(tmp_path / 'model.npz')
+    m.save(ckpt, include_H=True)
+    out = str(tmp_path / 'enc.tnmfsrv')
+    env = dict(os.environ, JAX_PLATFORMS='cpu', PALLAS_AXON_POOL_IPS='')
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, '-m', 'tnmf_tpu.cli', 'export', ckpt, out,
+         '--iterations', '3', '--decoder'],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=600)
+    assert res.returncode == 0, res.stderr
+    served = load_serving(out)
+    assert served.header['n_iterations'] == 3
+    H = served(_data(n=2, seed=29))
+    assert np.isfinite(served.inverse_transform(H)).all()
 
 
 def test_guards():

@@ -19,7 +19,8 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEMO_DIR = os.path.join(REPO_ROOT, 'demos')
 EXAMPLE_DIR = os.path.join(REPO_ROOT, 'examples')
 
-DEMO_NAMES = ['1-D Synthetic Signals', '2-D Synthetic Signals', 'Test Image']
+DEMO_NAMES = ['1-D Synthetic Signals', '2-D Synthetic Signals', 'Test Image',
+              'Image Inpainting (masked fit)', 'Hyperparameter Sweep (vmapped)']
 
 
 def list_examples():
@@ -56,6 +57,24 @@ def cmd_example(args) -> int:
     return subprocess.call([sys.executable, os.path.join(EXAMPLE_DIR, args.name + '.py')])
 
 
+def cmd_export(args) -> int:
+    from .models.tnmf import TransformInvariantNMF
+    model = TransformInvariantNMF.load(args.checkpoint)
+    kwargs = {}
+    if args.sample_shape:
+        kwargs['sample_shape'] = tuple(args.sample_shape)
+    try:
+        model.export_serving(
+            path=args.output, n_iterations=args.iterations,
+            sparsity_H=args.sparsity, include_decoder=args.decoder,
+            **kwargs)
+    except (RuntimeError, ValueError) as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    print(f'wrote {args.output}')
+    return 0
+
+
 def cmd_bench(args) -> int:
     cmd = [sys.executable, os.path.join(REPO_ROOT, 'bench.py')]
     if args.all:
@@ -79,6 +98,21 @@ def main(argv=None) -> int:
     p_ex = sub.add_parser('example', help='run a bundled example script')
     p_ex.add_argument('name', help=f'one of: {", ".join(list_examples())}')
     p_ex.set_defaults(func=cmd_example)
+
+    p_exp = sub.add_parser(
+        'export', help='serialize a checkpoint into a serving artifact '
+        '(StableHLO; see tnmf_tpu.serving)')
+    p_exp.add_argument('checkpoint', help='.npz checkpoint from model.save()')
+    p_exp.add_argument('output', help='artifact path to write')
+    p_exp.add_argument('--iterations', type=int, default=100,
+                       help='default MU refinement count baked in the header')
+    p_exp.add_argument('--sparsity', type=float, default=0.,
+                       help='sparsity_H strength baked into the program')
+    p_exp.add_argument('--decoder', action='store_true',
+                       help='also ship inverse_transform (full codec)')
+    p_exp.add_argument('--sample-shape', type=int, nargs='+', default=None,
+                       help='sample geometry for W-only checkpoints')
+    p_exp.set_defaults(func=cmd_export)
 
     p_bench = sub.add_parser('bench', help='run the benchmark harness')
     p_bench.add_argument('--all', action='store_true',

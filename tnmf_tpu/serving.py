@@ -20,9 +20,15 @@ constants (they select which fused kernels exist in the program).
 Reference role: the serving half of ``transform()`` — the reference has no
 counterpart (its models can only be pickled together with the library).
 
+With ``include_decoder=True`` the file also carries the reconstruction
+``H -> R`` as a second exported function — a complete codec in one
+artifact (encode new data, impute/reconstruct from activations).
+
 File format: ``b'TNMFSRV1' + <u32 header length> + <JSON header> +
-<jax.export payload>``.  The header carries the metadata needed to call
-the artifact (shapes, dtypes, defaults) and provenance for humans.
+<concatenated jax.export payloads>`` (the header's ``sections`` dict
+gives each payload's name and byte length, in file order).  The header
+also carries the metadata needed to call the artifact (shapes, dtypes,
+defaults) and provenance for humans.
 """
 
 from __future__ import annotations
@@ -31,7 +37,7 @@ import json
 import os
 import struct
 import tempfile
-from typing import Optional, Sequence, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -46,7 +52,9 @@ def export_serving(model, *,
                    batch_size: Optional[int] = None,
                    path: Optional[str] = None,
                    platforms: Optional[Sequence[str]] = None,
-                   input_dtype=None) -> bytes:
+                   input_dtype=None,
+                   include_decoder: bool = False,
+                   sample_shape: Optional[Tuple[int, ...]] = None) -> bytes:
     """Serialize ``model``'s encoding step to a self-contained artifact.
 
     Parameters
@@ -73,6 +81,15 @@ def export_serving(model, *,
         Input array dtype the artifact accepts (cast to the model's
         compute dtype inside).  Default: the model dtype, or float32 for
         bfloat16 models (bf16 host arrays are awkward to produce).
+    include_decoder : bool
+        Also export the reconstruction ``H -> R`` as a second function in
+        the same file — the loaded artifact then exposes
+        ``inverse_transform`` and is a complete codec (encode new data,
+        impute/reconstruct from activations) with no model state anywhere.
+    sample_shape : tuple of int, optional
+        Export for this sample geometry instead of the last fit's —
+        required when the model only carries a dictionary (a W-only
+        checkpoint or ``set_dictionary``) and no plan yet.
 
     Returns the artifact bytes.
     """
@@ -83,11 +100,15 @@ def export_serving(model, *,
 
     from . import engine
 
-    if getattr(model, '_W', None) is None or getattr(model, '_plan', None) is None:
+    if getattr(model, '_W', None) is None:
         raise RuntimeError(
-            'export_serving() requires a fitted model (or one restored via '
-            'load()/set_dictionary() + a fit/transform that established the '
-            'sample geometry); call fit() first')
+            'export_serving() requires a fitted model, a loaded checkpoint '
+            'or set_dictionary(); call fit() first')
+    if getattr(model, '_plan', None) is None and sample_shape is None:
+        raise RuntimeError(
+            'export_serving(): the model has a dictionary but no sample '
+            'geometry yet (W-only checkpoint / set_dictionary); pass '
+            'sample_shape=... or run one fit/transform first')
     if getattr(model, '_mesh', None) is not None:
         raise ValueError(
             'export_serving() produces a single-device artifact; export '
@@ -96,9 +117,26 @@ def export_serving(model, *,
     assert sparsity_H >= 0 and inhibition_strength >= 0
     assert cross_atom_inhibition_strength >= 0
 
+    from .ops.modes import ConvPlan
+
     W = jnp.asarray(model._W)
-    plan = model._plan
-    strategy = model._strategy
+    if sample_shape is not None:
+        # derive plan/strategy for the requested geometry (same resolution
+        # chain as _initialize_matrices, models/tnmf.py)
+        plan = ConvPlan.create(model._reconstruction_mode,
+                               tuple(int(s) for s in sample_shape),
+                               model.atom_shape, model._fft_policy,
+                               precision=model._precision)
+        strategy = model._strategy_request
+        if strategy == 'auto':
+            strategy = engine.choose_strategy(plan, model.n_atoms, W.shape[1])
+        strategy = engine.resolve_strategy(
+            strategy, plan, model.n_atoms * model.n_transforms, W.shape[1])
+        if model._group is not None:
+            strategy = (strategy, model._group)
+    else:
+        plan = model._plan
+        strategy = model._strategy
     beta = model._beta
     n_atoms = model.n_atoms
     n_transforms = model.n_transforms
@@ -145,17 +183,31 @@ def export_serving(model, *,
         (b,) = jax_export.symbolic_shape('b')
     else:
         b = int(batch_size)
+    plats = list(platforms) if platforms is not None else None
     v_spec = jax.ShapeDtypeStruct((b, W.shape[1]) + plan.sample_shape,
                                   in_dtype)
     n_spec = jax.ShapeDtypeStruct((), jnp.int32)
-    exported = jax_export.export(
-        jax.jit(serve),
-        platforms=list(platforms) if platforms is not None else None,
-    )(v_spec, n_spec)
+    exported = jax_export.export(jax.jit(serve), platforms=plats)(v_spec, n_spec)
+    payloads = {'transform': exported.serialize()}
 
     h_shape = ((n_atoms, n_transforms) if n_transforms > 1 else (n_atoms,))
+    if include_decoder:
+        def decode(H):
+            if n_transforms > 1:
+                H = H.reshape((H.shape[0], n_atoms * n_transforms)
+                              + H.shape[3:])
+            R = engine.reconstruct(W, H.astype(W.dtype),
+                                   plan=plan, strategy=strategy)
+            return R.astype(in_dtype)
+
+        bd = b if batch_size is not None else jax_export.symbolic_shape('b')[0]
+        h_spec = jax.ShapeDtypeStruct(
+            (bd,) + h_shape + plan.transform_shape, in_dtype)
+        payloads['inverse_transform'] = jax_export.export(
+            jax.jit(decode), platforms=plats)(h_spec).serialize()
     header = {
         'format': 1,
+        'sections': {k: len(v) for k, v in payloads.items()},
         'library': 'tnmf_tpu',
         'n_iterations': int(n_iterations),
         'input_shape': ['b' if batch_size is None else int(batch_size),
@@ -173,7 +225,8 @@ def export_serving(model, *,
         'beta_loss': float(beta),
     }
     head = json.dumps(header).encode('utf-8')
-    blob = _MAGIC + struct.pack('<I', len(head)) + head + exported.serialize()
+    blob = (_MAGIC + struct.pack('<I', len(head)) + head
+            + b''.join(payloads.values()))
     if path is not None:
         d = os.path.dirname(os.path.abspath(path))
         fd, tmp = tempfile.mkstemp(dir=d, suffix='.tmp')
@@ -192,8 +245,9 @@ class ServingModel:
     """A loaded serving artifact: ``transform(V)`` encodes against the
     baked-in dictionary.  Construct via :func:`load_serving`."""
 
-    def __init__(self, exported, header: dict):
+    def __init__(self, exported, header: dict, decoder=None):
         self._exported = exported
+        self._decoder = decoder
         self.header = header
 
     @property
@@ -224,6 +278,18 @@ class ServingModel:
 
     __call__ = transform
 
+    def inverse_transform(self, H) -> np.ndarray:
+        """Reconstruction from activations (present when the artifact was
+        exported with ``include_decoder=True``)."""
+        import jax.numpy as jnp
+
+        if self._decoder is None:
+            raise RuntimeError(
+                'this artifact has no decoder section; export with '
+                'include_decoder=True to serve inverse_transform')
+        H = jnp.asarray(np.asarray(H), jnp.dtype(self.header['input_dtype']))
+        return np.asarray(self._decoder.call(H))
+
 
 def load_serving(src: Union[str, bytes, os.PathLike]) -> ServingModel:
     """Load a serving artifact written by :func:`export_serving` from a
@@ -241,5 +307,11 @@ def load_serving(src: Union[str, bytes, os.PathLike]) -> ServingModel:
     (hlen,) = struct.unpack('<I', blob[off:off + 4])
     off += 4
     header = json.loads(blob[off:off + hlen].decode('utf-8'))
-    exported = jax_export.deserialize(bytearray(blob[off + hlen:]))
-    return ServingModel(exported, header)
+    off += hlen
+    sections = {}
+    for name, length in header['sections'].items():
+        sections[name] = jax_export.deserialize(
+            bytearray(blob[off:off + length]))
+        off += length
+    return ServingModel(sections['transform'], header,
+                        decoder=sections.get('inverse_transform'))
