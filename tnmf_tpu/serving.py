@@ -307,6 +307,10 @@ def load_serving(src: Union[str, bytes, os.PathLike]) -> ServingModel:
     (hlen,) = struct.unpack('<I', blob[off:off + 4])
     off += 4
     header = json.loads(blob[off:off + hlen].decode('utf-8'))
+    if header.get('format', 0) > 1:
+        raise ValueError(
+            f"artifact format {header['format']} is newer than this "
+            'library understands; upgrade tnmf_tpu')
     off += hlen
     sections = {}
     for name, length in header['sections'].items():
