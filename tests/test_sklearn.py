@@ -108,3 +108,27 @@ def test_grid_search_over_constructor_params():
     gs.fit(V, n_iterations=3)
     assert gs.best_params_['n_atoms'] in (2, 4)
     assert hasattr(gs.best_estimator_, 'W')
+
+
+def test_reconstruction_err_matches_sklearn_definition():
+    """``reconstruction_err_`` is sklearn's ``_beta_divergence(...,
+    square_root=True)`` of the fitted data vs its reconstruction, for every
+    beta; ``n_iter_`` aliases ``n_iterations_``."""
+    from sklearn.decomposition._nmf import _beta_divergence
+    V = _make_V()
+    for beta in (2.0, 1.0):
+        m = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), seed=0,
+                                  beta_loss=beta)
+        m.fit(V, n_iterations=4)
+        X = V.reshape(V.shape[0], -1)
+        R = m.R.reshape(V.shape[0], -1)
+        # identity factorization of the same residual: W = X-sized
+        # reconstruction, H = identity -> the divergence of (X, R)
+        want = _beta_divergence(X, R, np.eye(R.shape[1]), beta,
+                                square_root=True)
+        np.testing.assert_allclose(m.reconstruction_err_, want, rtol=1e-6)
+        assert m.n_iter_ == m.n_iterations_ == 4
+
+    fresh = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    with pytest.raises(RuntimeError, match='fitted'):
+        fresh.reconstruction_err_

@@ -344,6 +344,24 @@ class TransformInvariantNMF:
     # ------------------------------------------------------------------
 
     @property
+    def n_iter_(self) -> Optional[int]:
+        """sklearn-style alias of ``n_iterations_`` (iterations the last
+        fit actually ran — relevant under ``tol`` / callback abort)."""
+        return self.n_iterations_
+
+    @property
+    def reconstruction_err_(self) -> float:
+        """sklearn ``NMF``-compatible reconstruction error of the last fit:
+        ``sqrt(2 * D_beta(V || R))`` for every beta (exactly
+        ``sklearn.decomposition._nmf._beta_divergence(..., square_root=True)``;
+        for the Frobenius case this is ‖V−R‖_F since the internal objective
+        is ½‖V−R‖², ``_Backend.py:127-130``).  Computed lazily (one
+        reconstruction) on first access after a fit."""
+        if self._plan is None:
+            raise RuntimeError('reconstruction_err_ requires a fitted model')
+        return float(np.sqrt(max(2.0 * self._energy_function(), 0.0)))
+
+    @property
     def W(self) -> np.ndarray:
         return np.asarray(self._W)
 
