@@ -186,6 +186,51 @@ def test_multi_platform_artifact():
                                rtol=1e-6, atol=1e-9)
 
 
+def test_multiscale_correlate_init_and_export():
+    """MultiScaleTNMF h_init='correlate' (per-scale matched filter): the
+    serving path becomes deterministic, and the exported artifact matches
+    model.transform exactly — per-scale activation tuple, decoder, and
+    symbolic batch."""
+    from tnmf_tpu import MultiScaleTNMF
+    m = MultiScaleTNMF(n_atoms=(2, 2), atom_shapes=((3,), (7,)), seed=0,
+                       h_init='correlate')
+    V = np.abs(_data(n=3, shape=(24,), seed=0))
+    m.fit(V, n_iterations=4, sparsity_H=(0.1, 0.0))
+    e0 = m._energy_function()
+    m.fit(V, n_iterations=12, sparsity_H=(0.1, 0.0))
+    assert m._energy_function() < e0  # more iterations keep descending
+
+    served = load_serving(m.export_serving(n_iterations=3,
+                                           sparsity_H=(0.1, 0.0),
+                                           include_decoder=True))
+    assert served.header['multiscale'] == 2
+    for n in (2, 5):
+        V_new = _data(n=n, shape=(24,), seed=n)
+        H_art = served(V_new)
+        H_ref = m.transform(V_new, n_iterations=3, sparsity_H=(0.1, 0.0))
+        assert isinstance(H_art, tuple) and len(H_art) == 2
+        for a, r in zip(H_art, H_ref):
+            np.testing.assert_allclose(a, r, rtol=1e-6, atol=1e-9)
+        # decoder = the summed reconstruction of the model's own state
+        np.testing.assert_allclose(served.inverse_transform(H_art),
+                                   m.inverse_transform(),
+                                   rtol=1e-6, atol=1e-9)
+
+
+def test_multiscale_correlate_determinism():
+    from tnmf_tpu import MultiScaleTNMF
+    V = _data(n=2, shape=(16, 12), seed=3)
+    outs = []
+    for _ in range(2):
+        m = MultiScaleTNMF(n_atoms=(2,), atom_shapes=((3, 3),), seed=5,
+                           h_init='correlate')
+        m.fit(V, n_iterations=3)
+        outs.append(m.H[0])
+    np.testing.assert_array_equal(outs[0], outs[1])
+    with pytest.raises(ValueError, match='h_init'):
+        MultiScaleTNMF(n_atoms=(2,), atom_shapes=((3, 3),), h_init='bogus')
+
+
 def test_export_from_w_only_checkpoint(tmp_path):
     """A saved dictionary (no H, hence no restored plan) exports once the
     sample geometry is named — the deployment path from a trained

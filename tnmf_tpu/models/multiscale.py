@@ -254,14 +254,16 @@ class MultiScaleTNMF:
                  precision: Optional[str] = None,
                  mesh=None,
                  logger: Optional[logging.Logger] = None,
-                 w_init: str = 'random'):
+                 w_init: str = 'random',
+                 h_init: str = 'random'):
         # raw ctor args for the sklearn estimator protocol (get_params /
         # set_params / clone), captured before any processing
         self._init_params = dict(
             n_atoms=n_atoms, atom_shapes=atom_shapes,
             reconstruction_mode=reconstruction_mode, backend=backend,
             dtype=dtype, seed=seed, verbose=verbose, beta_loss=beta_loss,
-            precision=precision, mesh=mesh, logger=logger, w_init=w_init)
+            precision=precision, mesh=mesh, logger=logger, w_init=w_init,
+            h_init=h_init)
         if len(n_atoms) != len(atom_shapes) or not n_atoms:
             raise ValueError('n_atoms and atom_shapes must be equal-length, '
                              'non-empty tuples (one entry per scale)')
@@ -282,6 +284,10 @@ class MultiScaleTNMF:
                 f"(got {w_init!r}; 'nndsvd' needs the plain-NMF geometry, "
                 "which is single-scale by construction)")
         self._w_init = w_init
+        if h_init not in ('random', 'correlate'):
+            raise ValueError(
+                f"h_init must be 'random' or 'correlate', got {h_init!r}")
+        self._h_init = h_init
         self._mesh = mesh
         self._rng = np.random.default_rng(seed) if seed is not None else np.random
         self._logger = logger if logger is not None else logging.getLogger(self.__class__.__name__)
@@ -355,10 +361,16 @@ class MultiScaleTNMF:
             dtype = jnp.dtype(np.float32)
 
         # host init, reference distribution (1 - U[0,1)); all H banks first
-        # (scale order), then all W banks — one documented stream order
-        Hs = tuple(np.asarray(1 - self._rng.random(
-            (V.shape[0], m) + p.transform_shape), dtype=V.dtype)
-            for m, p in zip(self.n_atoms, self._plans))
+        # (scale order), then all W banks — one documented stream order.
+        # h_init='correlate' skips the host H draw entirely (per-scale
+        # matched filter, computed on device after the prepared tensors
+        # exist below) — deterministic, like the single-scale model's.
+        if self._h_init == 'correlate':
+            Hs = None
+        else:
+            Hs = tuple(np.asarray(1 - self._rng.random(
+                (V.shape[0], m) + p.transform_shape), dtype=V.dtype)
+                for m, p in zip(self.n_atoms, self._plans))
         if keep_W and self._Ws is not None:
             Ws = tuple(np.asarray(w) for w in self._Ws)
         else:
@@ -378,7 +390,8 @@ class MultiScaleTNMF:
 
         self._Vd = jnp.asarray(V, dtype=dtype)
         self._Ws = tuple(jnp.asarray(w, dtype=dtype) for w in Ws)
-        self._Hs = tuple(jnp.asarray(h, dtype=dtype) for h in Hs)
+        self._Hs = (None if Hs is None
+                    else tuple(jnp.asarray(h, dtype=dtype) for h in Hs))
         if self._mesh is not None:
             from ..parallel.sharding import data_sharding, replicated
             if V.shape[0] % self._mesh.devices.size:
@@ -389,8 +402,9 @@ class MultiScaleTNMF:
             self._Vd = jax.device_put(
                 self._Vd, data_sharding(self._mesh, self._Vd.ndim))
             self._Ws = tuple(jax.device_put(w, rep) for w in self._Ws)
-            self._Hs = tuple(jax.device_put(
-                h, data_sharding(self._mesh, h.ndim)) for h in self._Hs)
+            if self._Hs is not None:
+                self._Hs = tuple(jax.device_put(
+                    h, data_sharding(self._mesh, h.ndim)) for h in self._Hs)
 
         if mask is not None:
             mask = np.asarray(mask)
@@ -418,6 +432,18 @@ class MultiScaleTNMF:
             self._Vps = tuple(
                 engine.prepare_data(Vm, plan=p, strategy=s)
                 for p, s in zip(self._plans, self._strategies))
+        if self._Hs is None:
+            # per-scale matched-filter start (engine.correlate_init_H):
+            # deterministic, on device; with a mask the prepared tensor
+            # already carries prepare(mask*V) — the right matched filter for
+            # the masked objective; for beta != 2 prepare the canonical V
+            self._Hs = tuple(
+                engine.correlate_init_H(
+                    (engine.prepare_data(self._Vd, plan=p, strategy=s)
+                     if self._beta != 2.0 else vp),
+                    self._Vd, w, plan=p, strategy=s, n_atoms=w.shape[0])
+                for vp, w, p, s in zip(self._Vps, self._Ws, self._plans,
+                                       self._strategies))
 
     def get_params(self, deep: bool = True) -> dict:
         """Constructor parameters, unmodified (sklearn estimator API)."""
@@ -723,6 +749,15 @@ class MultiScaleTNMF:
 
     def inverse_transform(self) -> np.ndarray:
         return self.R
+
+    def export_serving(self, path: Optional[str] = None, **kwargs) -> bytes:
+        """Serialize the multi-scale encoding step (per-scale matched-filter
+        init + joint frozen-dictionary block MU updates) as one
+        self-contained StableHLO artifact; the loaded artifact's
+        ``transform`` returns the per-scale activation tuple.  See
+        :func:`tnmf_tpu.serving.export_serving`."""
+        from ..serving import export_serving
+        return export_serving(self, path=path, **kwargs)
 
     # -- checkpointing ---------------------------------------------------
 

@@ -100,6 +100,14 @@ def export_serving(model, *,
 
     from . import engine
 
+    if hasattr(model, 'atom_shapes'):  # MultiScaleTNMF
+        return _export_serving_multiscale(
+            model, n_iterations=n_iterations, sparsity_H=sparsity_H,
+            inhibition_strength=inhibition_strength,
+            cross_atom_inhibition_strength=cross_atom_inhibition_strength,
+            batch_size=batch_size, path=path, platforms=platforms,
+            input_dtype=input_dtype, include_decoder=include_decoder,
+            sample_shape=sample_shape)
     if getattr(model, '_W', None) is None:
         raise RuntimeError(
             'export_serving() requires a fitted model, a loaded checkpoint '
@@ -224,6 +232,12 @@ def export_serving(model, *,
         'cross_atom_inhibition_strength': float(cross_atom_inhibition_strength),
         'beta_loss': float(beta),
     }
+    return _assemble(header, payloads, path)
+
+
+def _assemble(header: dict, payloads: dict, path: Optional[str]) -> bytes:
+    """Magic + length-prefixed JSON header + concatenated payloads; atomic
+    file write when ``path`` is given."""
     head = json.dumps(header).encode('utf-8')
     blob = (_MAGIC + struct.pack('<I', len(head)) + head
             + b''.join(payloads.values()))
@@ -239,6 +253,125 @@ def export_serving(model, *,
                 os.unlink(tmp)
             raise
     return blob
+
+
+def _export_serving_multiscale(model, *, n_iterations, sparsity_H,
+                               inhibition_strength,
+                               cross_atom_inhibition_strength,
+                               batch_size, path, platforms, input_dtype,
+                               include_decoder, sample_shape) -> bytes:
+    """Multi-scale artifact: one exported function encoding V into the
+    per-scale activation tuple (joint frozen-dictionary block MU updates),
+    optionally plus the summed reconstruction as decoder."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+    from jax import lax
+
+    from . import engine
+    from .models import multiscale as ms
+    from .ops.modes import ConvPlan
+
+    if getattr(model, '_Ws', None) is None:
+        raise RuntimeError(
+            'export_serving() requires a fitted model or a loaded '
+            'checkpoint; call fit() first')
+    if getattr(model, '_plans', None) is None and sample_shape is None:
+        raise RuntimeError(
+            'export_serving(): the model has dictionaries but no sample '
+            'geometry yet; pass sample_shape=... or run one fit first')
+    if getattr(model, '_mesh', None) is not None:
+        raise ValueError('export_serving() produces a single-device '
+                         'artifact; export from a mesh-free model')
+    if inhibition_strength or cross_atom_inhibition_strength:
+        raise ValueError('MultiScaleTNMF has no lateral-inhibition '
+                         'regularizers; only sparsity_H applies')
+
+    Ws = tuple(jnp.asarray(w) for w in model._Ws)
+    dt = Ws[0].dtype
+    beta = model._beta
+    if sample_shape is not None:
+        sshape = tuple(int(s) for s in sample_shape)
+        plans = tuple(ConvPlan.create(model._mode, sshape, a,
+                                      precision=model._precision)
+                      for a in model.atom_shapes)
+        strategies = tuple(engine.choose_strategy(p, m, int(Ws[0].shape[1]))
+                           for p, m in zip(plans, model.n_atoms))
+    else:
+        plans, strategies = model._plans, model._strategies
+    if np.isscalar(sparsity_H):
+        sparsity_H = (float(sparsity_H),) * model.n_scales
+    sparsity_H = tuple(float(s) for s in sparsity_H)
+    assert len(sparsity_H) == model.n_scales and min(sparsity_H) >= 0
+    sp = tuple(jnp.asarray(s, dt) for s in sparsity_H)
+
+    def serve(V, n_iters):
+        V = V.astype(dt)
+        Vps = tuple(engine.prepare_data(V, plan=p, strategy=s)
+                    for p, s in zip(plans, strategies))
+        Hs0 = tuple(
+            engine.correlate_init_H(
+                (engine.prepare_data(V, plan=p, strategy=s)
+                 if beta != 2.0 else vp),
+                V, w, plan=p, strategy=s, n_atoms=w.shape[0])
+            for vp, w, p, s in zip(Vps, Ws, plans, strategies))
+        Vloop = (V,) * model.n_scales if beta != 2.0 else Vps
+
+        def body(_, Hs):
+            return ms._step(V, Vloop, Ws, Hs, sp, None, plans=plans,
+                            strategies=strategies, update_H=True,
+                            update_W=False, beta=beta)[1]
+
+        return lax.fori_loop(0, n_iters, body, Hs0)
+
+    if input_dtype is not None:
+        in_dtype = jnp.dtype(input_dtype)
+    elif dt == jnp.bfloat16:
+        in_dtype = jnp.dtype(jnp.float32)
+    else:
+        in_dtype = dt
+    if batch_size is None:
+        (b,) = jax_export.symbolic_shape('b')
+    else:
+        b = int(batch_size)
+    plats = list(platforms) if platforms is not None else None
+    n_ch = int(Ws[0].shape[1])
+    v_spec = jax.ShapeDtypeStruct((b, n_ch) + plans[0].sample_shape, in_dtype)
+    n_spec = jax.ShapeDtypeStruct((), jnp.int32)
+    exported = jax_export.export(jax.jit(serve), platforms=plats)(v_spec, n_spec)
+    payloads = {'transform': exported.serialize()}
+
+    if include_decoder:
+        def decode(Hs):
+            R = ms._reconstruct(Ws, tuple(h.astype(dt) for h in Hs),
+                                plans, strategies)
+            return R.astype(in_dtype)
+
+        bd = b if batch_size is not None else jax_export.symbolic_shape('b')[0]
+        h_specs = tuple(
+            jax.ShapeDtypeStruct((bd, m) + p.transform_shape, in_dtype)
+            for m, p in zip(model.n_atoms, plans))
+        payloads['inverse_transform'] = jax_export.export(
+            jax.jit(decode), platforms=plats)(h_specs).serialize()
+
+    header = {
+        'format': 1,
+        'sections': {k: len(v) for k, v in payloads.items()},
+        'library': 'tnmf_tpu',
+        'multiscale': int(model.n_scales),
+        'n_iterations': int(n_iterations),
+        'input_shape': ['b' if batch_size is None else int(batch_size),
+                        n_ch] + [int(x) for x in plans[0].sample_shape],
+        'input_dtype': np.dtype(in_dtype).name,
+        'n_atoms': [int(m) for m in model.n_atoms],
+        'n_transforms': 1,
+        'mode': plans[0].mode,
+        'atom_shape': [[int(x) for x in a] for a in model.atom_shapes],
+        'platforms': list(exported.platforms),
+        'sparsity_H': list(sparsity_H),
+        'beta_loss': float(beta),
+    }
+    return _assemble(header, payloads, path)
 
 
 class ServingModel:
@@ -258,10 +391,11 @@ class ServingModel:
     def platforms(self):
         return tuple(self.header['platforms'])
 
-    def transform(self, V, n_iterations: Optional[int] = None) -> np.ndarray:
+    def transform(self, V, n_iterations: Optional[int] = None):
         """Infer activations for ``V`` (``(n, channels, *sample_shape)``)
         with ``n_iterations`` MU refinement steps (default: the count
-        recorded at export time)."""
+        recorded at export time).  Multi-scale artifacts return the
+        per-scale activation tuple."""
         import jax.numpy as jnp
 
         n = self.header['n_iterations'] if n_iterations is None else n_iterations
@@ -274,20 +408,27 @@ class ServingModel:
                 f'input shape {tuple(V.shape)} does not match the '
                 f'artifact signature {tuple(exp_shape)}')
         H = self._exported.call(V, jnp.asarray(n, jnp.int32))
+        if isinstance(H, (tuple, list)):  # multi-scale: per-scale tuple
+            return tuple(np.asarray(h) for h in H)
         return np.asarray(H)
 
     __call__ = transform
 
     def inverse_transform(self, H) -> np.ndarray:
         """Reconstruction from activations (present when the artifact was
-        exported with ``include_decoder=True``)."""
+        exported with ``include_decoder=True``).  Multi-scale artifacts
+        take the per-scale activation tuple."""
         import jax.numpy as jnp
 
         if self._decoder is None:
             raise RuntimeError(
                 'this artifact has no decoder section; export with '
                 'include_decoder=True to serve inverse_transform')
-        H = jnp.asarray(np.asarray(H), jnp.dtype(self.header['input_dtype']))
+        in_dt = jnp.dtype(self.header['input_dtype'])
+        if 'multiscale' in self.header:
+            Hs = tuple(jnp.asarray(np.asarray(h), in_dt) for h in H)
+            return np.asarray(self._decoder.call(Hs))
+        H = jnp.asarray(np.asarray(H), in_dt)
         return np.asarray(self._decoder.call(H))
 
 
