@@ -112,3 +112,25 @@ def test_guards():
     m = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 3))
     with pytest.raises(ValueError, match='V_shape'):
         estimate_fit_memory(m, (4, 8))
+
+
+def test_budget_from_runtime_memory_stats(monkeypatch):
+    import jax
+
+    m = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 3), dtype='float32')
+
+    class FakeDev:
+        def memory_stats(self):
+            return {'bytes_limit': 64 * 2 ** 20}
+
+    monkeypatch.setattr(jax, 'local_devices', lambda: [FakeDev()])
+    n = suggest_batch_size(m, (32, 32), n_channels=1, safety=1.0)
+    assert estimate_fit_memory(m, (n, 1, 32, 32)).peak_bytes <= 64 * 2 ** 20
+
+    class NoStatsDev:
+        def memory_stats(self):
+            return None
+
+    monkeypatch.setattr(jax, 'local_devices', lambda: [NoStatsDev()])
+    with pytest.raises(ValueError, match='memory limit'):
+        suggest_batch_size(m, (32, 32))

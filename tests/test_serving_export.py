@@ -271,6 +271,58 @@ def test_cli_export(tmp_path):
     assert np.isfinite(served.inverse_transform(H)).all()
 
 
+def test_input_dtype_and_bf16_default():
+    m = _fitted()
+    served = load_serving(m.export_serving(n_iterations=2,
+                                           input_dtype='float64'))
+    assert served.header['input_dtype'] == 'float64'
+    V = _data(n=2, seed=31).astype(np.float64)
+    np.testing.assert_allclose(served(V), m.transform(V, n_iterations=2),
+                               rtol=1e-6, atol=1e-9)
+    # bf16 + h_init='correlate' + conv strategy: regression for the dtype
+    # mismatch inside correlate_init_H's scale reconstruction (the f32
+    # gradient met the bf16 kernel; surfaced by this export path)
+    for backend in ('jax_conv', 'jax_fft'):
+        mb = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), seed=0,
+                                   h_init='correlate', dtype='bfloat16',
+                                   backend=backend)
+        mb.fit(_data(), n_iterations=2)
+        sb = load_serving(mb.export_serving(n_iterations=2))
+        assert sb.header['input_dtype'] == 'float32'  # bf16 host arrays awkward
+        assert np.isfinite(sb(_data(n=1, seed=33))).all()
+
+
+def test_group_with_sample_shape_export():
+    m = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), seed=0,
+                              h_init='correlate', transform_type='shift+flip')
+    m.fit(_data(), n_iterations=2)
+    served = load_serving(m.export_serving(sample_shape=(12, 10),
+                                           n_iterations=2))
+    V = _data(n=2, seed=35)
+    np.testing.assert_allclose(served(V), m.transform(V, n_iterations=2),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_multiscale_export_edges():
+    from tnmf_tpu import MultiScaleTNMF
+    with pytest.raises(RuntimeError, match='fitted'):
+        export_serving(MultiScaleTNMF(n_atoms=(2,), atom_shapes=((3,),)))
+    V = np.abs(_data(n=2, shape=(20,), seed=0)) + 0.1
+    m = MultiScaleTNMF(n_atoms=(2, 2), atom_shapes=((3,), (5,)), seed=0,
+                       h_init='correlate', beta_loss=1.0)
+    m.fit(V, n_iterations=3)
+    with pytest.raises(ValueError, match='inhibition'):
+        m.export_serving(inhibition_strength=0.5)
+    # scalar sparsity + fixed batch + explicit geometry + beta != 2
+    served = load_serving(m.export_serving(
+        n_iterations=3, sparsity_H=0.1, batch_size=2, sample_shape=(20,)))
+    V_new = np.abs(_data(n=2, shape=(20,), seed=7)) + 0.1
+    H_art = served(V_new)
+    H_ref = m.transform(V_new, n_iterations=3, sparsity_H=0.1)
+    for a, r in zip(H_art, H_ref):
+        np.testing.assert_allclose(a, r, rtol=1e-6, atol=1e-9)
+
+
 def test_guards():
     with pytest.raises(RuntimeError, match='fitted'):
         export_serving(TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3)))

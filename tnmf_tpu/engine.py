@@ -249,7 +249,10 @@ def correlate_init_H(Vp, Vd, W, *, plan: ConvPlan, strategy, n_atoms: int):
     """
     ops = get_ops(strategy)
     neg, _ = ops.grad_H_pair(Vp, jnp.zeros_like(Vd), W, plan)
-    R0 = ops.reconstruct(W, neg, plan)
+    # conv/fft return f32 gradients under bf16 storage; the scale
+    # reconstruction needs matching operand dtypes (bug surfaced by the
+    # bf16 serving export: bf16 + conv + h_init='correlate' crashed)
+    R0 = ops.reconstruct(W, neg.astype(W.dtype), plan)
     acc = jnp.promote_types(Vd.dtype, jnp.float32)
     num = jnp.sum(Vd.astype(acc) * R0.astype(acc))
     den = jnp.maximum(jnp.sum(R0.astype(acc) ** 2),
