@@ -206,3 +206,30 @@ def test_checkpoint_kwarg_validation(tmp_path):
     with pytest.raises(ValueError, match='keep_H'):
         V2 = np.random.default_rng(8).random((4, 1, 8, 8)).astype(np.float32)
         nmf.fit(V2, n_iterations=1, keep_W=True, keep_H=True)
+
+
+def test_save_sharded_async(tmp_path):
+    """block=False overlaps the tensorstore write with further compute;
+    wait_for_checkpoints (or the next save) drains it.  State mutated
+    right after the call must not leak into the staged snapshot."""
+    V = np.random.default_rng(0).random((4, 1, 8, 8))
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), seed=0)
+    nmf.fit(V, n_iterations=2)
+    W0, H0 = nmf.W.copy(), np.asarray(nmf._H).copy()
+
+    p1 = str(tmp_path / 'async_ckpt')
+    nmf.save_sharded(p1, block=False)
+    nmf.fit(V, n_iterations=3, keep_W=True)  # mutate state while writing
+    nmf.wait_for_checkpoints()
+    nmf.wait_for_checkpoints()  # idempotent no-op
+
+    restored = TransformInvariantNMF.load_sharded(p1)
+    np.testing.assert_array_equal(np.asarray(restored._W), W0)
+    np.testing.assert_array_equal(np.asarray(restored._H), H0)
+
+    # a second async save drains the first implicitly
+    p2 = str(tmp_path / 'async_ckpt_2')
+    nmf.save_sharded(p2, block=False)
+    nmf.save_sharded(str(tmp_path / 'async_ckpt_3'))
+    np.testing.assert_array_equal(
+        np.asarray(TransformInvariantNMF.load_sharded(p2)._W), nmf.W)

@@ -334,3 +334,12 @@ def test_guards():
     m.fit(_data(n=8), n_iterations=2)
     with pytest.raises(ValueError, match='single-device'):
         m.export_serving()
+
+
+def test_warmup_populates_compile_cache():
+    m = _fitted()
+    served = load_serving(m.export_serving(n_iterations=2))
+    assert served.warmup(batch_sizes=(1, 3)) is served
+    V = _data(n=3, seed=41)
+    np.testing.assert_allclose(served(V), m.transform(V, n_iterations=2),
+                               rtol=1e-6, atol=1e-9)

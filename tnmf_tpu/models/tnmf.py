@@ -1617,7 +1617,8 @@ class TransformInvariantNMF:
     # where H may exceed any single host's memory
     # ------------------------------------------------------------------
 
-    def save_sharded(self, path: str, include_H: bool = True):
+    def save_sharded(self, path: str, include_H: bool = True,
+                     block: bool = True):
         """Distributed checkpoint: every device/host writes its own shards
         of W and H (orbax/tensorstore), preserving their shardings — no
         host-side gather, so it works for mesh-sharded and process-spanning
@@ -1625,19 +1626,30 @@ class TransformInvariantNMF:
 
         ``path`` must be a fresh directory path (absolute paths are
         normalized here). Restore with :meth:`load_sharded`.
+
+        ``block=False`` makes the write **asynchronous**: orbax stages the
+        device state synchronously (mutating W/H afterwards is safe) and
+        the disk/tensorstore write overlaps further compute — the
+        production pattern for periodic checkpoints of large fits.  Call
+        :meth:`wait_for_checkpoints` (or the next ``save_sharded``, which
+        drains the previous write first) before reading the directory.
         """
         import json
         import orbax.checkpoint as ocp
 
         if self._W is None:
             raise ValueError('nothing to save: the model has not been fit yet')
+        self.wait_for_checkpoints()  # one in-flight async write at a time
         path = os.path.abspath(path)
         state = {'W': self._W}
         if include_H and self._H is not None:
             state['H'] = self._H
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.join(path, 'state'), state)
-        ckptr.wait_until_finished()
+        if block:
+            ckptr.wait_until_finished()
+        else:
+            self._async_checkpointer = ckptr
         meta = dict(
             n_atoms=self.n_atoms,
             atom_shape=list(self.atom_shape),
@@ -1652,6 +1664,14 @@ class TransformInvariantNMF:
         if jax.process_index() == 0:
             with open(os.path.join(path, 'tnmf_config.json'), 'w') as f:
                 json.dump(meta, f)
+
+    def wait_for_checkpoints(self):
+        """Drain any in-flight :meth:`save_sharded` ``block=False`` write
+        (no-op when none is pending)."""
+        ckptr = getattr(self, '_async_checkpointer', None)
+        if ckptr is not None:
+            ckptr.wait_until_finished()
+            self._async_checkpointer = None
 
     @classmethod
     def load_sharded(cls, path: str, mesh=None, shard_axis: str = 'samples',

@@ -414,6 +414,17 @@ class ServingModel:
 
     __call__ = transform
 
+    def warmup(self, batch_sizes=(1,)) -> 'ServingModel':
+        """Pay the per-batch-shape compile cost up front (a zeros request
+        per listed batch size, one refinement iteration) so the first real
+        request serves at steady-state latency.  Returns ``self``."""
+        shape = self.header['input_shape']
+        for n in batch_sizes:
+            V0 = np.zeros([int(n)] + [int(s) for s in shape[1:]],
+                          np.dtype(self.header['input_dtype']))
+            self.transform(V0, n_iterations=1)
+        return self
+
     def inverse_transform(self, H) -> np.ndarray:
         """Reconstruction from activations (present when the artifact was
         exported with ``include_decoder=True``).  Multi-scale artifacts
