@@ -134,3 +134,21 @@ def test_budget_from_runtime_memory_stats(monkeypatch):
     monkeypatch.setattr(jax, 'local_devices', lambda: [NoStatsDev()])
     with pytest.raises(ValueError, match='memory limit'):
         suggest_batch_size(m, (32, 32))
+
+
+def test_multiscale_estimate_matches_live_fit():
+    from tnmf_tpu import MultiScaleTNMF
+    m = MultiScaleTNMF(n_atoms=(2, 3), atom_shapes=((3, 3), (5, 5)),
+                       seed=0, dtype='float32')
+    V = _V(n=3, c=1, shape=(14, 12))
+    est = estimate_fit_memory(m, V.shape)
+    m.fit(V, n_iterations=2)
+    assert est.tensors['V (device copy)'][2] == m._Vd.nbytes
+    for k in range(2):
+        assert est.tensors[f'V prepared, scale {k}'][2] == m._Vps[k].nbytes
+        assert est.tensors[f'H, scale {k}'][2] == m._Hs[k].nbytes
+        assert est.tensors[f'W, scale {k}'][2] == m._Ws[k].nbytes
+    assert est.peak_bytes > est.persistent_bytes
+    n = suggest_batch_size(m, (14, 12), n_channels=1,
+                           budget_bytes=8 * 2 ** 20, safety=1.0)
+    assert estimate_fit_memory(m, (n, 1, 14, 12)).peak_bytes <= 8 * 2 ** 20

@@ -93,6 +93,9 @@ def estimate_fit_memory(model, V_shape: Tuple[int, ...],
     dt = jnp.dtype(dtype) if dtype is not None else jnp.dtype(
         model._dtype if getattr(model, '_dtype', None) is not None else jnp.float32)
 
+    if hasattr(model, 'atom_shapes'):  # MultiScaleTNMF
+        return _estimate_multiscale(model, n, c, sample_shape, dt)
+
     plan = ConvPlan.create(model._reconstruction_mode, sample_shape,
                            model.atom_shape, model._fft_policy,
                            precision=model._precision)
@@ -137,6 +140,52 @@ def estimate_fit_memory(model, V_shape: Tuple[int, ...],
     add('R (transient)', R_s)
     add('R prepared (transient)', Vp_s)
     add('H update out (transient)', Hc_s)
+    return est
+
+
+def _estimate_multiscale(model, n, c, sample_shape, dt) -> MemoryEstimate:
+    """Per-scale accounting for :class:`MultiScaleTNMF` (same resolution
+    chain as its ``_initialize``)."""
+    import jax
+
+    from .. import engine
+    from ..ops.modes import ConvPlan
+
+    plans = tuple(ConvPlan.create(model._mode, sample_shape, a,
+                                  precision=model._precision)
+                  for a in model.atom_shapes)
+    if model._backend in ('auto', 'jax'):
+        strategies = tuple(engine.choose_strategy(p, m, c)
+                           for p, m in zip(plans, model.n_atoms))
+    else:
+        from ..models.tnmf import _BACKEND_STRATEGY
+        strategies = (_BACKEND_STRATEGY[model._backend.lower()],) * model.n_scales
+
+    div = int(model._mesh.size) if getattr(model, '_mesh', None) is not None else 1
+    est = MemoryEstimate(strategy=str(tuple(strategies)))
+
+    def add(name, sds, scale_by_samples=True):
+        b = _nbytes(sds)
+        if scale_by_samples:
+            b = -(-b // div)
+        est.tensors[name] = (tuple(int(x) for x in sds.shape),
+                             np.dtype(sds.dtype).name, b)
+
+    V_s = jax.ShapeDtypeStruct((n, c) + sample_shape, dt)
+    add('V (device copy)', V_s)
+    for k, (m, p, s) in enumerate(zip(model.n_atoms, plans, strategies)):
+        Vp_s = jax.eval_shape(
+            lambda v, p=p, s=s: engine.prepare_data(v, plan=p, strategy=s), V_s)
+        add(f'V prepared, scale {k}', Vp_s)
+        add(f'H, scale {k}',
+            jax.ShapeDtypeStruct((n, m) + p.transform_shape, dt))
+        add(f'W, scale {k}',
+            jax.ShapeDtypeStruct((m, c) + model.atom_shapes[k], dt),
+            scale_by_samples=False)
+        add(f'R prepared, scale {k} (transient)', Vp_s)
+        add(f'H update out, scale {k} (transient)',
+            jax.ShapeDtypeStruct((n, m) + p.transform_shape, dt))
+    add('R (transient)', jax.ShapeDtypeStruct((n, c) + sample_shape, dt))
     return est
 
 
