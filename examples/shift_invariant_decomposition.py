@@ -41,6 +41,14 @@ def main(n_iterations: int = None):
     nmf.fit(V, n_iterations=n_iterations, inhibition_strength=0.01)
     print(f'final energy: {nmf._energy_function():.4f}')
 
+    # quantitative ground-truth recovery: shift-invariant optimal matching
+    # of the learned atoms onto the generating dictionary (the reference's
+    # examples can only eyeball the atom plots)
+    from tnmf_tpu.utils.atoms import match_dictionaries
+    rec = match_dictionaries(nmf.W, W_true)
+    print(f'dictionary recovery score: {rec["score"]:.3f} '
+          f'(assignment {rec["assignment"].tolist()})')
+
     n = nmf.n_atoms
     fig, axes = plt.subplots(2, n, figsize=(2 * n, 4))
     for i in range(n):

@@ -132,3 +132,47 @@ def test_errors_and_noop():
     W = nmf.W
     assert revive_dead_atoms(nmf).size == 0
     np.testing.assert_array_equal(nmf.W, W)  # no-op when nothing is dead
+
+
+# ---------------------------------------------------------------------------
+# dictionary comparison / recovery scoring
+# ---------------------------------------------------------------------------
+
+def test_atom_similarity_invariances():
+    from tnmf_tpu.utils.atoms import atom_similarity
+    rng = np.random.default_rng(0)
+    a = np.zeros((1, 7, 7))
+    a[0, 1:4, 1:4] = rng.random((3, 3))
+
+    assert atom_similarity(a, a) == pytest.approx(1.0)
+    assert atom_similarity(a, 3.5 * a) == pytest.approx(1.0)      # scale
+    assert atom_similarity(a, np.roll(a, (2, 3), (1, 2))) == pytest.approx(1.0)  # shift
+    b = np.asarray(np.flip(a, axis=2))
+    s_shift = atom_similarity(a, b)                               # flip: < 1
+    assert s_shift < 0.999
+    assert atom_similarity(a, b, 'shift+flip') == pytest.approx(1.0)
+    r = np.rot90(a, 1, axes=(1, 2))
+    assert atom_similarity(a, r, 'shift+rot90') == pytest.approx(1.0)
+    # different atom shapes are allowed
+    wide = np.zeros((1, 5, 11)); wide[0, 1:4, 4:7] = a[0, 1:4, 1:4]
+    assert atom_similarity(a, wide) == pytest.approx(1.0)
+    assert atom_similarity(a, np.zeros((1, 5, 5))) == 0.0
+
+
+def test_match_dictionaries_recovers_permuted_shifted_copies():
+    from tnmf_tpu.utils.atoms import match_dictionaries
+    rng = np.random.default_rng(1)
+    W_true = np.zeros((4, 2, 7, 7))
+    W_true[:, :, 2:5, 2:5] = rng.random((4, 2, 3, 3))  # interior support:
+    perm = np.asarray([2, 0, 3, 1])                    # rolling = shifting
+    W_learned = np.stack([
+        1.7 * np.roll(W_true[j], (1, -2), (1, 2)) for j in perm])
+    res = match_dictionaries(W_learned, W_true)
+    np.testing.assert_array_equal(res['assignment'], perm)
+    np.testing.assert_allclose(res['scores'], 1.0, atol=1e-12)
+    # unrelated noise dictionaries score clearly lower than copies
+    noise = match_dictionaries(rng.random((4, 2, 7, 7)), W_true)
+    assert noise['score'] < res['score']
+    # rectangular: more learned atoms than true ones
+    res2 = match_dictionaries(W_true, W_learned[:3])
+    assert (res2['assignment'] == -1).sum() == 1  # one true atom unmatched

@@ -24,7 +24,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ['find_dead_atoms', 'revive_dead_atoms']
+__all__ = ['find_dead_atoms', 'revive_dead_atoms', 'atom_similarity',
+           'match_dictionaries']
 
 
 def _atom_mass(model) -> np.ndarray:
@@ -73,3 +74,83 @@ def revive_dead_atoms(model, rel_threshold: float = 1e-4,
     model._W = jnp.asarray(W, dtype=model._W.dtype)
     model._H = jnp.asarray(H, dtype=model._H.dtype)
     return dead
+
+
+# ---------------------------------------------------------------------------
+# dictionary comparison / recovery scoring
+# ---------------------------------------------------------------------------
+
+def _transform_variants(w: np.ndarray, transform_type: str):
+    """All transformed copies of one atom ``w (C, *A)`` under the invariance
+    group of ``transform_type`` (numpy mirror of ``ops.transforms.apply``)."""
+    from ..ops.transforms import make_group
+    group = make_group(transform_type, w.shape[1:])
+    if group is None:
+        return [w]
+    out = []
+    for k, flips in group.elements:
+        x = w
+        if k % 4:
+            x = np.rot90(x, k, axes=(w.ndim - 2, w.ndim - 1))
+        if flips:
+            x = np.flip(x, axis=tuple(1 + a for a in flips))
+        out.append(np.ascontiguousarray(x))
+    return out
+
+
+def atom_similarity(a: np.ndarray, b: np.ndarray,
+                    transform_type: str = 'shift') -> float:
+    """Transform-invariant similarity of two atoms in ``[0, 1]``.
+
+    The maximum over all relative shifts (and, per ``transform_type``,
+    flips/rotations) of the normalized cross-correlation
+    ``<a, T(b)> / (||a|| ||b||)`` — 1.0 exactly when ``b`` is a scaled,
+    shifted (and transformed) copy of ``a``; scale- and
+    transform-invariant, channel-aware.  Atoms may have different shapes.
+    """
+    from scipy.signal import correlate
+
+    a = np.asarray(a, np.float64)
+    na = np.linalg.norm(a)
+    best = 0.0
+    for bt in _transform_variants(np.asarray(b, np.float64), transform_type):
+        nb = np.linalg.norm(bt)
+        if na == 0 or nb == 0:
+            continue
+        # full correlation over the spatial axes, channels aligned (summed)
+        c = sum(correlate(a[ch], bt[ch], mode='full') for ch in range(a.shape[0]))
+        best = max(best, float(np.max(c)) / (na * nb))
+    return min(best, 1.0)
+
+
+def match_dictionaries(W_a, W_b, transform_type: str = 'shift'):
+    """Optimal one-to-one matching between two dictionaries.
+
+    Builds the pairwise :func:`atom_similarity` matrix and solves the
+    assignment problem (Hungarian algorithm), so the score is invariant to
+    atom permutation, per-atom scale, shifts and — per ``transform_type``
+    — flips/rotations: exactly the gauge freedoms of (transform-invariant)
+    NMF.  The classic use is scoring ground-truth dictionary *recovery* on
+    synthetic data (``utils.signals`` generators), or comparing two fits.
+
+    Returns a dict with ``assignment`` (for each atom of ``W_a``, the
+    matched index into ``W_b``; -1 when ``W_b`` has fewer atoms),
+    ``scores`` (per matched pair) and ``score`` (their mean).  The
+    reference offers no quantitative dictionary comparison at all (its
+    examples eyeball atom plots).
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    W_a = [np.asarray(w) for w in W_a]
+    W_b = [np.asarray(w) for w in W_b]
+    S = np.zeros((len(W_a), len(W_b)))
+    for i, wa in enumerate(W_a):
+        for j, wb in enumerate(W_b):
+            S[i, j] = atom_similarity(wa, wb, transform_type)
+    rows, cols = linear_sum_assignment(-S)
+    assignment = np.full(len(W_a), -1, dtype=int)
+    assignment[rows] = cols
+    scores = S[rows, cols]
+    return {'assignment': assignment, 'scores': scores,
+            'score': float(scores.mean()) if scores.size else 0.0,
+            'similarity': S}
