@@ -366,3 +366,40 @@ def test_error_paths():
         m.fit(_data(seed=1), n_iterations=1, mask=-np.ones((3, 2, 15)))
     with pytest.raises(RuntimeError, match='fitted model'):
         MultiScaleTNMF(n_atoms=(2,), atom_shapes=((3,),)).transform(_data())
+
+
+def test_multiscale_sharded_checkpoint_roundtrip(tmp_path):
+    """save_sharded/load_sharded: per-scale banks with shardings preserved,
+    incl. the async (block=False) mode and mesh restore."""
+    import jax
+    from tnmf_tpu.parallel.sharding import DATA_AXIS, make_mesh
+
+    V = np.random.default_rng(0).random((8, 1, 12, 12))
+    m = MultiScaleTNMF(n_atoms=(2, 2), atom_shapes=((3, 3), (5, 5)), seed=0)
+    m.fit(V, n_iterations=2)
+    Ws0 = [w.copy() for w in m.W]
+    Hs0 = [np.asarray(h).copy() for h in m._Hs]
+
+    p = str(tmp_path / 'ms_ckpt')
+    m.save_sharded(p, block=False)
+    m.fit(V, n_iterations=2, keep_W=True)  # mutate while writing
+    m.wait_for_checkpoints()
+
+    local = MultiScaleTNMF.load_sharded(p)
+    for k in range(2):
+        np.testing.assert_array_equal(np.asarray(local._Ws[k]), Ws0[k])
+        np.testing.assert_array_equal(np.asarray(local._Hs[k]), Hs0[k])
+    assert local.R.shape == V.shape  # plans restored
+
+    if jax.device_count() >= 8:
+        mesh = make_mesh(8)
+        sharded = MultiScaleTNMF.load_sharded(p, mesh=mesh)
+        assert sharded._Hs[0].sharding.spec[0] == DATA_AXIS
+        np.testing.assert_array_equal(np.asarray(sharded._Ws[0]), Ws0[0])
+        # warm restart on the mesh from the restored banks
+        sharded.fit(V, n_iterations=1, keep_W=True)
+        assert np.isfinite(sharded._energy_function())
+
+    with pytest.raises(ValueError, match='has not been fit'):
+        MultiScaleTNMF(n_atoms=(2,), atom_shapes=((3,),)).save_sharded(
+            str(tmp_path / 'nope'))

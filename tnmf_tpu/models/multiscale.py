@@ -806,21 +806,115 @@ class MultiScaleTNMF:
                 # (same convention as the single-scale load)
                 model._Hs = tuple(jnp.asarray(data[f'H_{k}'], dtype=dtype)
                                   for k in range(K))
-                t0 = model._Hs[0].shape[2:]
-                a0 = model.atom_shapes[0]
-                mode = model._mode
-                if mode == 'valid':
-                    sample = tuple(t - a + 1 for t, a in zip(t0, a0))
-                elif mode == 'full':
-                    sample = tuple(t + a - 1 for t, a in zip(t0, a0))
-                else:
-                    sample = tuple(t0)
-                model._plans = tuple(
-                    ConvPlan.create(mode, sample, a,
-                                    precision=model._precision)
-                    for a in model.atom_shapes)
-                n_channels = int(model._Ws[0].shape[1])
-                model._strategies = tuple(
-                    engine.choose_strategy(p, m, n_channels)
-                    for p, m in zip(model._plans, model.n_atoms))
+                model._restore_plans_from_h()
+        return model
+
+    def _restore_plans_from_h(self):
+        """Rebuild per-scale plans/strategies from restored H geometry."""
+        t0 = self._Hs[0].shape[2:]
+        a0 = self.atom_shapes[0]
+        mode = self._mode
+        if mode == 'valid':
+            sample = tuple(t - a + 1 for t, a in zip(t0, a0))
+        elif mode == 'full':
+            sample = tuple(t + a - 1 for t, a in zip(t0, a0))
+        else:
+            sample = tuple(t0)
+        self._plans = tuple(
+            ConvPlan.create(mode, sample, a, precision=self._precision)
+            for a in self.atom_shapes)
+        n_channels = int(self._Ws[0].shape[1])
+        self._strategies = tuple(
+            engine.choose_strategy(p, m, n_channels)
+            for p, m in zip(self._plans, self.n_atoms))
+
+    def save_sharded(self, path: str, include_H: bool = True,
+                     block: bool = True):
+        """Distributed checkpoint of the per-scale banks (orbax): every
+        device/host writes its own shards with shardings preserved — the
+        multi-scale counterpart of the single-scale model's
+        :meth:`~TransformInvariantNMF.save_sharded`, including the
+        ``block=False`` asynchronous mode (drain with
+        :meth:`wait_for_checkpoints`)."""
+        import json
+        import orbax.checkpoint as ocp
+
+        if self._Ws is None:
+            raise ValueError('nothing to save: the model has not been fit yet')
+        self.wait_for_checkpoints()
+        path = os.path.abspath(path)
+        state = {f'W_{k}': w for k, w in enumerate(self._Ws)}
+        if include_H and self._Hs is not None:
+            state.update({f'H_{k}': h for k, h in enumerate(self._Hs)})
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(path, 'state'), state)
+        if block:
+            ckptr.wait_until_finished()
+        else:
+            self._async_checkpointer = ckptr
+        meta = dict(
+            n_scales=self.n_scales,
+            n_atoms=list(self.n_atoms),
+            atom_shapes=[list(a) for a in self.atom_shapes],
+            reconstruction_mode=self._mode,
+            dtype=str(self._Ws[0].dtype),
+            w_shapes=[list(w.shape) for w in self._Ws],
+            h_shapes=([list(h.shape) for h in self._Hs]
+                      if include_H and self._Hs is not None else None),
+            version=1,
+        )
+        if jax.process_index() == 0:
+            with open(os.path.join(path, 'tnmf_config.json'), 'w') as f:
+                json.dump(meta, f)
+
+    def wait_for_checkpoints(self):
+        """Drain any in-flight :meth:`save_sharded` ``block=False`` write."""
+        ckptr = getattr(self, '_async_checkpointer', None)
+        if ckptr is not None:
+            ckptr.wait_until_finished()
+            self._async_checkpointer = None
+
+    @classmethod
+    def load_sharded(cls, path: str, mesh=None, **kwargs) -> 'MultiScaleTNMF':
+        """Restore a :meth:`save_sharded` checkpoint; with ``mesh`` the
+        state restores directly into its distributed layout (H banks
+        sample-sharded, W banks replicated — each device reads only its
+        own shards)."""
+        import json
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        with open(os.path.join(path, 'tnmf_config.json')) as f:
+            meta = json.load(f)
+        cfg = dict(
+            n_atoms=tuple(meta['n_atoms']),
+            atom_shapes=tuple(tuple(a) for a in meta['atom_shapes']),
+            reconstruction_mode=meta['reconstruction_mode'],
+            mesh=mesh,
+        )
+        cfg.update(kwargs)
+        model = cls(**cfg)
+
+        dtype = jnp.dtype(meta['dtype'])
+        if mesh is not None:
+            from ..parallel.sharding import data_sharding, replicated
+            w_sh = {k: replicated(mesh) for k in range(model.n_scales)}
+            h_sh = {k: data_sharding(mesh, len(s))
+                    for k, s in enumerate(meta['h_shapes'] or [])}
+        else:
+            single = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            w_sh = {k: single for k in range(model.n_scales)}
+            h_sh = {k: single for k in range(model.n_scales)}
+        target = {f'W_{k}': jax.ShapeDtypeStruct(tuple(s), dtype, sharding=w_sh[k])
+                  for k, s in enumerate(meta['w_shapes'])}
+        if meta['h_shapes'] is not None:
+            target.update({
+                f'H_{k}': jax.ShapeDtypeStruct(tuple(s), dtype, sharding=h_sh[k])
+                for k, s in enumerate(meta['h_shapes'])})
+        ckptr = ocp.StandardCheckpointer()
+        state = ckptr.restore(os.path.join(path, 'state'), target)
+        model._Ws = tuple(state[f'W_{k}'] for k in range(model.n_scales))
+        if meta['h_shapes'] is not None:
+            model._Hs = tuple(state[f'H_{k}'] for k in range(model.n_scales))
+            model._restore_plans_from_h()
         return model
