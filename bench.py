@@ -444,12 +444,19 @@ def main():
     parser.add_argument('--remeasure-reference', action='store_true',
                         help='re-measure the reference baselines live instead '
                              'of using the pinned BASELINE.json numbers')
+    parser.add_argument('--tpu-smoke', action='store_true',
+                        help='real-chip feature integration gate '
+                             '(benchmarks/tpu_smoke.py)')
     parser.add_argument('--pallas-check', action='store_true',
                         help='compiled-mode parity gate for the experimental '
                              'Pallas kernels (TPU)')
     args = parser.parse_args()
     if args.pallas_check:
         pallas_check()
+        return
+    if args.tpu_smoke:
+        from benchmarks import tpu_smoke
+        tpu_smoke.main()
         return
     rm = args.remeasure_reference
 

@@ -1,0 +1,247 @@
+"""Real-chip feature smoke gate: every major capability exercised natively
+on the TPU, with oracle parity for the operator paths and hard invariants
+for the drivers.
+
+The CPU test suite runs in float64 with the phased lowering *forced* via a
+monkeypatch; on a real chip, strategies resolve natively, matmuls take the
+MXU paths, and bf16 behaves differently — this gate catches
+TPU-platform-only defects the CPU suite cannot (a real example: bf16 +
+``h_init='correlate'`` + conv crashed only in this combination).  Emits
+one summary JSON line (driver-artifact style, like ``bench.py
+--pallas-check``) plus a per-feature detail line each.
+
+    python benchmarks/tpu_smoke.py            # or: python bench.py --tpu-smoke
+"""
+
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = {}
+
+
+def check(name):
+    def deco(fn):
+        RESULTS[name] = fn
+        return fn
+    return deco
+
+
+def _data(n=3, c=1, shape=(20, 18), seed=0):
+    return np.random.default_rng(seed).random((n, c) + shape).astype(np.float32)
+
+
+@check('op_parity_vs_oracle')
+def _ops():
+    """conv/fft/phased/dot reconstruct + grad pairs vs the NumPy oracle."""
+    import jax.numpy as jnp
+    from tnmf_tpu import engine
+    from tnmf_tpu.ops import oracle
+    from tnmf_tpu.ops.modes import ConvPlan
+
+    rng = np.random.default_rng(1)
+    # TPU f32 default precision runs convs/matmuls in bf16 passes (~2e-3
+    # relative, the engine's documented speed default); precision='highest'
+    # uses full f32 products (~1e-6)
+    worst = {'default': 0.0, 'highest': 0.0}
+    for strategy, mode, sample, atom in (
+            ('conv', 'valid', (14, 12), (5, 3)),
+            ('fft', 'circular', (14, 12), (5, 3)),
+            ('phased', 'valid', (16, 16), (5, 5)),
+            ('dot', 'full', (12,), (12,))):
+        V = rng.random((3, 2) + sample)
+        W = rng.random((4, 2) + atom)
+        for prec in ('default', 'highest'):
+            plan = ConvPlan.create(mode, sample, atom, precision=prec)
+            H = rng.random((3, 4) + plan.transform_shape)
+            R = np.asarray(engine.reconstruct(jnp.asarray(W, jnp.float32),
+                                              jnp.asarray(H, jnp.float32),
+                                              plan=plan, strategy=strategy))
+            R0 = oracle.reconstruct(W, H, mode)
+            worst[prec] = max(worst[prec],
+                              float(np.abs(R - R0).max() / np.abs(R0).max()))
+    assert worst['highest'] < 1e-4, worst
+    assert worst['default'] < 1e-2, worst
+    return (f"highest={worst['highest']:.1e} "
+            f"default={worst['default']:.1e}")
+
+
+@check('fit_f32_bf16_phased')
+def _fit_dtypes():
+    """Native strategy resolution (phased on TPU) + bf16; energy descends."""
+    from tnmf_tpu import TransformInvariantNMF
+    V = _data()
+    out = []
+    for dtype in ('float32', 'bfloat16'):
+        m = TransformInvariantNMF(n_atoms=4, atom_shape=(5, 5), seed=0,
+                                  dtype=dtype)
+        m.fit(V, n_iterations=5, sparsity_H=0.1)
+        e5 = m._energy_function()
+        m.fit(V, n_iterations=25, sparsity_H=0.1)
+        e25 = m._energy_function()
+        assert np.isfinite(e25) and e25 < e5, (dtype, e5, e25)
+        out.append(f'{dtype}:{m._strategy}')
+    return ' '.join(out)
+
+
+@check('correlate_init_all_strategies')
+def _correlate():
+    from tnmf_tpu import TransformInvariantNMF
+    V = _data()
+    for backend, dtype in (('auto', 'float32'), ('jax_conv', 'bfloat16'),
+                           ('jax_fft', 'bfloat16')):
+        m = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), seed=0,
+                                  h_init='correlate', backend=backend,
+                                  dtype=dtype)
+        m.fit(V, n_iterations=3)
+        assert np.isfinite(m._energy_function())
+    return 'ok'
+
+
+@check('mask_beta_groups')
+def _mask_beta_groups():
+    from tnmf_tpu import TransformInvariantNMF
+    V = _data() + 0.1
+    mask = (np.random.default_rng(2).random(V.shape) > 0.3).astype(np.float32)
+    m = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), seed=0)
+    m.fit(V, n_iterations=5, mask=mask)
+    e_masked = m._energy_function()
+    b = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), seed=0,
+                              beta_loss='kullback-leibler')
+    b.fit(V, n_iterations=5)
+    g = TransformInvariantNMF(n_atoms=2, atom_shape=(5, 5), seed=0,
+                              transform_type='shift+rot90+flip')
+    g.fit(V, n_iterations=3)
+    assert g.H.shape[2] == 8  # D4 transform maps
+    assert np.isfinite(e_masked) and np.isfinite(b._energy_function())
+    return 'ok'
+
+
+@check('minibatch_scan_and_partial_fit')
+def _minibatch():
+    from tnmf_tpu import MiniBatchAlgorithm, TransformInvariantNMF
+    V = _data(n=8)
+    m = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), seed=0,
+                              init='device')
+    m.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=4,
+                      n_epochs=3, sparsity_H=0.1)
+    e = m._energy_function()
+    p = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), seed=0)
+    for i in range(3):
+        p.partial_fit(_data(n=4, seed=i))
+    assert np.isfinite(e) and p.n_steps_ == 3
+    return 'ok'
+
+
+@check('multiscale_and_sweep')
+def _ms_sweep():
+    from tnmf_tpu import MultiScaleTNMF, sweep_fit
+    V = _data()
+    ms = MultiScaleTNMF(n_atoms=(2, 2), atom_shapes=((3, 3), (7, 7)), seed=0,
+                        h_init='correlate')
+    ms.fit(V, n_iterations=4, sparsity_H=(0.1, 0.0))
+    res = sweep_fit(V, 3, (5, 5), n_models=4, seed=0, n_iterations=4,
+                    sparsity=np.linspace(0, 0.3, 4, dtype=np.float32))
+    assert np.isfinite(ms._energy_function())
+    assert np.all(np.isfinite(np.asarray(res.energies)))
+    return 'ok'
+
+
+@check('tol_and_revive')
+def _tol():
+    from tnmf_tpu import TransformInvariantNMF
+    V = _data()
+    m = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), seed=0)
+    m.fit(V, n_iterations=400, tol=1e-3, tol_check_every=5)
+    assert m.n_iterations_ <= 400
+    r = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), seed=0)
+    r.fit(V, n_iterations=10, revive_every=5, sparsity_H=0.5)
+    assert np.isfinite(r._energy_function())
+    return f'tol_stopped_at={m.n_iterations_}'
+
+
+@check('serving_artifact_exact')
+def _serving():
+    from tnmf_tpu import TransformInvariantNMF, load_serving
+    V = _data()
+    m = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), seed=0,
+                              h_init='correlate')
+    m.fit(V, n_iterations=3)
+    srv = load_serving(m.export_serving(n_iterations=4, sparsity_H=0.1,
+                                        include_decoder=True))
+    V_new = _data(n=2, seed=9)
+    H = srv(V_new)
+    H_ref = m.transform(V_new, n_iterations=4, sparsity_H=0.1)
+    err = float(np.abs(H - H_ref).max() / np.abs(H_ref).max())
+    assert err < 1e-12, err  # same compute; roundoff-exact
+    assert np.isfinite(srv.inverse_transform(H)).all()
+    return f'relerr={err:.1e}'
+
+
+@check('checkpoints')
+def _ckpt():
+    from tnmf_tpu import TransformInvariantNMF
+    V = _data()
+    m = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), seed=0)
+    m.fit(V, n_iterations=3)
+    with tempfile.TemporaryDirectory() as d:
+        m.save(os.path.join(d, 'm.npz'), include_H=True)
+        r = TransformInvariantNMF.load(os.path.join(d, 'm.npz'))
+        np.testing.assert_array_equal(r.W, m.W)
+        m.save_sharded(os.path.join(d, 'sh'), block=False)
+        m.wait_for_checkpoints()
+        r2 = TransformInvariantNMF.load_sharded(os.path.join(d, 'sh'))
+        np.testing.assert_array_equal(r2.W, m.W)
+    return 'ok'
+
+
+@check('memory_estimate_exact')
+def _memory():
+    import jax
+    from tnmf_tpu import TransformInvariantNMF, engine
+    from tnmf_tpu.utils.memory import estimate_fit_memory
+    V = _data()
+    m = TransformInvariantNMF(n_atoms=4, atom_shape=(5, 5), seed=0,
+                              dtype='float32')
+    est = estimate_fit_memory(m, V.shape)
+    m.fit(V, n_iterations=2)
+    # the loop carrier is the (possibly phase-padded) encoded form of the
+    # stored canonical H
+    carrier = jax.eval_shape(
+        lambda h: engine._enc_h(h, m._plan, m._strategy), m._H)
+    assert est.tensors['H (loop carrier)'][2] == int(np.prod(carrier.shape)) * 4
+    assert est.tensors['V prepared (loop-invariant)'][2] == m._Vp.nbytes
+    return est.strategy
+
+
+def main():
+    import jax
+
+    platform = jax.devices()[0].platform
+    summary = {'metric': 'tpu_feature_smoke', 'unit': 'bool',
+               'platform': platform}
+    if platform != 'tpu':
+        summary.update(value=None, detail='no TPU available')
+        print(json.dumps(summary), flush=True)
+        return
+    details, ok = [], True
+    for name, fn in RESULTS.items():
+        try:
+            d = fn()
+            details.append(f'{name}: pass ({d})')
+        except Exception as e:  # noqa: BLE001 - the gate must report, not die
+            ok = False
+            details.append(f'{name}: FAIL ({type(e).__name__}: {e})')
+        print(details[-1], file=sys.stderr, flush=True)
+    summary.update(value=ok, detail='; '.join(details))
+    print(json.dumps(summary), flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == '__main__':
+    main()

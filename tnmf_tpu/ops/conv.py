@@ -39,6 +39,10 @@ from .modes import ConvPlan
 
 _SPATIAL = 'DHW'  # up to 3 explicit spatial letters; rank > 3 uses generic dims
 
+# one-hot placement contractions are pure gathers; HIGHEST keeps the
+# gathered weights exact under TPU's bf16-pass matmul default
+_EXACT = lax.Precision.HIGHEST
+
 
 def _dim_letters(ndim: int) -> str:
     if ndim <= 3:
@@ -182,7 +186,12 @@ def _expand_kernel(K, ks):
     Q, F = K.shape[:2]
     A = K.shape[2:]
     P, eshape = _placement(ks, A)
-    Ke = jnp.einsum('qfa,jea->qjfe', K.reshape(Q, F, -1), jnp.asarray(P, K.dtype))
+    # the placement contraction is a pure gather (one-hot x weight): force
+    # HIGHEST so TPU's default bf16 matmul passes cannot round the kernel
+    # weights themselves (measured 6e-4 relative error leaking into
+    # precision='highest' fits before this)
+    Ke = jnp.einsum('qfa,jea->qjfe', K.reshape(Q, F, -1),
+                    jnp.asarray(P, K.dtype), precision=_EXACT)
     return Ke.reshape((Q * math.prod(ks), F) + eshape)
 
 

@@ -266,8 +266,10 @@ def _grad_kernel(W: jnp.ndarray, g) -> jnp.ndarray:
     M, C = W.shape[:2]
     A, r = g['a'], g['r']
     P, K = _grad_placement(A, r)
+    # one-hot placement = pure gather; HIGHEST keeps the dictionary weights
+    # exact under TPU's bf16-pass matmul default (conv_ops._EXACT rationale)
     Kk = jnp.einsum('mca,pqka->mpcqk', W.reshape(M, C, -1),
-                    jnp.asarray(P, W.dtype))
+                    jnp.asarray(P, W.dtype), precision=conv_ops._EXACT)
     pp = math.prod(r)
     return Kk.reshape((M * pp, C * pp) + K)
 
@@ -280,7 +282,7 @@ def _rec_kernel(W: jnp.ndarray, g) -> jnp.ndarray:
     Wf = jnp.flip(W, axis=tuple(range(2, 2 + len(A))))
     P, T = _rec_placement(A, r, s)
     Kk = jnp.einsum('mca,sqta->csmqt', Wf.reshape(M, C, -1),
-                    jnp.asarray(P, W.dtype))
+                    jnp.asarray(P, W.dtype), precision=conv_ops._EXACT)
     pp = math.prod(r)
     return Kk.reshape((C * math.prod(s), M * pp) + T)
 
@@ -456,9 +458,12 @@ def _phase_conv_1d(x: jnp.ndarray, k: jnp.ndarray, plan: ConvPlan, axis: int,
     nd = len(r)
     pp = math.prod(r)
     P, T, t_off = _band_placement(int(k.shape[0]), r, axis)
-    Kp = jnp.einsum('pqtd,d->pqt', jnp.asarray(P, k.dtype), k)
+    # one-hot gathers of the kernel taps: keep exact (conv_ops._EXACT)
+    Kp = jnp.einsum('pqtd,d->pqt', jnp.asarray(P, k.dtype), k,
+                    precision=conv_ops._EXACT)
     eye = jnp.eye(M, dtype=k.dtype)
-    K = jnp.einsum('mn,pqt->mpnqt', eye, Kp).reshape(M * pp, M * pp, T)
+    K = jnp.einsum('mn,pqt->mpnqt', eye, Kp,
+                   precision=conv_ops._EXACT).reshape(M * pp, M * pp, T)
     kshape = [M * pp, M * pp] + [1] * nd
     kshape[2 + axis] = T
     K = K.reshape(kshape)
@@ -526,5 +531,8 @@ def grad_W_pair(Vs: jnp.ndarray, R: jnp.ndarray, Hph: jnp.ndarray,
     assert tuple(Kgrid) == tuple(K), (Kgrid, K)
     P4 = jnp.asarray(P.transpose(1, 0, 2, 3), out.dtype)
     o = out.reshape((2 * C, pp, M, pp, math.prod(K)))
-    G = jnp.einsum('cqmpk,qpka->cma', o, P4).reshape((2 * C, M) + A)
+    # one-hot scatter-add of the phase terms: exact products (x1.0) keep
+    # the f32 gradient statistics unrounded under TPU's bf16 default
+    G = jnp.einsum('cqmpk,qpka->cma', o, P4,
+                   precision=conv_ops._EXACT).reshape((2 * C, M) + A)
     return jnp.swapaxes(G[:C], 0, 1), jnp.swapaxes(G[C:], 0, 1)
