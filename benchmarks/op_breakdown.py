@@ -114,6 +114,31 @@ def main():
     t_w = bench(step_mu_w, W0, Vp, H0e)
     row('mu_W (rec + grad_W pair + ratio)', t_w, fl_rec + fl_g)
 
+    # mu_H sub-ablations: where inside mu_H the time goes.
+    # (a) the MU ratio against MATERIALIZED H-sized gradient tensors — its
+    #     memory floor is 4 H streams (read neg/pos/H, write H);
+    # (b) the gradient pair + ratio with the reconstruction hoisted out of
+    #     the loop (R in the carry consts) — its floor is only 2 H streams
+    #     (read H, write H) + the small Vp/R reads *if* both gradient convs
+    #     fuse into the ratio.  Measured on v5e: (b) sits ~2 H-streams
+    #     above that floor in both dtypes because XLA materializes one of
+    #     the two conv outputs (an elementwise consumer can fuse only one
+    #     producer chain) — the motivation for the fused Pallas mu_H path.
+    neg_c = jax.jit(lambda h: h * 1.01)(H0e)
+    pos_c = jax.jit(lambda h: h * 0.99)(H0e)
+    t = bench(lambda H, a, b: (H * a / (b + 1e-9)).astype(H.dtype),
+              H0e, neg_c, pos_c)
+    row('  ratio alone (materialized grads)', t)
+    Rfix = jax.jit(lambda h: ops.reconstruct(W0, h, plan))(H0e)
+    np.asarray(Rfix.reshape(-1)[:1])
+
+    def step_grad_ratio(H, Vp, Rfix):
+        neg, pos = ops.grad_H_pair(Vp, Rfix, W0, plan)
+        return (H * neg / (pos + 1e-9)).astype(H.dtype)
+
+    t = bench(step_grad_ratio, H0e, Vp, Rfix)
+    row('  grad_H pair + ratio (R fixed)', t, fl_g)
+
     def full(carry, Vp):
         W, H = carry
         H = engine._mu_H(ops, Vp, W, H, z, z, z, (), **kw)
