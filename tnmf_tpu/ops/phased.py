@@ -7,11 +7,20 @@ verdict: ~5-7% MFU), XLA picks batch-in-lanes layouts, and the MU ratio
 pays lane-sliced reads.  This module re-lowers the whole MU iteration in a
 **phase-blocked domain**: the activation tensor H is carried as
 
-    Hph[n, (m, p1..pk), Y1..Yk] = H[n, m, r1*Y1 + p1, ..., rk*Yk + pk]
+    Hph[n, Y1..Yk, (m, p1..pk)] = H[n, m, r1*Y1 + p1, ..., rk*Yk + pk]
 
 with per-axis phase factors ``r`` — a space-to-depth view of the shift
-axes.  Every operator then becomes a convolution whose channel counts are
-multiplied by the ``prod(r)`` phase count on *both* sides:
+axes, carried **channels-last** (phased channels in the minormost axis).
+Channels-last is deliberate: the phased channel count ``M*prod(r)`` is the
+one axis sized in 128-lane multiples (256 at the flagship config), so the
+default row-major layout fills the vector lanes for the elementwise MU
+ratio and — crucially — the Pallas fused-update kernels
+(:mod:`tnmf_tpu.ops.pallas_phased`) see full lanes at their boundary,
+where Pallas mandates the default layout.  (A channels-second carry makes
+the minormost axis the ragged spatial extent — 66 of 128 lanes at the
+flagship scale — and forces boundary relayouts around every Pallas call.)
+Every operator is a convolution whose channel counts are multiplied by
+the ``prod(r)`` phase count on *both* sides:
 
 * ``grad_H_pair`` — one conv of the phased extended data (``C*prod(r)``
   input channels) against a one-hot-expanded kernel (``M*prod(r)`` output
@@ -171,27 +180,30 @@ def applicable(plan: ConvPlan, n_channels: int, n_atoms: int) -> bool:
 # ---------------------------------------------------------------------------
 
 def _phase(x: jnp.ndarray, r: Tuple[int, ...]) -> jnp.ndarray:
-    """(N, F, *E) -> (N, F*prod(r), *(E/r)), channel order (f, p1..pk)."""
+    """(N, F, *E) canonical -> (N, *(E/r), F*prod(r)) channels-last, channel
+    order (f, p1..pk)."""
     N, F = x.shape[:2]
     E = x.shape[2:]
     nd = len(r)
     x = x.reshape((N, F) + tuple(
         v for e, rr in zip(E, r) for v in (e // rr, rr)))
-    perm = [0, 1] + [3 + 2 * i for i in range(nd)] + [2 + 2 * i for i in range(nd)]
+    # (N, F, Y1, r1, ..., Yk, rk) -> (N, Y1..Yk, F, r1..rk)
+    perm = ([0] + [2 + 2 * i for i in range(nd)] + [1]
+            + [3 + 2 * i for i in range(nd)])
     x = x.transpose(perm)
-    return x.reshape((N, F * math.prod(r)) +
-                     tuple(e // rr for e, rr in zip(E, r)))
+    return x.reshape((N,) + tuple(e // rr for e, rr in zip(E, r)) +
+                     (F * math.prod(r),))
 
 
 def _unphase(x: jnp.ndarray, F: int, r: Tuple[int, ...]) -> jnp.ndarray:
-    """Inverse of :func:`_phase`."""
+    """Inverse of :func:`_phase`: (N, *B, F*prod(r)) -> (N, F, *(B*r))."""
     N = x.shape[0]
     nd = len(r)
-    blocks = x.shape[2:]
-    x = x.reshape((N, F) + r + blocks)
-    perm = [0, 1]
+    blocks = x.shape[1:1 + nd]
+    x = x.reshape((N,) + blocks + (F,) + r)
+    perm = [0, 1 + nd]
     for i in range(nd):
-        perm += [2 + nd + i, 2 + i]
+        perm += [1 + i, 2 + nd + i]
     x = x.transpose(perm)
     return x.reshape((N, F) + tuple(b * rr for b, rr in zip(blocks, r)))
 
@@ -292,10 +304,15 @@ def _rec_kernel(W: jnp.ndarray, g) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _dn(nd: int, kind: str):
+    # channels-LAST activations (phased channels minormost); kernels stay
+    # (O, I, *taps).  grad_W contracts over samples: lhs batches the data
+    # channels (last axis) and feeds N as the contraction, output kept
+    # (batch=C-side, feature=M-side, *taps) so the reassembly is identical
+    # to the channels-second formulation.
     sp = conv_ops._dim_letters(nd)
     if kind == 'std':
-        return ('NC' + sp, 'OI' + sp, 'NC' + sp)
-    return ('CN' + sp, 'IO' + sp, 'NC' + sp)  # sample-contracting (grad_W)
+        return ('N' + sp + 'C', 'OI' + sp, 'N' + sp + 'C')
+    return ('C' + sp + 'N', 'I' + sp + 'O', 'NC' + sp)  # sample-contracting
 
 
 def _conv(lhs, rhs, dn, preferred, precision, strides=None, keep_low=False,
@@ -328,6 +345,20 @@ def prepare_data(V: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
     return _extend_phased(V, plan)
 
 
+def _unshuffle_cl(out: jnp.ndarray, C: int, ks: Tuple[int, ...]) -> jnp.ndarray:
+    """(N, *B, C*prod(ks)) channels-last blocked -> (N, C, *(B*ks))
+    canonical (the channels-last pixel unshuffle)."""
+    N = out.shape[0]
+    nd = len(ks)
+    B = out.shape[1:1 + nd]
+    x = out.reshape((N,) + B + (C,) + ks)
+    perm = [0, 1 + nd]
+    for i in range(nd):
+        perm += [1 + i, 2 + nd + i]
+    x = x.transpose(perm)
+    return x.reshape((N, C) + tuple(b * k for b, k in zip(B, ks)))
+
+
 def _reflect_left(x: jnp.ndarray, g, ax: int, n_blocks: int) -> jnp.ndarray:
     """Prepend ``n_blocks`` blocks of the even left reflection along shift
     axis ``ax``.  Canonical position ``-k`` holds ``H[k]`` (numpy 'reflect'
@@ -338,11 +369,11 @@ def _reflect_left(x: jnp.ndarray, g, ax: int, n_blocks: int) -> jnp.ndarray:
     (``H[1..a-1]``) never touch the absorbing right padding."""
     r = g['r']
     nd = len(r)
-    N, CH = x.shape[:2]
+    N, CH = x.shape[0], x.shape[-1]
     F = CH // math.prod(r)
-    blocks = x.shape[2:]
-    xr = x.reshape((N, F) + r + blocks)
-    pax, bax = 2 + ax, 2 + nd + ax
+    blocks = x.shape[1:1 + nd]
+    xr = x.reshape((N,) + blocks + (F,) + r)
+    bax, pax = 1 + ax, 2 + nd + ax
     rr = r[ax]
     parts = []
     for q in range(rr):
@@ -353,7 +384,7 @@ def _reflect_left(x: jnp.ndarray, g, ax: int, n_blocks: int) -> jnp.ndarray:
     ext = jnp.concatenate(parts, axis=pax)
     out = jnp.concatenate([ext, xr], axis=bax)
     nb = tuple(b + (n_blocks if i == ax else 0) for i, b in enumerate(blocks))
-    return out.reshape((N, CH) + nb)
+    return out.reshape((N,) + nb + (CH,))
 
 
 def reconstruct(W: jnp.ndarray, Hph: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
@@ -384,8 +415,8 @@ def reconstruct(W: jnp.ndarray, Hph: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray
                 continue
             if plan.mode == 'circular':
                 wrap = lax.slice_in_dim(x, (t - (a - 1)) // rr, t // rr,
-                                        axis=2 + ax)
-                x = jnp.concatenate([wrap, x], axis=2 + ax)
+                                        axis=1 + ax)
+                x = jnp.concatenate([wrap, x], axis=1 + ax)
             else:
                 x = _reflect_left(x, g, ax, lb)
     pad = []
@@ -393,10 +424,10 @@ def reconstruct(W: jnp.ndarray, Hph: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray
         left = (A[i] - 1) // r[i] if plan.mode == 'full' else 0
         n_req = -(-plan.sample_shape[i] // s[i])
         need = (n_req - 1) * strides[i] + taps[i]
-        pad.append((left, max(0, need - x.shape[2 + i] - left)))
+        pad.append((left, max(0, need - x.shape[1 + i] - left)))
     out = _conv(x, K3, _dn(nd, 'std'), W.dtype, plan.lax_precision, strides,
                 padding=pad)
-    R = conv_ops._unshuffle(out, W.shape[1], s).astype(W.dtype)
+    R = _unshuffle_cl(out, W.shape[1], s).astype(W.dtype)
     return R[(Ellipsis,) + tuple(slice(0, si) for si in plan.sample_shape)]
 
 
@@ -491,9 +522,8 @@ def inhibition_positive_term_phased(
     """
     g = geometry(plan)
     r = g['r']
-    N = Hph.shape[0]
     pp = math.prod(r)
-    M = Hph.shape[1] // pp
+    M = Hph.shape[-1] // pp
     conv = Hph
     for axis, k in enumerate(kernels):
         conv = _phase_conv_1d(conv, jnp.asarray(k, Hph.dtype), plan, axis, M)
@@ -501,8 +531,8 @@ def inhibition_positive_term_phased(
     if with_same_atom:
         term = term + inhibition * (conv - Hph)
     if with_cross_atom:
-        c = conv.reshape((N, M, pp) + conv.shape[2:])
-        cross = (c.sum(axis=1, keepdims=True) - c).reshape(Hph.shape)
+        c = conv.reshape(conv.shape[:-1] + (M, pp))
+        cross = (c.sum(axis=-2, keepdims=True) - c).reshape(Hph.shape)
         term = term + (cross_inhibition / (n_atoms - 1)) * cross
     return term
 
@@ -518,10 +548,10 @@ def grad_W_pair(Vs: jnp.ndarray, R: jnp.ndarray, Hph: jnp.ndarray,
     g = geometry(plan)
     A, r = g['a'], g['r']
     pp = math.prod(r)
-    M = Hph.shape[1] // pp
-    C = Vs.shape[1] // pp
+    M = Hph.shape[-1] // pp
+    C = Vs.shape[-1] // pp
     Rs = _extend_phased(R, plan)
-    X2 = jnp.concatenate([Vs, Rs], axis=1)  # (N, 2C*pp, ...)
+    X2 = jnp.concatenate([Vs, Rs], axis=-1)  # (N, ..., 2C*pp)
     out = _conv(X2, Hph, _dn(plan.ndim, 'gw'), Hph.dtype, plan.lax_precision)
     K = out.shape[2:]
     # the reassembly placement is the grad placement with the (p, q) roles
