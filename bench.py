@@ -433,6 +433,20 @@ def pallas_check():
     detail.append(f'mu_h_relerr={err:.2e}')
     ok &= err < 1e-4
 
+    # fused phased H-update kernel, compiled (scratch-based im2col)
+    from tnmf_tpu.experimental import pallas_phased
+    from tnmf_tpu.ops import phased
+    assert pallas_phased.supported(plan, jnp.float32)
+    Hph = jax.jit(lambda h: phased.encode_h(h, plan))(H)
+    Vs = jax.jit(lambda v: phased.prepare_data(v, plan))(V)
+    Rp = jax.jit(lambda h: phased.reconstruct(W, h, plan))(Hph)
+    got_p = pallas_phased.mu_h(Vs, Rp, W, Hph, plan, engine.EPS)
+    negp, posp = phased.grad_H_pair(Vs, Rp, W, plan)
+    want_p = Hph * negp / (posp + engine.EPS)
+    err = float(jnp.max(jnp.abs(got_p - want_p)) / jnp.max(jnp.abs(want_p)))
+    detail.append(f'phased_mu_h_relerr={err:.2e}')
+    ok &= err < 1e-4
+
     result.update(value=bool(ok), detail=' '.join(detail))
     print(json.dumps(result), flush=True)
 

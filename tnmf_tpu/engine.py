@@ -294,6 +294,19 @@ def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
     R = ops.reconstruct(W, H, plan)
     if beta == 2.0:
         Rm = R if mask is None else R * mask.astype(R.dtype)
+        if use_pallas and getattr(ops, 'encode_h', None) is not None:
+            # opt-in fused phased H update (experimental; a measured
+            # negative result — tnmf_tpu/experimental/pallas_phased.py)
+            from .experimental import pallas_phased
+            if pallas_phased.supported(plan, H.dtype):
+                pe = None
+                if use_inhibition or use_cross:
+                    pe = ops.inhibition_positive_term_phased(
+                        H, kernels, plan, W.shape[0], inhibition,
+                        cross_inhibition, with_same_atom=use_inhibition,
+                        with_cross_atom=use_cross)
+                return pallas_phased.mu_h(Vp, Rm, W, H, plan,
+                                          EPS + sparsity, pe)
         neg, pos = ops.grad_H_pair(Vp, Rm, W, plan)
     else:
         neg, pos = _beta_grad_pair(ops, ops.grad_H_pair, Vp, R, W, plan, beta,

@@ -12,6 +12,11 @@ honestly against the XLA lowerings with full data-dependent consumers
   phase-decomposed lowering (:mod:`tnmf_tpu.ops.phased`), which reaches
   the same statistics ~1.7x faster than even XLA's plain conv at the
   flagship scale.
+* :mod:`.pallas_phased` — fused phased H-update (both gradient
+  correlations + MU ratio in one VMEM pass, targeting the two H-sized
+  streams XLA materializes); ~0.4x the XLA phased path in both dtypes —
+  the scratch-based in-kernel im2col Mosaic requires costs more than the
+  fusion saves (full analysis in its docstring).
 
 They remain available via ``TransformInvariantNMF(use_pallas=True)`` for
 experimentation, fall back silently off-TPU or for unsupported shapes, and
@@ -20,6 +25,6 @@ their compiled-mode parity is checked on real TPU by
 mode on CPU).
 """
 
-from . import pallas_gw, pallas_mu  # noqa: F401
+from . import pallas_gw, pallas_mu, pallas_phased  # noqa: F401
 
-__all__ = ['pallas_gw', 'pallas_mu']
+__all__ = ['pallas_gw', 'pallas_mu', 'pallas_phased']
