@@ -39,7 +39,8 @@ the ``prod(r)`` phase count on *both* sides:
   layout (:func:`inhibition_positive_term_phased`).
 
 Measured on one v5e chip at the flagship config (64x256x256, 16 atoms 9x9,
-C=1): 15.05 -> 3.11 ms per full MU iteration f32, 13 -> 2.02 ms bf16 — the
+C=1): 15.05 -> 3.1 ms per full MU iteration f32, 13 -> 1.75-1.9 ms bf16
+(the channels-last carry keeps the phased channels minormost) — the
 round-2 profile's three bottlenecks (grad_W conv 6.6 ms, lane-sliced MU
 ratio 3.2 ms, grad_H conv 2.7 ms) all collapse.  Numerically the operators
 match the oracle/conv paths to f64 roundoff (tests/test_phased.py).
