@@ -153,17 +153,19 @@ def test_phased_fit_matches_conv_modes(force_phased, mode):
         np.testing.assert_allclose(ph.energies_, plain.energies_, rtol=1e-10)
 
 
-def test_minibatch_defaults_to_conv(force_phased):
-    """Policy: minibatch fitting keeps the plain conv lowering (phased
-    measured ~8x slower per small batch step on v5e, bench.py minibatch
-    row) while fit_batch upgrades."""
+def test_minibatch_upgrades_to_phased(force_phased):
+    """Policy: minibatch fitting upgrades to the phased lowering like
+    fit_batch (re-measured on v5e with host-materialization sync: ASG_MU
+    epochs 2.7x faster at the 144x32x32/bs=12 fixture scale, ~10x at the
+    64x256x256 flagship scale; an earlier '8x slower' figure predated the
+    channels-last carry and a dispatch-sync artifact)."""
     from tnmf_tpu import MiniBatchAlgorithm, TransformInvariantNMF
     V = np.random.default_rng(5).random((6, 1, 16, 14))
     np.random.seed(42)
     nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 9), backend='jax_conv')
     nmf.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=2,
                         n_epochs=1)
-    assert nmf._strategy == 'conv'
+    assert nmf._strategy == 'phased'
     nmf.fit_batch(V, n_iterations=1)
     assert nmf._strategy == 'phased'
 

@@ -535,8 +535,8 @@ class TransformInvariantNMF:
         allow_phased = allow_phased and canonical_layout_ok
         # under a transform group H carries n_atoms * n_transforms maps —
         # that is the channel count the phased-applicability cost model sees.
-        # allow_dot deliberately ignores the minibatch allow_phased=False:
-        # the matmul lowering wins at every batch size
+        # allow_dot tracks only the canonical-layout gate: the matmul
+        # lowering wins at every batch size
         strategy = engine.resolve_strategy(
             strategy, self._plan, self.n_atoms * self.n_transforms,
             V.shape[1], allow_phased, allow_dot=canonical_layout_ok)
@@ -980,12 +980,13 @@ class TransformInvariantNMF:
         # shuffling effectively never happens there.  We reproduce that
         # behavior for exact cross-library comparability; batch-ORDER
         # shuffling below is still active for algorithms 5-8.
-        # allow_phased=False: per-batch steps are small, and the phased
-        # lowering measured 8x slower per minibatch step at the fixture
-        # scale (bench.py minibatch row, v5e) — the plain conv lowering
-        # stays the minibatch default
-        self._initialize_matrices(V, keep_W, shuffle_input=False,
-                                  allow_phased=False, mask=mask)
+        # the phased lowering applies to minibatch fits too: re-measured on
+        # v5e with host-materialization sync (an earlier "8x slower at
+        # fixture scale" figure predated the channels-last carry and a
+        # dispatch-sync artifact), ASG_MU epochs run 2.7x faster at the
+        # 144x32x32/bs=12 fixture scale and ~10x faster at the 64x256x256
+        # flagship scale (5.3 vs 51 ms/epoch f32) than the conv lowering
+        self._initialize_matrices(V, keep_W, shuffle_input=False, mask=mask)
 
         # sample count from the device array: under a process-spanning mesh
         # self._V is None (no host copy exists), but the global jax.Array
@@ -1295,11 +1296,11 @@ class TransformInvariantNMF:
         assert sparsity_H >= 0
         assert inhibition_strength >= 0
         assert cross_atom_inhibition_strength >= 0
-        # per-batch steps are small; the phased lowering measured slower at
-        # minibatch scale (see fit_minibatches) and SAG statistics must stay
-        # in the canonical W layout across calls, so allow_phased=False
-        self._initialize_matrices(V, keep_W=True, allow_phased=False,
-                                  mask=mask)
+        # the phased lowering applies here too (see fit_minibatches for the
+        # per-batch measurements); SAG statistics are W-shaped and W is
+        # never phase-encoded, so they stay canonical across calls under
+        # every strategy
+        self._initialize_matrices(V, keep_W=True, mask=mask)
         dt = self._W.dtype
         self._mb_scalars = (jnp.asarray(sparsity_H, dt),
                             jnp.asarray(inhibition_strength, dt),
