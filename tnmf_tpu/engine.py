@@ -118,11 +118,10 @@ def resolve_strategy(strategy: str, plan: ConvPlan, n_atoms: int,
       problem (mode 'full' with atom_shape == sample_shape) is plain NMF —
       pure matmuls beat any conv/fft lowering on every platform.  Gated by
       ``allow_dot`` (off for forced Pallas kernels and spatial meshes,
-      whose layouts assume the canonical grid; it stays ON for the
-      minibatch drivers, where the phased upgrade is off).
+      whose layouts assume the canonical grid).
     * 'phased' (:mod:`tnmf_tpu.ops.phased`): re-lowers the MU iteration
-      with phase-multiplied channel counts; measured 2.4x faster at the
-      flagship 64x256x256 scale on v5e.  Applies on TPU for every
+      with phase-multiplied channel counts; measured 4.9x faster at the
+      flagship 64x256x256 scale on v5e (15.05 -> 3.1 ms/iter f32).  Applies on TPU for every
       reconstruction mode when channels are few; trajectories match the
       plain conv strategy to float roundoff (tests/test_phased.py).
 

@@ -864,6 +864,9 @@ class MultiScaleTNMF:
             version=1,
         )
         if jax.process_index() == 0:
+            # with block=False orbax creates ``path`` in its background
+            # thread, so the sidecar write must not rely on it existing yet
+            os.makedirs(path, exist_ok=True)
             with open(os.path.join(path, 'tnmf_config.json'), 'w') as f:
                 json.dump(meta, f)
 

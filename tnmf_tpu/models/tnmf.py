@@ -524,7 +524,7 @@ class TransformInvariantNMF:
         if strategy == 'auto':
             strategy = engine.choose_strategy(self._plan, self.n_atoms, V.shape[1])
         # on TPU, channel-poor problems (any reconstruction mode) run the
-        # phase-decomposed lowering (tnmf_tpu.ops.phased; 2.4x at scale).
+        # phase-decomposed lowering (tnmf_tpu.ops.phased; 4.9x at scale).
         # Excluded: forced Pallas kernels (they expect canonical H) and
         # spatially-sharded meshes (halo exchange is validated on the
         # canonical grid only).
@@ -1663,6 +1663,9 @@ class TransformInvariantNMF:
             version=1,
         )
         if jax.process_index() == 0:
+            # with block=False orbax creates ``path`` in its background
+            # thread, so the sidecar write must not rely on it existing yet
+            os.makedirs(path, exist_ok=True)
             with open(os.path.join(path, 'tnmf_config.json'), 'w') as f:
                 json.dump(meta, f)
 
