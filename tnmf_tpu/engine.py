@@ -280,11 +280,17 @@ def _beta_grad_pair(ops, grad_pair, Vc, R, other, plan, beta, mask=None):
 
 def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
           plan, use_inhibition, use_cross, use_pallas=False, beta=2.0,
-          mask=None):
+          mask=None, l2=None):
     """One multiplicative H update (reference ``_update_H``,
     ``TransformInvariantNMF.py:246-271``).  ``H`` is in the strategy's
     loop-carried representation (phase-blocked for 'phased').  For
     ``beta != 2``, ``Vp`` carries the canonical (unprepared) data tensor.
+
+    ``l2`` (None = absent) adds a ridge penalty (lambda/2)*||H||_2^2 to the
+    objective: its gradient ``l2 * H`` is nonnegative, so it joins the
+    positive MU part — sklearn's ``alpha_H``/``l1_ratio`` L2 term (no
+    reference counterpart).  Layout-safe for the phased carry: the term is
+    elementwise in H and the absorbing zero padding stays zero.
 
     With ``mask`` (beta = 2) ``Vp`` arrives pre-masked (``prepare(mask*V)``,
     loop-invariant) and R is masked here — the exact MU rule for the
@@ -293,7 +299,7 @@ def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
     R = ops.reconstruct(W, H, plan)
     if beta == 2.0:
         Rm = R if mask is None else R * mask.astype(R.dtype)
-        if use_pallas and getattr(ops, 'encode_h', None) is not None:
+        if use_pallas and l2 is None and getattr(ops, 'encode_h', None) is not None:
             # opt-in fused phased H update (experimental; a measured
             # negative result — tnmf_tpu/experimental/pallas_phased.py)
             from .experimental import pallas_phased
@@ -312,7 +318,7 @@ def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
                                    mask)
     if use_inhibition or use_cross:
         phased_mod = getattr(ops, 'encode_h', None) is not None
-        if use_pallas and not phased_mod:
+        if use_pallas and l2 is None and not phased_mod:
             from .experimental import pallas_mu
             taps = tuple(k.shape[0] for k in kernels)
             if pallas_mu.inhibited_mu_h_supported(H.shape, plan.ndim, taps, H.dtype):
@@ -331,6 +337,8 @@ def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
                 H, kernels, plan.ndim, inhibition, cross_inhibition,
                 n_atoms=H.shape[1],
                 with_same_atom=use_inhibition, with_cross_atom=use_cross)
+    if l2 is not None:
+        pos = pos + jnp.asarray(l2, pos.dtype) * H.astype(pos.dtype)
     # fft/conv: neg/pos are float32 under bfloat16 storage and the ratio is
     # formed in the accumulation dtype.  phased: the gradient pair is kept
     # in the storage dtype on purpose (keep_low — halving the dominant HBM
@@ -348,7 +356,19 @@ def _normalize_W(W, n_shift_axes):
     return W / jnp.where(s == 0, 1, s)
 
 
-def _mu_W(ops, Vp, W, H, *, plan, use_pallas=False, beta=2.0, mask=None):
+def _ortho_positive_term(W, ortho):
+    """Gradient of the cross-atom orthogonality (dictionary diversity)
+    penalty (lambda/2) * sum_{m != m'} <W_m, W_m'> (per channel, elementwise
+    overlap): d/dW_m = lambda * sum_{m' != m} W_m' — nonnegative, so it
+    joins the positive MU part (Choi 2008 orthogonal-NMF style; no
+    reference counterpart).  Penalizes duplicate atoms directly: entries
+    where other atoms carry mass are multiplicatively shrunk."""
+    others = jnp.sum(W, axis=0, keepdims=True) - W
+    return jnp.asarray(ortho, others.dtype) * others
+
+
+def _mu_W(ops, Vp, W, H, *, plan, use_pallas=False, beta=2.0, mask=None,
+          ortho=None):
     """One multiplicative W update with atom-wise sum normalization
     (reference ``_update_W`` + ``normalize``, ``TransformInvariantNMF.py:240-244``).
 
@@ -357,24 +377,28 @@ def _mu_W(ops, Vp, W, H, *, plan, use_pallas=False, beta=2.0, mask=None):
     (:mod:`tnmf_tpu.experimental.pallas_gw`); measured at parity with the XLA conv
     lowering on the flagship config (benchmarks/pallas_fusion.py), kept
     opt-in (and skipped under a mask — it implements the unweighted
-    statistics)."""
+    statistics).
+
+    ``ortho`` (None = absent) adds the cross-atom orthogonality penalty's
+    gradient to the positive part (:func:`_ortho_positive_term`)."""
     R = ops.reconstruct(W, H, plan)
     if beta != 2.0:
         neg, pos = _beta_grad_pair(ops, ops.grad_W_pair, Vp, R, H, plan, beta,
                                    mask)
-        Wn = W * neg / (pos + EPS)
-        return _normalize_W(Wn, plan.ndim).astype(W.dtype)
-    if mask is not None:
-        R = R * mask.astype(R.dtype)  # Vp is prepare(mask*V) already
-    if use_pallas and ops is conv_ops and mask is None:
-        from .experimental import pallas_gw
-        if pallas_gw.supported(plan, W.shape[0], 2 * W.shape[1], H.dtype):
-            X2 = jnp.concatenate([Vp, conv_ops.extend_data(R, plan)], axis=1)
-            neg, pos = pallas_gw.grad_w_gemm(X2, H, plan=plan)
+    else:
+        if mask is not None:
+            R = R * mask.astype(R.dtype)  # Vp is prepare(mask*V) already
+        if use_pallas and ops is conv_ops and mask is None:
+            from .experimental import pallas_gw
+            if pallas_gw.supported(plan, W.shape[0], 2 * W.shape[1], H.dtype):
+                X2 = jnp.concatenate([Vp, conv_ops.extend_data(R, plan)], axis=1)
+                neg, pos = pallas_gw.grad_w_gemm(X2, H, plan=plan)
+            else:
+                neg, pos = ops.grad_W_pair(Vp, R, H, plan)
         else:
             neg, pos = ops.grad_W_pair(Vp, R, H, plan)
-    else:
-        neg, pos = ops.grad_W_pair(Vp, R, H, plan)
+    if ortho is not None:
+        pos = pos + _ortho_positive_term(W, ortho).astype(pos.dtype)
     Wn = W * neg / (pos + EPS)
     return _normalize_W(Wn, plan.ndim).astype(W.dtype)
 
@@ -385,7 +409,7 @@ _STEP_STATICS = ('plan', 'strategy', 'update_H', 'update_W', 'use_inhibition',
 
 @partial(jax.jit, static_argnames=_STEP_STATICS)
 def update_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels,
-                mask=None, *,
+                mask=None, l2_H=None, ortho_W=None, *,
                 plan: ConvPlan, strategy: str,
                 update_H: bool = True, update_W: bool = True,
                 use_inhibition: bool = False, use_cross: bool = False,
@@ -401,16 +425,16 @@ def update_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels,
         H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
                   kernels, plan=plan, use_inhibition=use_inhibition,
                   use_cross=use_cross, use_pallas=use_pallas, beta=beta,
-                  mask=mask)
+                  mask=mask, l2=l2_H)
     if update_W:
         W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw, beta=beta,
-                  mask=mask)
+                  mask=mask, ortho=ortho_W)
     return W, _dec_h(H, plan, strategy, W.shape[0])
 
 
 @partial(jax.jit, static_argnames=_STEP_STATICS, donate_argnums=(1, 2))
 def fit_loop(Vp, W, H, n_iterations, sparsity, inhibition, cross_inhibition,
-             kernels, mask=None, *,
+             kernels, mask=None, l2_H=None, ortho_W=None, *,
              plan: ConvPlan, strategy: str,
              update_H: bool = True, update_W: bool = True,
              use_inhibition: bool = False, use_cross: bool = False,
@@ -428,10 +452,10 @@ def fit_loop(Vp, W, H, n_iterations, sparsity, inhibition, cross_inhibition,
             H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
                       kernels, plan=plan, use_inhibition=use_inhibition,
                       use_cross=use_cross, use_pallas=use_pallas, beta=beta,
-                      mask=mask)
+                      mask=mask, l2=l2_H)
         if update_W:
             W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw,
-                      beta=beta, mask=mask)
+                      beta=beta, mask=mask, ortho=ortho_W)
         return W, H
 
     W, H = jax.lax.fori_loop(0, n_iterations, body, (W, _enc_h(H, plan, strategy)))
@@ -446,7 +470,7 @@ ENERGY_CHUNK = 32
 
 @partial(jax.jit, static_argnames=_STEP_STATICS + ('chunk',), donate_argnums=(2, 3))
 def _fit_energies_chunk(Vp, V, W, H, k, sparsity, inhibition, cross_inhibition,
-                        kernels, mask=None, *,
+                        kernels, mask=None, l2_H=None, ortho_W=None, *,
                         chunk: int,
                         plan: ConvPlan, strategy: str,
                         update_H: bool = True, update_W: bool = True,
@@ -465,10 +489,10 @@ def _fit_energies_chunk(Vp, V, W, H, k, sparsity, inhibition, cross_inhibition,
             H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
                       kernels, plan=plan, use_inhibition=use_inhibition,
                       use_cross=use_cross, use_pallas=use_pallas, beta=beta,
-                      mask=mask)
+                      mask=mask, l2=l2_H)
         if update_W:
             W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw,
-                      beta=beta, mask=mask)
+                      beta=beta, mask=mask, ortho=ortho_W)
         R = ops.reconstruct(W, H, plan)
         return (W, H), beta_ops.divergence(V, R, beta, mask).astype(acc)
 
@@ -484,7 +508,7 @@ def _fit_energies_chunk(Vp, V, W, H, k, sparsity, inhibition, cross_inhibition,
 
 
 def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition,
-                      kernels, mask=None, *,
+                      kernels, mask=None, l2_H=None, ortho_W=None, *,
                       n_iterations: int,
                       plan: ConvPlan, strategy: str,
                       update_H: bool = True, update_W: bool = True,
@@ -512,7 +536,7 @@ def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition,
         k = jnp.int32(min(ENERGY_CHUNK, n - done))
         W, H, es = _fit_energies_chunk(
             Vp, V, W, H, k, sparsity, inhibition, cross_inhibition, kernels,
-            mask, **statics)
+            mask, l2_H, ortho_W, **statics)
         traces.append(es)
         done += ENERGY_CHUNK
     energies = (jnp.concatenate(traces)[:n] if traces
@@ -523,7 +547,8 @@ def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition,
 @partial(jax.jit, static_argnames=_STEP_STATICS + ('check_every',),
          donate_argnums=(2, 3))
 def fit_loop_tol(Vp, V, W, H, n_max, tol, sparsity, inhibition,
-                 cross_inhibition, kernels, mask=None, *,
+                 cross_inhibition, kernels, mask=None, l2_H=None,
+                 ortho_W=None, *,
                  check_every: int,
                  plan: ConvPlan, strategy: str,
                  update_H: bool = True, update_W: bool = True,
@@ -552,10 +577,10 @@ def fit_loop_tol(Vp, V, W, H, n_max, tol, sparsity, inhibition,
             H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
                       kernels, plan=plan, use_inhibition=use_inhibition,
                       use_cross=use_cross, use_pallas=use_pallas, beta=beta,
-                      mask=mask)
+                      mask=mask, l2=l2_H)
         if update_W:
             W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw,
-                      beta=beta, mask=mask)
+                      beta=beta, mask=mask, ortho=ortho_W)
         return W, H
 
     def e_of(W, H):
@@ -584,7 +609,7 @@ def fit_loop_tol(Vp, V, W, H, n_max, tol, sparsity, inhibition,
 
 @partial(jax.jit, static_argnames=('plan', 'strategy', 'use_inhibition', 'use_cross', 'use_pallas', 'beta'))
 def update_H_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels,
-                  mask=None, *,
+                  mask=None, l2_H=None, *,
                   plan: ConvPlan, strategy: str,
                   use_inhibition: bool = False, use_cross: bool = False,
                   use_pallas: bool = False, beta: float = 2.0):
@@ -592,16 +617,18 @@ def update_H_step(Vp, W, H, sparsity, inhibition, cross_inhibition, kernels,
     ops = get_ops(strategy)
     H = _mu_H(ops, Vp, W, _enc_h(H, plan, strategy), sparsity, inhibition,
               cross_inhibition, kernels, plan=plan, use_inhibition=use_inhibition,
-              use_cross=use_cross, use_pallas=use_pallas, beta=beta, mask=mask)
+              use_cross=use_cross, use_pallas=use_pallas, beta=beta, mask=mask,
+              l2=l2_H)
     return _dec_h(H, plan, strategy, W.shape[0])
 
 
 @partial(jax.jit, static_argnames=('plan', 'strategy', 'use_pallas', 'beta'))
-def update_W_step(Vp, W, H, mask=None, *, plan: ConvPlan, strategy: str,
-                  use_pallas: bool = False, beta: float = 2.0):
+def update_W_step(Vp, W, H, mask=None, ortho_W=None, *, plan: ConvPlan,
+                  strategy: str, use_pallas: bool = False, beta: float = 2.0):
     """W-only update on a (mini)batch slice."""
     return _mu_W(get_ops(strategy), Vp, W, _enc_h(H, plan, strategy),
-                 plan=plan, use_pallas=use_pallas, beta=beta, mask=mask)
+                 plan=plan, use_pallas=use_pallas, beta=beta, mask=mask,
+                 ortho=ortho_W)
 
 
 @partial(jax.jit, static_argnames=('plan', 'strategy', 'beta'))
@@ -632,8 +659,14 @@ def accumulate_gradient(acc_neg, acc_pos, neg, pos, sag_lambda):
 
 
 @partial(jax.jit, static_argnames=('n_shift_axes',))
-def apply_W_update(W, neg, pos, *, n_shift_axes: int):
-    """W <- normalize(W * neg / (pos + eps)) from precomputed statistics."""
+def apply_W_update(W, neg, pos, ortho_W=None, *, n_shift_axes: int):
+    """W <- normalize(W * neg / (pos + eps)) from precomputed statistics.
+
+    ``ortho_W`` adds the cross-atom orthogonality gradient from the
+    *current* W at update time (it must not enter the accumulated
+    statistics, which may average over past dictionaries)."""
+    if ortho_W is not None:
+        pos = pos + _ortho_positive_term(W, ortho_W).astype(pos.dtype)
     Wn = W * neg / (pos + EPS)
     return _normalize_W(Wn, n_shift_axes).astype(W.dtype)
 

@@ -44,7 +44,7 @@ def minibatch_fit_loop(
     use_inhibition: bool = False, use_cross: bool = False,
     use_pallas: bool = False, use_pallas_gw: bool = False,
     record_energies: bool = False, V_flat=None, beta: float = 2.0,
-    mask_b=None, mask_flat=None,
+    mask_b=None, mask_flat=None, l2_H=None, ortho_W=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run ``n_epochs`` minibatch epochs on device.
 
@@ -83,7 +83,7 @@ def minibatch_fit_loop(
         return engine._mu_H(ops, Vb, W, Hb, sparsity, inhibition, cross_inhibition,
                             kernels, plan=plan, use_inhibition=use_inhibition,
                             use_cross=use_cross, use_pallas=use_pallas, beta=beta,
-                            mask=Mb)
+                            mask=Mb, l2=l2_H)
 
     def grad_W(Vb, W, Hb, Mb):
         R = ops.reconstruct(W, Hb, plan)
@@ -101,6 +101,10 @@ def minibatch_fit_loop(
         return ops.grad_W_pair(Vb, R, Hb, plan)
 
     def apply_W(W, neg, pos):
+        if ortho_W is not None:
+            # from the CURRENT W at update time — never part of the
+            # accumulated statistics (which may average past dictionaries)
+            pos = pos + engine._ortho_positive_term(W, ortho_W).astype(pos.dtype)
         Wn = W * neg / (pos + engine.EPS)
         return engine._normalize_W(Wn, plan.ndim).astype(W.dtype)  # stable carry dtype
 

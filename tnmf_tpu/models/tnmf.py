@@ -338,6 +338,10 @@ class TransformInvariantNMF:
         # partial_fit steps taken (sklearn MiniBatchNMF n_steps_ semantics)
         self._sag_stat_ = None
         self.n_steps_: int = 0
+        # per-(mini)batch regularizer scalars for the Python batch-step
+        # helpers (set by fit_minibatches / partial_fit; None = absent)
+        self._mb_l2 = None
+        self._mb_ortho = None
 
     # ------------------------------------------------------------------
     # accessors (reference TransformInvariantNMF.py:188-215)
@@ -724,6 +728,8 @@ class TransformInvariantNMF:
             sparsity_H: float = 0.,
             inhibition_strength: float = 0.,
             cross_atom_inhibition_strength: float = 0.,
+            l2_H: float = 0.,
+            ortho_W: float = 0.,
             progress_callback: Optional[Callable[['TransformInvariantNMF', int], bool]] = None,
             callback_interval: int = 1,
             record_energies: bool = False,
@@ -785,6 +791,19 @@ class TransformInvariantNMF:
           Exact MU semantics: both gradient halves are correlations of
           mask-weighted V-shaped streams, so the masked objective's
           update costs one extra elementwise multiply per iteration.
+        * ``l2_H`` adds a ridge penalty ``(l2_H/2)*||H||_2^2`` to the
+          objective (sklearn's ``alpha_H`` L2 term; the reference only has
+          the L1 ``sparsity_H``): its gradient joins the positive MU part,
+          shrinking activations smoothly instead of sparsifying them.
+        * ``ortho_W`` adds a cross-atom orthogonality (dictionary
+          diversity) penalty ``(ortho_W/2)*sum_{m != m'} <W_m, W_m'>``
+          (Choi-style orthogonal NMF; no reference counterpart): entries
+          where *other* atoms carry mass are multiplicatively shrunk, which
+          suppresses duplicate atoms — the common MU pathology that
+          :func:`tnmf_tpu.utils.atoms.find_dead_atoms` revival cannot fix
+          (two atoms converged onto the same feature are both alive).
+          Recorded/logged energies remain the pure reconstruction
+          divergence, like the reference's.
         * ``revive_every=k`` makes the fit self-healing against MU's
           absorbing zero state (atoms collapsed under sparsity pressure can
           never recover on their own): every ``k`` fused on-device
@@ -801,6 +820,8 @@ class TransformInvariantNMF:
         assert sparsity_H >= 0
         assert inhibition_strength >= 0
         assert cross_atom_inhibition_strength >= 0
+        assert l2_H >= 0
+        assert ortho_W >= 0
         assert callback_interval >= 1
         if (checkpoint_every is None) != (checkpoint_path is None):
             raise ValueError(
@@ -867,6 +888,11 @@ class TransformInvariantNMF:
         scalars = (jnp.asarray(sparsity_H, self._W.dtype),
                    jnp.asarray(inhibition_strength, self._W.dtype),
                    jnp.asarray(cross_atom_inhibition_strength, self._W.dtype))
+        # zero strength -> None: the default graphs stay bit-identical
+        regs = dict(
+            l2_H=(jnp.asarray(l2_H, self._W.dtype) if l2_H > 0 else None),
+            ortho_W=(jnp.asarray(ortho_W, self._W.dtype) if ortho_W > 0
+                     else None))
 
         log_each = self._logger.isEnabledFor(logging.INFO)
         self.energies_ = None
@@ -882,7 +908,7 @@ class TransformInvariantNMF:
                 self._Vp, self._Vd, self._W, self._H,
                 jnp.asarray(int(n_iterations), jnp.int32),
                 jnp.asarray(tol, acc), *scalars, self._kernels,
-                mask=self._mask_d,
+                mask=self._mask_d, **regs,
                 check_every=int(tol_check_every), **statics)
             self.n_iterations_ = int(n_done)
             self._logger.info('TNMF finished.')
@@ -893,7 +919,7 @@ class TransformInvariantNMF:
             # fused loop with an on-device per-iteration energy trace
             self._W, self._H, energies = engine.fit_loop_energies(
                 self._Vp, self._Vd, self._W, self._H, *scalars, self._kernels,
-                self._mask_d, n_iterations=int(n_iterations), **statics)
+                self._mask_d, n_iterations=int(n_iterations), **regs, **statics)
             self.energies_ = np.asarray(energies)
             if log_each:
                 for i, e in enumerate(self.energies_):
@@ -902,7 +928,7 @@ class TransformInvariantNMF:
             # fused on-device loop
             self._W, self._H = engine.fit_loop(
                 self._Vp, self._W, self._H, n_iterations, *scalars,
-                self._kernels, self._mask_d, **statics)
+                self._kernels, self._mask_d, **regs, **statics)
         elif progress_callback is not None and callback_interval > 1:
             # chunked callbacks: fused on-device chunks between Python calls.
             # The callback sees the model after iterations k-1, 2k-1, ... —
@@ -917,12 +943,12 @@ class TransformInvariantNMF:
                 if record_energies:
                     self._W, self._H, es = engine.fit_loop_energies(
                         self._Vp, self._Vd, self._W, self._H, *scalars, self._kernels,
-                        self._mask_d, n_iterations=chunk, **statics)
+                        self._mask_d, n_iterations=chunk, **regs, **statics)
                     traces.append(np.asarray(es))
                 else:
                     self._W, self._H = engine.fit_loop(
                         self._Vp, self._W, self._H, chunk, *scalars,
-                        self._kernels, self._mask_d, **statics)
+                        self._kernels, self._mask_d, **regs, **statics)
                 done += chunk
                 if not progress_callback(self, done - 1):
                     break
@@ -934,7 +960,7 @@ class TransformInvariantNMF:
             for iteration in range(n_iterations):
                 self._W, self._H = engine.update_step(
                     self._Vp, self._W, self._H, *scalars, self._kernels,
-                    self._mask_d, **statics)
+                    self._mask_d, **regs, **statics)
                 self.n_iterations_ = iteration + 1
                 if record_energies:
                     energies.append(self._energy_function())
@@ -963,6 +989,8 @@ class TransformInvariantNMF:
             sparsity_H: float = 0.,
             inhibition_strength: float = 0.,
             cross_atom_inhibition_strength: float = 0.,
+            l2_H: float = 0.,
+            ortho_W: float = 0.,
             progress_callback: Optional[Callable[['TransformInvariantNMF', int], bool]] = None,
             record_energies: bool = False,
             mask=None,
@@ -973,6 +1001,8 @@ class TransformInvariantNMF:
         assert sparsity_H >= 0
         assert inhibition_strength >= 0
         assert cross_atom_inhibition_strength >= 0
+        assert l2_H >= 0
+        assert ortho_W >= 0
         assert isinstance(algorithm, MiniBatchAlgorithm)
 
         # NOTE: the reference computes `algorithm in (5, 6, 7, 8)` which is
@@ -1111,7 +1141,9 @@ class TransformInvariantNMF:
                 use_pallas=self._pallas_mu_enabled(batch_size),
                 use_pallas_gw=self._use_pallas_gw,
                 record_energies=record_energies, V_flat=V_flat,
-                beta=self._beta, mask_b=mask_b, mask_flat=mask_flat_d)
+                beta=self._beta, mask_b=mask_b, mask_flat=mask_flat_d,
+                l2_H=(jnp.asarray(l2_H, dt) if l2_H > 0 else None),
+                ortho_W=(jnp.asarray(ortho_W, dt) if ortho_W > 0 else None))
             self._W = W
             self._H = H_b.reshape((nb * batch_size,) + H_b.shape[2:])[:n]
             if record_energies:
@@ -1131,6 +1163,8 @@ class TransformInvariantNMF:
         self._mb_scalars = (jnp.asarray(sparsity_H, dt),
                             jnp.asarray(inhibition_strength, dt),
                             jnp.asarray(cross_atom_inhibition_strength, dt))
+        self._mb_l2 = jnp.asarray(l2_H, dt) if l2_H > 0 else None
+        self._mb_ortho = jnp.asarray(ortho_W, dt) if ortho_W > 0 else None
         self._mb_flags = dict(use_inhibition=inhibition_strength > 0,
                               use_cross=cross_atom_inhibition_strength > 0,
                               use_pallas=self._pallas_mu_enabled(batch_size),
@@ -1158,7 +1192,7 @@ class TransformInvariantNMF:
     def _update_H_batch(self, s: slice):
         Hb = engine.update_H_step(
             self._Vp[s], self._W, self._H[s], *self._mb_scalars, self._kernels,
-            self._mask_slice(s),
+            self._mask_slice(s), self._mb_l2,
             plan=self._plan, strategy=self._strategy, **self._mb_flags)
         if s == sliceNone:
             self._H = Hb
@@ -1168,6 +1202,7 @@ class TransformInvariantNMF:
     def _update_W_batch(self, s: slice):
         self._W = engine.update_W_step(
             self._Vp[s], self._W, self._H[s], self._mask_slice(s),
+            self._mb_ortho,
             plan=self._plan, strategy=self._strategy,
             use_pallas=self._use_pallas_gw, beta=self._beta)
 
@@ -1177,7 +1212,8 @@ class TransformInvariantNMF:
             plan=self._plan, strategy=self._strategy, beta=self._beta)
 
     def _apply_W_stats(self, neg, pos):
-        self._W = engine.apply_W_update(self._W, neg, pos, n_shift_axes=self._plan.ndim)
+        self._W = engine.apply_W_update(self._W, neg, pos, self._mb_ortho,
+                                        n_shift_axes=self._plan.ndim)
 
     def _epoch_update_algorithm_4(self, _, batches, __):
         """Cyclic_MU: H per batch; one W update per epoch from summed stats."""
@@ -1265,6 +1301,8 @@ class TransformInvariantNMF:
             sparsity_H: float = 0.,
             inhibition_strength: float = 0.,
             cross_atom_inhibition_strength: float = 0.,
+            l2_H: float = 0.,
+            ortho_W: float = 0.,
             mask=None,
     ) -> 'TransformInvariantNMF':
         """Update the model with ONE minibatch (online learning).
@@ -1296,6 +1334,8 @@ class TransformInvariantNMF:
         assert sparsity_H >= 0
         assert inhibition_strength >= 0
         assert cross_atom_inhibition_strength >= 0
+        assert l2_H >= 0
+        assert ortho_W >= 0
         # the phased lowering applies here too (see fit_minibatches for the
         # per-batch measurements); SAG statistics are W-shaped and W is
         # never phase-encoded, so they stay canonical across calls under
@@ -1305,6 +1345,8 @@ class TransformInvariantNMF:
         self._mb_scalars = (jnp.asarray(sparsity_H, dt),
                             jnp.asarray(inhibition_strength, dt),
                             jnp.asarray(cross_atom_inhibition_strength, dt))
+        self._mb_l2 = jnp.asarray(l2_H, dt) if l2_H > 0 else None
+        self._mb_ortho = jnp.asarray(ortho_W, dt) if ortho_W > 0 else None
         self._mb_flags = dict(use_inhibition=inhibition_strength > 0,
                               use_cross=cross_atom_inhibition_strength > 0,
                               use_pallas=self._pallas_mu_enabled(
