@@ -187,3 +187,19 @@ def test_negative_strength_rejected():
         nmf.fit_batch(V, n_iterations=1, l2_H=-1.0)
     with pytest.raises(AssertionError):
         nmf.fit_batch(V, n_iterations=1, ortho_W=-0.5)
+
+
+def test_sweep_per_model_vectors():
+    """sweep_fit grids over l2/ortho; a zero entry is exact (bitwise equal
+    to the unregularized sweep lane, since pos + 0*X == pos)."""
+    from tnmf_tpu.models.sweep import sweep_fit
+    V = _toy().astype(np.float32)
+    plain = sweep_fit(V, n_atoms=3, atom_shape=(4,), n_models=2, seed=0,
+                      n_iterations=15)
+    reg = sweep_fit(V, n_atoms=3, atom_shape=(4,), n_models=2, seed=0,
+                    n_iterations=15, l2=np.array([0.0, 5.0]),
+                    ortho=np.array([0.0, 0.5]))
+    assert np.array_equal(np.asarray(plain.W[0]), np.asarray(reg.W[0]))
+    assert np.array_equal(np.asarray(plain.H[0]), np.asarray(reg.H[0]))
+    assert (np.linalg.norm(np.asarray(reg.H[1]))
+            < np.linalg.norm(np.asarray(plain.H[1])))

@@ -84,7 +84,8 @@ def _per_model(x, n_models: int, name: str, dtype) -> jnp.ndarray:
          static_argnames=('n_iterations', 'n_atoms',
                           'n_maps') + engine._STEP_STATICS)
 def _sweep_impl(Vp, V, keys, sparsity, inhibition, cross_inhibition,
-                kernels, mask, *, n_iterations, n_atoms, n_maps, plan,
+                kernels, mask, l2=None, ortho=None, *, n_iterations,
+                n_atoms, n_maps, plan,
                 strategy, update_H, update_W, use_inhibition, use_cross,
                 use_pallas, use_pallas_gw, beta):
     """Init + fit + final energy for all models as one program.
@@ -104,15 +105,21 @@ def _sweep_impl(Vp, V, keys, sparsity, inhibition, cross_inhibition,
 
     W0, H0 = jax.vmap(init_one)(keys)
 
-    def fit_one(W, H, sp, inh, cross):
+    def fit_one(W, H, sp, inh, cross, l2v=None, orv=None):
         return engine.fit_loop(
             Vp, W, H, n_iterations, sp, inh, cross, kernels, mask,
+            l2_H=l2v, ortho_W=orv,
             plan=plan, strategy=strategy, update_H=update_H,
             update_W=update_W, use_inhibition=use_inhibition,
             use_cross=use_cross, use_pallas=use_pallas,
             use_pallas_gw=use_pallas_gw, beta=beta)
 
-    W, H = jax.vmap(fit_one)(W0, H0, sparsity, inhibition, cross_inhibition)
+    if l2 is None:
+        W, H = jax.vmap(fit_one)(W0, H0, sparsity, inhibition,
+                                 cross_inhibition)
+    else:
+        W, H = jax.vmap(fit_one)(W0, H0, sparsity, inhibition,
+                                 cross_inhibition, l2, ortho)
 
     def energy_one(W, H):
         return engine.energy(V, W, H, mask, plan=plan, strategy=strategy,
@@ -125,7 +132,8 @@ def _sweep_impl(Vp, V, keys, sparsity, inhibition, cross_inhibition,
          static_argnames=('n_iterations', 'n_atoms',
                           'n_maps') + engine._STEP_STATICS)
 def _sweep_impl_traced(Vp, V, keys, sparsity, inhibition, cross_inhibition,
-                       kernels, mask, *, n_iterations, n_atoms, n_maps,
+                       kernels, mask, l2=None, ortho=None, *,
+                       n_iterations, n_atoms, n_maps,
                        plan, strategy, update_H, update_W, use_inhibition,
                        use_cross, use_pallas, use_pallas_gw, beta):
     """Like :func:`_sweep_impl` but records the objective after every
@@ -142,11 +150,11 @@ def _sweep_impl_traced(Vp, V, keys, sparsity, inhibition, cross_inhibition,
 
     W0, H0 = jax.vmap(init_one)(keys)
 
-    def fit_one(W, H, sp, inh, cross):
+    def fit_one(W, H, sp, inh, cross, l2v=None, orv=None):
         def step(WH, _):
             W, H = WH
             W, H = engine.update_step(
-                Vp, W, H, sp, inh, cross, kernels, mask,
+                Vp, W, H, sp, inh, cross, kernels, mask, l2v, orv,
                 plan=plan, strategy=strategy, update_H=update_H,
                 update_W=update_W, use_inhibition=use_inhibition,
                 use_cross=use_cross, use_pallas=use_pallas,
@@ -158,14 +166,19 @@ def _sweep_impl_traced(Vp, V, keys, sparsity, inhibition, cross_inhibition,
         (W, H), es = jax.lax.scan(step, (W, H), None, length=n_iterations)
         return W, H, es
 
-    return jax.vmap(fit_one)(W0, H0, sparsity, inhibition, cross_inhibition)
+    if l2 is None:
+        return jax.vmap(fit_one)(W0, H0, sparsity, inhibition,
+                                 cross_inhibition)
+    return jax.vmap(fit_one)(W0, H0, sparsity, inhibition, cross_inhibition,
+                             l2, ortho)
 
 
 @partial(jax.jit,
          static_argnames=('n_atoms', 'n_maps',
                           'check_every') + engine._STEP_STATICS)
 def _sweep_impl_tol(Vp, V, keys, sparsity, inhibition, cross_inhibition,
-                    kernels, mask, n_max, tol, *, n_atoms, n_maps,
+                    kernels, mask, n_max, tol, l2=None, ortho=None, *,
+                    n_atoms, n_maps,
                     check_every, plan, strategy, update_H, update_W,
                     use_inhibition, use_cross, use_pallas, use_pallas_gw,
                     beta):
@@ -188,9 +201,9 @@ def _sweep_impl_tol(Vp, V, keys, sparsity, inhibition, cross_inhibition,
 
     W, H = jax.vmap(init_one)(keys)
 
-    def step_one(W, H, sp, inh, cross):
+    def step_one(W, H, sp, inh, cross, l2v=None, orv=None):
         return engine.update_step(
-            Vp, W, H, sp, inh, cross, kernels, mask,
+            Vp, W, H, sp, inh, cross, kernels, mask, l2v, orv,
             plan=plan, strategy=strategy, update_H=update_H,
             update_W=update_W, use_inhibition=use_inhibition,
             use_cross=use_cross, use_pallas=use_pallas,
@@ -218,9 +231,11 @@ def _sweep_impl_tol(Vp, V, keys, sparsity, inhibition, cross_inhibition,
         k = jnp.minimum(check_every, n_max - i)
 
         def inner(_, WH):
-            W2, H2 = vstep(WH[0], WH[1], sparsity, inhibition,
-                           cross_inhibition)
-            return W2, H2
+            if l2 is None:
+                return vstep(WH[0], WH[1], sparsity, inhibition,
+                             cross_inhibition)
+            return vstep(WH[0], WH[1], sparsity, inhibition,
+                         cross_inhibition, l2, ortho)
 
         W2, H2 = jax.lax.fori_loop(0, k, inner, (W, H))
         e = venergy(W2, H2)
@@ -252,6 +267,8 @@ def sweep_fit(
     sparsity=0.0,
     inhibition=0.0,
     cross_inhibition=0.0,
+    l2=0.0,
+    ortho=0.0,
     inhibition_range: Optional[Tuple[int, ...]] = None,
     reconstruction_mode: str = 'valid',
     strategy: str = 'auto',
@@ -271,11 +288,12 @@ def sweep_fit(
     Each model gets its own device-side random initialization (derived from
     ``seed``: an int, split into per-model keys — or an explicit vector of
     per-model integer seeds) and its own regularization strengths:
-    ``sparsity`` / ``inhibition`` / ``cross_inhibition`` may each be a
-    scalar (shared) or a length-``n_models`` vector (a grid).  When every
-    hyperparameter is scalar this is a pure multi-restart; mixed vectors
-    give seed x strength grids by construction (build the vectors
-    accordingly).
+    ``sparsity`` / ``inhibition`` / ``cross_inhibition`` / ``l2`` (ridge
+    on H) / ``ortho`` (cross-atom dictionary orthogonality — the model
+    class's ``l2_H`` / ``ortho_W``) may each be a scalar (shared) or a
+    length-``n_models`` vector (a grid).  When every hyperparameter is
+    scalar this is a pure multi-restart; mixed vectors give seed x
+    strength grids by construction (build the vectors accordingly).
 
     Static per-sweep (they change the compiled graph, not a traced value):
     ``reconstruction_mode``, ``strategy``, ``beta_loss``, ``n_atoms``,
@@ -348,6 +366,15 @@ def sweep_fit(
     sp = _per_model(sparsity, n_models, 'sparsity', sdt)
     inh = _per_model(inhibition, n_models, 'inhibition', sdt)
     cross = _per_model(cross_inhibition, n_models, 'cross_inhibition', sdt)
+    # zero is exact under MU (pos + 0*X == pos), so when either term is
+    # active both ride as per-model vectors; all-zero -> None keeps the
+    # unregularized graphs
+    if np.any(np.asarray(l2, np.float64) > 0) or \
+            np.any(np.asarray(ortho, np.float64) > 0):
+        l2v = _per_model(l2, n_models, 'l2', sdt)
+        orv = _per_model(ortho, n_models, 'ortho', sdt)
+    else:
+        l2v = orv = None
     use_inh = bool(np.any(np.asarray(inh, np.float32) > 0))
     use_cross = bool(np.any(np.asarray(cross, np.float32) > 0))
     rng_range = resolve_inhibition_range(inhibition_range, atom_shape)
@@ -373,6 +400,8 @@ def sweep_fit(
         rep = NamedSharding(mesh, P())
         keys, sp, inh, cross = (jax.device_put(x, model_sh)
                                 for x in (keys, sp, inh, cross))
+        if l2v is not None:
+            l2v, orv = (jax.device_put(x, model_sh) for x in (l2v, orv))
         Vp = jax.device_put(Vp, rep)
         V = jax.device_put(V, rep)
         if mask is not None:
@@ -396,15 +425,16 @@ def sweep_fit(
         W, H, E, iters = _sweep_impl_tol(
             Vp, V, keys, sp, inh, cross, kernels, mask,
             jnp.asarray(n_max, jnp.int32), jnp.asarray(tol, acc),
+            l2v, orv,
             check_every=int(tol_check_every), **tol_statics)
         return SweepResult(W=W, H=H, energies=E, seeds=seeds, n_iters=iters)
     if record_energies:
         # per-iteration objective traces (one extra reconstruction per
         # iteration — what the reference pays for its default energy log)
         W, H, traces = _sweep_impl_traced(
-            Vp, V, keys, sp, inh, cross, kernels, mask, **statics)
+            Vp, V, keys, sp, inh, cross, kernels, mask, l2v, orv, **statics)
         return SweepResult(W=W, H=H, energies=traces[:, -1], seeds=seeds,
                            energy_traces=traces)
     W, H, E = _sweep_impl(
-        Vp, V, keys, sp, inh, cross, kernels, mask, **statics)
+        Vp, V, keys, sp, inh, cross, kernels, mask, l2v, orv, **statics)
     return SweepResult(W=W, H=H, energies=E, seeds=seeds)
