@@ -89,6 +89,22 @@ def test_regularizers_and_modes_bake_in():
     assert not np.allclose(np.asarray(served(V_new)), plain, rtol=1e-3)
 
 
+def test_l2_bakes_in():
+    """The ridge term rides the serving export exactly like transform's
+    ``l2_H`` kwarg (and is recorded in the header)."""
+    m = _fitted()
+    kw = dict(sparsity_H=0.05, l2_H=2.0)
+    art = m.export_serving(n_iterations=5, **kw)
+    served = load_serving(art)
+    assert served.header['l2_H'] == 2.0
+    V_new = _data(seed=13)
+    np.testing.assert_allclose(served(V_new),
+                               m.transform(V_new, n_iterations=5, **kw),
+                               rtol=1e-6, atol=1e-9)
+    plain = m.transform(V_new, n_iterations=5, sparsity_H=0.05)
+    assert np.linalg.norm(np.asarray(served(V_new))) < np.linalg.norm(plain)
+
+
 def test_transform_group_layout():
     m = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), seed=0,
                               h_init='correlate', transform_type='shift+flip')

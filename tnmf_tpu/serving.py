@@ -49,6 +49,7 @@ def export_serving(model, *,
                    sparsity_H: float = 0.,
                    inhibition_strength: float = 0.,
                    cross_atom_inhibition_strength: float = 0.,
+                   l2_H: float = 0.,
                    batch_size: Optional[int] = None,
                    path: Optional[str] = None,
                    platforms: Optional[Sequence[str]] = None,
@@ -66,9 +67,10 @@ def export_serving(model, *,
     n_iterations : int
         Default MU iteration count recorded in the artifact header; the
         exported function also takes the count as a runtime scalar.
-    sparsity_H, inhibition_strength, cross_atom_inhibition_strength : float
+    sparsity_H, inhibition_strength, cross_atom_inhibition_strength, l2_H : float
         Regularizer strengths, baked in as constants (same semantics as
-        ``transform``'s kwargs).
+        ``transform``'s kwargs; ``l2_H`` is the ridge term — ``ortho_W``
+        does not apply here, the dictionary is frozen).
     batch_size : int, optional
         Fix the batch dimension.  Default: symbolic — one artifact serves
         any batch size.
@@ -101,6 +103,9 @@ def export_serving(model, *,
     from . import engine
 
     if hasattr(model, 'atom_shapes'):  # MultiScaleTNMF
+        if l2_H:
+            raise ValueError('l2_H is not supported by the MultiScaleTNMF '
+                             'serving export yet; only sparsity_H applies')
         return _export_serving_multiscale(
             model, n_iterations=n_iterations, sparsity_H=sparsity_H,
             inhibition_strength=inhibition_strength,
@@ -124,6 +129,7 @@ def export_serving(model, *,
             'set_dictionary())')
     assert sparsity_H >= 0 and inhibition_strength >= 0
     assert cross_atom_inhibition_strength >= 0
+    assert l2_H >= 0
 
     from .ops.modes import ConvPlan
 
@@ -157,6 +163,7 @@ def export_serving(model, *,
     s_c = jnp.asarray(sparsity_H, W.dtype)
     i_c = jnp.asarray(inhibition_strength, W.dtype)
     x_c = jnp.asarray(cross_atom_inhibition_strength, W.dtype)
+    l2_c = jnp.asarray(l2_H, W.dtype) if l2_H > 0 else None
     ops = engine.get_ops(strategy)
 
     def serve(V, n_iters):
@@ -173,7 +180,7 @@ def export_serving(model, *,
         def body(_, Hph):
             return engine._mu_H(ops, Vloop, W, Hph, s_c, i_c, x_c, kernels,
                                 plan=plan, use_inhibition=use_inh,
-                                use_cross=use_cross, beta=beta)
+                                use_cross=use_cross, beta=beta, l2=l2_c)
 
         Hph = lax.fori_loop(0, n_iters, body, Hph)
         H = engine._dec_h(Hph, plan, strategy, W.shape[0])
@@ -230,6 +237,7 @@ def export_serving(model, *,
         'sparsity_H': float(sparsity_H),
         'inhibition_strength': float(inhibition_strength),
         'cross_atom_inhibition_strength': float(cross_atom_inhibition_strength),
+        'l2_H': float(l2_H),
         'beta_loss': float(beta),
     }
     return _assemble(header, payloads, path)
