@@ -122,6 +122,26 @@ def _mask_beta_groups():
     return 'ok'
 
 
+@check('l2_and_ortho_regularizers')
+def _l2_ortho():
+    from tnmf_tpu import TransformInvariantNMF
+    V = _data()
+    base = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), seed=0)
+    base.fit(V, n_iterations=8)
+    reg = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), seed=0)
+    reg.fit(V, n_iterations=8, l2_H=2.0, ortho_W=0.5)
+    assert np.linalg.norm(reg.H) < np.linalg.norm(base.H)  # ridge shrinks
+
+    def overlap(W):
+        F = np.asarray(W).reshape(W.shape[0], -1)
+        G = F @ F.T
+        return float(G.sum() - np.trace(G))
+
+    assert overlap(reg.W) < overlap(base.W)  # diversity suppresses overlap
+    assert np.isfinite(reg.W).all() and np.isfinite(reg.H).all()
+    return 'ok'
+
+
 @check('minibatch_scan_and_partial_fit')
 def _minibatch():
     from tnmf_tpu import MiniBatchAlgorithm, TransformInvariantNMF
