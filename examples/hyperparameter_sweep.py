@@ -60,6 +60,21 @@ def main():
     print(f'best model: #{res.best} '
           f'(seed {int(seeds[res.best])}, sparsity {sp[res.best]:.2f})')
 
+    # any regularizer grids the same way: here a dictionary-diversity
+    # (ortho) grid — higher strengths push atoms apart (lower cross-atom
+    # overlap), at some reconstruction cost
+    orthos = np.array([0.0, 0.5, 2.0, 8.0], np.float32)
+    # identical per-model seeds: every lane starts from the same init, so
+    # the grid isolates the strength's effect
+    res_o = sweep_fit(V, 5, (5, 5), seed=np.zeros(len(orthos), np.uint32),
+                      n_iterations=n_iterations, ortho=orthos)
+    Wo = np.asarray(res_o.W).reshape(len(orthos), 5, -1)
+    gram = np.einsum('smk,snk->smn', Wo, Wo)
+    ov = gram.sum(axis=(1, 2)) - np.trace(gram, axis1=1, axis2=2)
+    print(f'{"ortho":>6} {"energy":>12} {"atom overlap":>13}')
+    for s, o in enumerate(orthos):
+        print(f'{o:>6.1f} {float(res_o.energies[s]):>12.4f} {ov[s]:>13.4f}')
+
     # per-model early stopping: converged models freeze, the sweep's one
     # while_loop exits when all are done (or at n_iterations)
     res_tol = sweep_fit(V, 5, (5, 5), seed=seeds, n_iterations=n_iterations,
