@@ -203,3 +203,48 @@ def test_sweep_per_model_vectors():
     assert np.array_equal(np.asarray(plain.H[0]), np.asarray(reg.H[0]))
     assert (np.linalg.norm(np.asarray(reg.H[1]))
             < np.linalg.norm(np.asarray(plain.H[1])))
+
+
+def test_matches_oracle_grouped():
+    """Composition with transform groups: l2 acts elementwise on the
+    (atom, transform)-map H, ortho on the CANONICAL atom bank (the tied
+    copies are deterministic functions of it, so diversity pressure on the
+    canonical atoms is the whole penalty)."""
+    from tests.test_transforms import (_np_expand, _np_tie, _data)
+    from tnmf_tpu.ops.transforms import make_group
+
+    l2, ortho = 0.3, 0.2
+    V = _data(sample=(13,))
+    atom_shape, n_atoms, mode, iters, seed = (4,), 2, 'valid', 5, 9
+    group = make_group('shift+flip', atom_shape)
+
+    # grouped oracle MU with the new terms (mirrors _oracle_group_fit)
+    rng = np.random.default_rng(seed)
+    tshape = oracle.transform_shape(mode, V.shape[2:], atom_shape)
+    H = 1 - rng.random((V.shape[0], n_atoms * group.size) + tshape)
+    W = 1 - rng.random((n_atoms, V.shape[1]) + atom_shape)
+    axes = tuple(range(-len(atom_shape), 0))
+    W /= W.sum(axis=axes, keepdims=True)
+    for _ in range(iters):
+        We = _np_expand(W, group)
+        R = oracle.reconstruct(We, H, mode)
+        neg = oracle.corr_H(V, We, mode)
+        pos = oracle.corr_H(R, We, mode) + l2 * H
+        H = H * neg / (pos + 1e-9)
+        R = oracle.reconstruct(_np_expand(W, group), H, mode)
+        neg = _np_tie(oracle.corr_W(V, H, mode, atom_shape), group)
+        pos = _np_tie(oracle.corr_W(R, H, mode, atom_shape), group)
+        pos = pos + ortho * (W.sum(axis=0, keepdims=True) - W)
+        W = W * neg / (pos + 1e-9)
+        s = W.sum(axis=axes, keepdims=True)
+        W = W / np.where(s == 0, 1, s)
+
+    nmf = TransformInvariantNMF(n_atoms, atom_shape, seed=seed,
+                                reconstruction_mode=mode,
+                                transform_type='shift+flip')
+    nmf.fit_batch(V.astype(np.float32), n_iterations=iters, l2_H=l2,
+                  ortho_W=ortho)
+    np.testing.assert_allclose(nmf.W, W, rtol=2e-3, atol=2e-4)
+    H_flat = np.asarray(nmf.H).reshape(
+        (V.shape[0], n_atoms * group.size) + tshape)
+    np.testing.assert_allclose(H_flat, H, rtol=2e-3, atol=2e-4)
