@@ -194,6 +194,95 @@ def test_beta_minibatch_matches_oracle_schedule():
     np.testing.assert_allclose(nmf.H, H, rtol=1e-8)
 
 
+@pytest.mark.parametrize('beta', (0.0, 0.5, 1.0, 1.5))
+@pytest.mark.parametrize('mode', ('valid', 'full', 'circular', 'reflect'))
+def test_beta_fast_path_matches_generic(beta, mode):
+    """The prepared-domain factor fast path (no in-loop prepare_data;
+    batch-1 KL denominators) equals the generic canonical formulation to
+    float64 roundoff, per gradient half."""
+    import jax.numpy as jnp
+    from tnmf_tpu import engine
+    from tnmf_tpu.ops import conv as conv_ops
+    from tnmf_tpu.ops.modes import ConvPlan
+
+    rng = np.random.default_rng(0)
+    V = rng.random((3, 2, 11)) + 0.05
+    W = rng.random((2, 2, 4))
+    W /= W.sum(-1, keepdims=True)
+    plan = ConvPlan.create(mode, (11,), (4,))
+    H = rng.random((3, 2) + plan.transform_shape)
+    Vd, Wd, Hd = map(jnp.asarray, (V, W, H))
+    R = conv_ops.reconstruct(Wd, Hd, plan)
+    Vp = conv_ops.prepare_data(Vd, plan)
+
+    assert engine.beta_prepares_data('conv')
+    assert not engine.beta_prepares_data('fft')
+
+    fast = engine._beta_grad_H(conv_ops, Vp, R, Wd, plan, beta)
+    generic = engine._beta_grad_pair(conv_ops, conv_ops.grad_H_pair,
+                                     Vd, R, Wd, plan, beta)
+    for f, g in zip(fast, generic):
+        g = np.asarray(g)
+        np.testing.assert_allclose(np.broadcast_to(np.asarray(f), g.shape),
+                                   g, rtol=1e-10, atol=1e-12)
+
+    fast = engine._beta_grad_W(conv_ops, Vp, R, Hd, plan, beta, n_channels=2)
+    generic = engine._beta_grad_pair(conv_ops, conv_ops.grad_W_pair,
+                                     Vd, R, Hd, plan, beta)
+    for f, g in zip(fast, generic):
+        g = np.asarray(g)
+        np.testing.assert_allclose(np.broadcast_to(np.asarray(f), g.shape),
+                                   g, rtol=1e-10, atol=1e-12)
+
+
+def test_beta_group_fast_path_matches_oracle():
+    """Transform-group adapter + KL: the tied-dictionary beta fit matches a
+    NumPy oracle running the expanded-dictionary MU with tie-back."""
+    from tnmf_tpu.ops import transforms as tr
+    rng = np.random.default_rng(8)
+    V = rng.random((2, 1, 9, 9)).astype(np.float64) + 0.05
+    n_atoms, atom = 2, (3, 3)
+    group = tr.make_group('shift+flip', atom)
+
+    nmf = TransformInvariantNMF(n_atoms, atom, backend='jax_conv', seed=3,
+                                beta_loss=1.0, dtype=np.float64,
+                                transform_type='shift+flip')
+    nmf.fit_batch(V, n_iterations=3)
+
+    rng2 = np.random.default_rng(3)
+    tshape = oracle.transform_shape('valid', V.shape[2:], atom)
+    H = 1 - rng2.random((V.shape[0], n_atoms * group.size) + tshape)
+    W = 1 - rng2.random((n_atoms, V.shape[1]) + atom)
+    W /= W.sum(axis=(-2, -1), keepdims=True)
+
+    def expand(W):
+        return np.concatenate(
+            [np.asarray(tr.apply(W[m:m + 1], e, 2, 2))
+             for m in range(n_atoms) for e in group.elements])
+
+    def tie(G):
+        Gm = G.reshape((n_atoms, group.size) + G.shape[1:])
+        return sum(np.asarray(tr.apply_inverse(Gm[:, i], e, 2, 2))
+                   for i, e in enumerate(group.elements))
+
+    for _ in range(3):
+        We = expand(W)
+        R = oracle.reconstruct(We, H, 'valid')
+        A, B = beta_ops.np_factors(V, R, 1.0)
+        H = H * oracle.corr_H(A, We, 'valid') / (
+            oracle.corr_H(B, We, 'valid') + 1e-9)
+        We = expand(W)
+        R = oracle.reconstruct(We, H, 'valid')
+        A, B = beta_ops.np_factors(V, R, 1.0)
+        neg = tie(oracle.corr_W(A, H, 'valid', atom))
+        pos = tie(oracle.corr_W(B, H, 'valid', atom))
+        W = W * neg / (pos + 1e-9)
+        s = W.sum(axis=(-2, -1), keepdims=True)
+        W = W / np.where(s == 0, 1, s)
+    np.testing.assert_allclose(nmf.W, W, rtol=1e-8)
+    np.testing.assert_allclose(nmf.H.reshape(H.shape), H, rtol=1e-8)
+
+
 def test_beta_rejects_pallas():
     with pytest.raises(ValueError, match='beta_loss'):
         TransformInvariantNMF(2, (3,), beta_loss=1.0, use_pallas=True)

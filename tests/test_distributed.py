@@ -66,6 +66,17 @@ nmf3 = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), mesh=mesh,
                              transform_type='shift+flip')
 distributed.fit_distributed(nmf3, V_local, n_iterations=3, sparsity_H=0.1)
 np.save(%(out)r + f'/Wg_{rank}.npy', np.asarray(nmf3._W))
+
+# masked factorization on process-spanning global arrays: the mask is
+# distributed exactly like V (each process wraps its local slice), so no
+# host ever holds the full mask — the inpainting-at-scale workload
+M_global = (rng.random((8, 2, 12, 12)) > 0.3).astype(np.float64)
+nmf4 = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3), mesh=mesh,
+                             init='device', seed=0, dtype='float64')
+V4 = distributed.distribute_samples(mesh, V_local)
+M4 = distributed.distribute_samples(mesh, M_global[rank * 4:(rank + 1) * 4])
+nmf4.fit(V4, n_iterations=4, sparsity_H=0.1, mask=M4)
+np.save(%(out)r + f'/Wm_{rank}.npy', np.asarray(nmf4._W))
 '''
 
 
@@ -130,3 +141,14 @@ def test_two_process_fit_matches_single_process(tmp_path):
                                  transform_type='shift+flip')
     nmf3.fit(V, n_iterations=3, sparsity_H=0.1)
     np.testing.assert_allclose(Wg0, np.asarray(nmf3._W), rtol=1e-12, atol=1e-14)
+
+    # masked 2-process fit pinned to the single-process trajectory: the
+    # distributed mask reproduces the single-host masked objective exactly
+    Wm0 = np.load(tmp_path / 'Wm_0.npy')
+    Wm1 = np.load(tmp_path / 'Wm_1.npy')
+    np.testing.assert_array_equal(Wm0, Wm1)
+    M = (rng.random((8, 2, 12, 12)) > 0.3).astype(np.float64)
+    nmf4 = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3), mesh=make_mesh(8),
+                                 init='device', seed=0, dtype='float64')
+    nmf4.fit(V, n_iterations=4, sparsity_H=0.1, mask=M)
+    np.testing.assert_allclose(Wm0, np.asarray(nmf4._W), rtol=1e-12, atol=1e-14)

@@ -299,6 +299,48 @@ def test_mesh_parity():
     np.testing.assert_allclose(m1.H, m2.H, rtol=1e-7)
 
 
+def test_atom_mesh_parity():
+    """Tensor (atom) parallelism composes with tied-transform dictionaries:
+    W shards along its canonical atom axis, the m-major expansion keeps
+    every atom's tied copies shard-local, and the fit reproduces the
+    single-device trajectory.  Groups multiply the effective dictionary by
+    up to 8 (D4) — exactly when atom sharding matters."""
+    import jax
+    if jax.device_count() < 8:
+        pytest.skip('needs 8 (virtual) devices')
+    from tnmf_tpu.parallel import make_mesh_atoms
+    V = _data(seed=21, n=4, c=1, sample=(10, 10))
+    kw = dict(n_atoms=8, atom_shape=(3, 3), seed=9,
+              transform_type='shift+rot90+flip')
+    m1 = TransformInvariantNMF(**kw)
+    m1.fit_batch(V, n_iterations=4, sparsity_H=0.05)
+    m2 = TransformInvariantNMF(**kw, mesh=make_mesh_atoms(8),
+                               shard_axis='atoms')
+    m2.fit_batch(V, n_iterations=4, sparsity_H=0.05)
+    np.testing.assert_allclose(m1.W, m2.W, rtol=1e-7)
+    np.testing.assert_allclose(m1.H, m2.H, rtol=1e-7)
+
+
+def test_data_x_atoms_mesh_parity():
+    """2-D data x atoms mesh (VERDICT r3 #4): tied D4 dictionary, samples
+    sharded over 'data', W/H atom axes over 'atoms'; trajectory matches
+    single-device."""
+    import jax
+    if jax.device_count() < 8:
+        pytest.skip('needs 8 (virtual) devices')
+    from tnmf_tpu.parallel import make_mesh_2d_atoms
+    V = _data(seed=22, n=4, c=2, sample=(9, 9))
+    kw = dict(n_atoms=4, atom_shape=(3, 3), seed=11,
+              transform_type='shift+rot90+flip')
+    m1 = TransformInvariantNMF(**kw)
+    m1.fit_batch(V, n_iterations=4)
+    m2 = TransformInvariantNMF(**kw, mesh=make_mesh_2d_atoms(2, 4),
+                               shard_axis='samples+atoms')
+    m2.fit_batch(V, n_iterations=4)
+    np.testing.assert_allclose(m1.W, m2.W, rtol=1e-7)
+    np.testing.assert_allclose(m1.H, m2.H, rtol=1e-7)
+
+
 def test_transform_serving_roundtrip():
     m, V = _fit_small()
     H = m.transform(V, n_iterations=5)
@@ -421,6 +463,6 @@ def test_error_paths():
                               use_pallas=True)
     from tnmf_tpu.parallel import make_mesh
     m = TransformInvariantNMF(2, (5,), transform_type='shift+flip',
-                              mesh=make_mesh(), shard_axis='atoms')
+                              mesh=make_mesh(), shard_axis='spatial')
     with pytest.raises(ValueError, match="shard_axis='samples'"):
-        m.fit_batch(_data(seed=1, n=8, c=1, sample=(12,)), n_iterations=1)
+        m.fit_batch(_data(seed=1, n=8, c=1, sample=(16,)), n_iterations=1)

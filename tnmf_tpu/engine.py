@@ -262,20 +262,137 @@ def correlate_init_H(Vp, Vd, W, *, plan: ConvPlan, strategy, n_atoms: int):
     return jnp.maximum(H0, floor).astype(W.dtype)
 
 
+_pallas_phased_warned = False
+
+
+def _warn_pallas_phased_once():
+    """One-time heads-up that use_pallas=True routed the plain (uninhibited)
+    phased H update through the experimental fused kernel, which measures
+    ~0.4x the XLA phased path (tnmf_tpu/experimental/pallas_phased.py) —
+    the kernel is opt-in for study, not speed.  Runs at trace time, so it
+    fires once per process, not per iteration."""
+    global _pallas_phased_warned
+    if not _pallas_phased_warned:
+        _pallas_phased_warned = True
+        import logging
+        logging.getLogger('tnmf_tpu').info(
+            'use_pallas=True: routing the phased H update through the '
+            'experimental fused Pallas kernel (measured ~0.4x the default '
+            'XLA phased path; see tnmf_tpu.experimental.pallas_phased)')
+
+
 def _beta_grad_pair(ops, grad_pair, Vc, R, other, plan, beta, mask=None):
-    """(neg, pos) of a beta-divergence gradient: the strategy's Euclidean
-    pair operator applied to ``A = V * R**(beta-2)`` (in the prepared-V
-    slot) and ``B = R**(beta-1)`` (in the R slot).  ``Vc`` is the
-    *canonical* data tensor — with beta != 2 the loop-invariant
-    ``prepare_data`` transform moves inside the iteration because its
-    input depends on R.  A ``mask`` (missing-data / per-entry weights)
-    multiplies both factors: the masked objective's gradients are the
-    unmasked ones with every V-shaped stream weighted."""
+    """Generic (fallback) beta-divergence gradient pair: the strategy's
+    Euclidean pair operator applied to ``A = V * R**(beta-2)`` (in the
+    prepared-V slot) and ``B = R**(beta-1)`` (in the R slot).  ``Vc`` is
+    the *canonical* data tensor — the loop-invariant ``prepare_data``
+    transform moves inside the iteration because its input depends on R.
+    A ``mask`` (missing-data / per-entry weights) multiplies both factors:
+    the masked objective's gradients are the unmasked ones with every
+    V-shaped stream weighted.  Only the masked path still routes here;
+    unmasked beta fits use :func:`_beta_grad_H` / :func:`_beta_grad_W`."""
     A, B = beta_ops.factors(Vc, R, beta)
     if mask is not None:
         A = A * mask.astype(A.dtype)
         B = B * mask.astype(B.dtype)
     return grad_pair(ops.prepare_data(A, plan), B, other, plan)
+
+
+def beta_prepares_data(strategy) -> bool:
+    """Whether a ``beta != 2`` fit should pass ``prepare_data(V)`` (instead
+    of the canonical V) in the engine's prepared-data slot: true for the
+    strategies whose prepared domain is an entrywise replication/zero-fill
+    of the canonical domain (conv / phased / dot and their transform-group
+    adapters), where the beta factors are computed directly on prepared
+    tensors and the per-iteration re-preparation of a V-shaped stream
+    disappears.  Callers with a mask keep the canonical layout regardless
+    (the factors are mask-weighted canonically)."""
+    return bool(getattr(get_ops(strategy), 'FACTORS_IN_PREPARED', False))
+
+
+def _beta_factors(ops, Vp, R, plan, beta, n_channels):
+    """``(A_prep, B_prep)`` of the beta-divergence MU factors in the
+    strategy's prepared domain; ``B_prep`` is None for beta = 1 (B = 1 —
+    the denominators collapse to correlations of the boundary-extension
+    pattern, see :func:`_beta_grad_H`).
+
+    For ``FACTORS_IN_PREPARED`` strategies, ``Vp`` is the loop-invariant
+    prepared data and the factors are elementwise ops on prepared tensors:
+    valid because the mode extension replicates/zero-fills entries, so it
+    commutes with any elementwise function that maps 0 to 0 — ``A`` rides
+    on ``Vp`` (zero padding stays zero), and ``B``'s padding is re-zeroed
+    by the extension-pattern mask.  Otherwise (fft: the prepared domain is
+    spectral) ``Vp`` is the canonical data, factors are computed canonically
+    and re-prepared per iteration (the transform of an R-dependent tensor
+    is inherently loop-variant, like the reference's CachingFFT re-transform
+    of H, ``NumPy_CachingFFT.py:222-249``)."""
+    if getattr(ops, 'FACTORS_IN_PREPARED', False):
+        Rp = ops.prepare_data(R, plan)
+        acc = jnp.promote_types(Rp.dtype, jnp.float32)
+        Rs = jnp.maximum(Rp.astype(acc), beta_ops.EPS_R)
+        Vc = Vp.astype(acc)
+        if beta == 1.0:
+            return (Vc / Rs).astype(R.dtype), None
+        ones = _ones_prepared(ops, plan, n_channels, R.dtype).astype(acc)
+        if beta == 0.0:
+            A = Vc / (Rs * Rs)
+            B = ones / Rs
+        else:
+            A = Vc * Rs ** (beta - 2.0)
+            B = ones * Rs ** (beta - 1.0)
+        return A.astype(R.dtype), B.astype(R.dtype)
+    A, B = beta_ops.factors(Vp, R, beta)
+    Ap = ops.prepare_data(A, plan)
+    Bp = None if beta == 1.0 else ops.prepare_data(B, plan)
+    return Ap, Bp
+
+
+def _ones_prepared(ops, plan, n_channels, dtype):
+    """``prepare_data`` of an all-ones ``(1, n_channels, *sample)`` tensor —
+    the mode boundary-extension pattern (1 over the extended data domain, 0
+    in 'valid' zero padding / phased absorbing padding).  A jit constant:
+    XLA constant-folds it and hoists it out of the fit loop."""
+    return ops.prepare_data(
+        jnp.ones((1, n_channels) + plan.sample_shape, dtype), plan)
+
+
+def _beta_grad_H(ops, Vp, R, W, plan, beta, mask=None):
+    """(neg, pos) of the beta-divergence H gradient.
+
+    The masked path keeps the generic canonical formulation (factors are
+    mask-weighted before preparation).  Unmasked, ``neg = corr(A, W)`` runs
+    on prepared factors and — the beta = 1 specialization — ``pos =
+    corr(extension_pattern, W)`` runs with batch extent 1 (B = 1 is
+    sample-independent), shrinking the denominator correlation by the full
+    batch factor.  Serizel/Essid/Richard 2016's beta-MU rules, cited but
+    not implemented by the reference (``TransformInvariantNMF.py:136-139``)."""
+    if mask is not None:
+        return _beta_grad_pair(ops, ops.grad_H_pair, Vp, R, W, plan, beta,
+                               mask)
+    A, B = _beta_factors(ops, Vp, R, plan, beta, W.shape[1])
+    if B is None:  # beta == 1: B = 1, one batch-1 denominator correlation
+        ones = _ones_prepared(ops, plan, W.shape[1], R.dtype)
+        return ops.corr_H(A, W, plan), ops.corr_H(ones, W, plan)
+    return ops.grad_H_pair_prepared(A, B, W, plan)
+
+
+def _beta_grad_W(ops, Vp, R, H, plan, beta, mask=None, n_channels=None):
+    """(neg, pos) of the beta-divergence W gradient.  For beta = 1 the
+    denominator ``corr(1, H)`` is sample-independent, so H is pre-summed
+    over the batch and the correlation runs with batch/channel extents 1
+    (under a data-parallel mesh the pre-sum is the same psum the Euclidean
+    W statistics pay)."""
+    if mask is not None:
+        return _beta_grad_pair(ops, ops.grad_W_pair, Vp, R, H, plan, beta,
+                               mask)
+    if n_channels is None:
+        n_channels = R.shape[1]
+    A, B = _beta_factors(ops, Vp, R, plan, beta, n_channels)
+    if B is None:  # beta == 1
+        ones = _ones_prepared(ops, plan, 1, R.dtype)
+        Hs = jnp.sum(H, axis=0, keepdims=True)
+        return ops.corr_W(A, H, plan), ops.corr_W(ones, Hs, plan)
+    return ops.grad_W_pair_prepared(A, B, H, plan)
 
 
 def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
@@ -304,6 +421,7 @@ def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
             # negative result — tnmf_tpu/experimental/pallas_phased.py)
             from .experimental import pallas_phased
             if pallas_phased.supported(plan, H.dtype):
+                _warn_pallas_phased_once()
                 pe = None
                 if use_inhibition or use_cross:
                     pe = ops.inhibition_positive_term_phased(
@@ -314,8 +432,7 @@ def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
                                           EPS + sparsity, pe)
         neg, pos = ops.grad_H_pair(Vp, Rm, W, plan)
     else:
-        neg, pos = _beta_grad_pair(ops, ops.grad_H_pair, Vp, R, W, plan, beta,
-                                   mask)
+        neg, pos = _beta_grad_H(ops, Vp, R, W, plan, beta, mask)
     if use_inhibition or use_cross:
         phased_mod = getattr(ops, 'encode_h', None) is not None
         if use_pallas and l2 is None and not phased_mod:
@@ -383,8 +500,8 @@ def _mu_W(ops, Vp, W, H, *, plan, use_pallas=False, beta=2.0, mask=None,
     gradient to the positive part (:func:`_ortho_positive_term`)."""
     R = ops.reconstruct(W, H, plan)
     if beta != 2.0:
-        neg, pos = _beta_grad_pair(ops, ops.grad_W_pair, Vp, R, H, plan, beta,
-                                   mask)
+        neg, pos = _beta_grad_W(ops, Vp, R, H, plan, beta, mask,
+                                n_channels=W.shape[1])
     else:
         if mask is not None:
             R = R * mask.astype(R.dtype)  # Vp is prepare(mask*V) already
@@ -641,7 +758,8 @@ def grad_W_stats(Vp, W, H, mask=None, *, plan: ConvPlan, strategy: str,
     H = _enc_h(H, plan, strategy)
     R = ops.reconstruct(W, H, plan)
     if beta != 2.0:
-        return _beta_grad_pair(ops, ops.grad_W_pair, Vp, R, H, plan, beta, mask)
+        return _beta_grad_W(ops, Vp, R, H, plan, beta, mask,
+                            n_channels=W.shape[1])
     if mask is not None:
         R = R * mask.astype(R.dtype)
     return ops.grad_W_pair(Vp, R, H, plan)

@@ -88,8 +88,8 @@ def minibatch_fit_loop(
     def grad_W(Vb, W, Hb, Mb):
         R = ops.reconstruct(W, Hb, plan)
         if beta != 2.0:
-            return engine._beta_grad_pair(ops, ops.grad_W_pair, Vb, R, Hb, plan,
-                                          beta, Mb)
+            return engine._beta_grad_W(ops, Vb, R, Hb, plan, beta, Mb,
+                                       n_channels=W.shape[1])
         if Mb is not None:
             R = R * Mb.astype(R.dtype)  # Vb carries prepare(mask*V) already
         elif use_pallas_gw and strategy == 'conv':

@@ -118,11 +118,14 @@ def _kernel(add_ref, vs_ref, rs_ref, k2f_ref, h_ref, *rest,
 def _row_blocks(Y1, Y2, Mp, E1, E2, Cp, k1, k2, itemsize, extra):
     """Smallest row-block count whose VMEM footprint fits the budget;
     prefers exact divisors of Y1 (no ragged masking)."""
-    def est(yb):
+    def est(nj, yb):
         h_blk = yb * Y2 * Mp * itemsize
         xcol = yb * Y2 * k1 * k2 * Cp * itemsize
         g = yb * Y2 * Mp * 4
-        vs = E1 * E2 * Cp * itemsize
+        # mu_h pads Vs/Rs rows up to nj*yb + k1 - 1 so ragged tail blocks
+        # never clamp-shift; budget the PADDED extent, not E1 (an
+        # underestimate of up to k1-1 rows near the budget boundary)
+        vs = max(E1, nj * yb + k1 - 1) * E2 * Cp * itemsize
         # accounting calibrated against Mosaic's scoped-vmem report (a
         # 17.3M actual vs 11M estimated OOM at the flagship f32 config):
         # double-buffered pipeline blocks for h, out (+ pe) and BOTH
@@ -131,7 +134,7 @@ def _row_blocks(Y1, Y2, Mp, E1, E2, Cp, k1, k2, itemsize, extra):
         return ((4 + 2 * extra) * h_blk + 4 * vs + 2 * xcol + 5 * g)
     for nj in range(1, Y1 + 1):
         yb = -(-Y1 // nj)
-        if est(yb) <= _VMEM_BUDGET:
+        if est(nj, yb) <= _VMEM_BUDGET:
             # snap to an exact divisor when one is close (<= 25% smaller
             # blocks), avoiding ragged tail blocks
             for nj2 in range(nj, min(Y1, nj + max(1, nj // 4)) + 1):

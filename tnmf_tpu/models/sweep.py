@@ -384,10 +384,13 @@ def sweep_fit(
     if mask is not None:
         mask = jnp.broadcast_to(jnp.asarray(mask), V.shape).astype(V.dtype)
     Vc = V if mask is None or beta_loss != 2.0 else V * mask
-    if beta_loss == 2.0:
+    if beta_loss == 2.0 or (mask is None
+                            and engine.beta_prepares_data(strategy)):
         Vp = engine.prepare_data(Vc, plan=plan, strategy=strategy)
     else:
-        Vp = Vc  # beta losses consume the canonical tensor
+        # fft beta losses / masked beta losses consume the canonical tensor
+        # (engine._beta_factors docstring)
+        Vp = Vc
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

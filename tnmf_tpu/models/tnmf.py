@@ -53,6 +53,12 @@ from ..ops.modes import ConvPlan
 
 sliceNone = slice(None)
 
+#: program geometries already announced at DEBUG (the operational analogue
+#: of the reference CachingFFT backend's per-miss cache logging,
+#: ``NumPy_CachingFFT.py:93-117``: recompiles are the "cache misses" of the
+#: XLA dataflow design, and they are otherwise silent)
+_SEEN_PROGRAM_GEOMETRIES = set()
+
 
 def _assert_nonnegative(V):
     """Reference precondition (TransformInvariantNMF.py:326); checked on
@@ -417,7 +423,10 @@ class TransformInvariantNMF:
         if self._beta > 0:
             return
         if isinstance(V, jax.Array) and not V.is_fully_addressable:
-            ok = bool(jnp.all(V > 0))
+            if mask is not None and isinstance(mask, jax.Array):
+                ok = bool(jnp.all(jnp.where(mask > 0, V > 0, True)))
+            else:
+                ok = bool(jnp.all(V > 0))
         elif mask is not None:
             Vc = np.asarray(V)
             observed = np.broadcast_to(np.asarray(mask), Vc.shape) > 0
@@ -454,9 +463,27 @@ class TransformInvariantNMF:
             self._mask_d = None
             return
         if self._global_input:
-            raise ValueError(
-                'masks are not supported with process-spanning global '
-                'arrays yet; pre-multiply the per-host shards instead')
+            # process-spanning fits: the mask must be distributed exactly
+            # like V (each host wraps its local slice with
+            # parallel.distributed.distribute_samples) — no host ever holds
+            # the full mask, mirroring the V contract
+            if not (isinstance(mask, jax.Array)
+                    and not mask.is_fully_addressable):
+                raise ValueError(
+                    'under a process-spanning global V the mask must itself '
+                    'be a process-spanning global array of the same shape; '
+                    'wrap the per-host slice with '
+                    'parallel.distributed.distribute_samples(mesh, mask_local)')
+            if tuple(mask.shape) != tuple(V.shape):
+                raise ValueError(
+                    f'global mask of shape {tuple(mask.shape)} must match V '
+                    f'{tuple(V.shape)} (broadcasting is not supported across '
+                    f'process-spanning shards)')
+            if bool(jnp.any(mask < 0)):  # device-side: one replicated scalar
+                raise ValueError('mask entries must be nonnegative '
+                                 '(0/1 for missing data, floats for weights)')
+            self._mask_d = mask.astype(dtype)
+            return
         mask = np.asarray(mask)
         if mask.ndim != np.ndim(V):
             raise ValueError(
@@ -546,13 +573,20 @@ class TransformInvariantNMF:
             V.shape[1], allow_phased, allow_dot=canonical_layout_ok)
         if self._group is not None:
             # transform-group adapter: the base strategy runs on the tied
-            # expanded dictionary (tnmf_tpu.ops.transforms); validated for
-            # sample-sharded meshes only so far
-            if self._mesh is not None and self._shard_axis != 'samples':
+            # expanded dictionary (tnmf_tpu.ops.transforms).  Sample/atom
+            # meshes compose: W shards along its canonical atom axis and the
+            # m-major expansion keeps every atom's G tied copies (and H's
+            # m-major maps, sharded the same way) on that atom's shard, so
+            # the expand/tie-back ops are shard-local and the only
+            # collective stays the reconstruction's atom all-reduce
+            # (validated vs single-device in tests/test_transforms.py and
+            # the driver dryrun).  Spatial meshes shard the conv grid and
+            # remain unvalidated with groups.
+            if self._mesh is not None and self._shard_axis in ('spatial', 'both'):
                 raise ValueError(
                     f"transform_type={self.transform_type!r} supports "
-                    f"shard_axis='samples' under a mesh "
-                    f"(got {self._shard_axis!r})")
+                    f"shard_axis='samples', 'atoms' or 'samples+atoms' "
+                    f"under a mesh (got {self._shard_axis!r})")
             strategy = (strategy, self._group)
         self._strategy = strategy
         dtype = self._resolve_dtype(V)
@@ -672,15 +706,23 @@ class TransformInvariantNMF:
                     self._mesh, Vd, self._W, self._H, axis=self._shard_axis)
         self._Vd = Vd
         self._prepare_mask(mask, V, dtype)
-        # beta != 2: the gradient inputs A = V * R**(beta-2), B = R**(beta-1)
-        # depend on R, so there is no loop-invariant transform of V to
-        # precompute; the engine receives the canonical data tensor instead
-        # (tnmf_tpu.ops.beta docstring).  With a mask (beta = 2) the
+        # beta != 2: the gradient factors A = V * R**(beta-2), B = R**(beta-1)
+        # depend on R.  For the strategies whose prepared domain is
+        # elementwise-compatible (conv/phased/dot: engine.beta_prepares_data)
+        # the loop-invariant prepare(V) is still passed and the factors are
+        # computed directly on prepared tensors — no per-iteration
+        # re-preparation; the fft strategy (spectral prepared domain) and
+        # masked beta fits receive the canonical data tensor instead
+        # (engine._beta_factors docstring).  With a mask (beta = 2) the
         # loop-invariant transform is prepare(mask * V): both gradient
         # halves of the weighted objective correlate mask-weighted
         # V-shaped streams (engine._mu_H docstring).
         if self._beta != 2.0:
-            self._Vp = Vd
+            if self._mask_d is None and engine.beta_prepares_data(self._strategy):
+                self._Vp = engine.prepare_data(Vd, plan=self._plan,
+                                               strategy=self._strategy)
+            else:
+                self._Vp = Vd
         elif self._mask_d is not None:
             self._Vp = engine.prepare_data(Vd * self._mask_d.astype(Vd.dtype),
                                            plan=self._plan, strategy=self._strategy)
@@ -690,15 +732,32 @@ class TransformInvariantNMF:
             # matched-filter start (engine.correlate_init_H): deterministic,
             # on device, sharded inputs yield sharded H.  With a mask the
             # prepared tensor already carries prepare(mask*V) — the right
-            # matched filter for the masked objective; for beta != 2 the
-            # prepared slot holds the canonical V, so prepare it here.
+            # matched filter for the masked objective; only the masked /
+            # fft beta != 2 configurations hold the canonical V in the
+            # prepared slot, so prepare it here for those.
             Vp0 = self._Vp
-            if self._beta != 2.0:
+            if self._beta != 2.0 and (
+                    self._mask_d is not None
+                    or not engine.beta_prepares_data(self._strategy)):
                 Vp0 = engine.prepare_data(Vd, plan=self._plan,
                                           strategy=self._strategy)
             self._H = engine.correlate_init_H(
                 Vp0, Vd, self._W, plan=self._plan, strategy=self._strategy,
                 n_atoms=self.n_atoms)
+
+        # compile observability: announce first-seen program geometries at
+        # DEBUG.  Each new (plan, strategy, batch, dtype) combination means
+        # the next dispatches trigger XLA compiles (30s-5min on remote
+        # tunnels); repeats of a seen geometry are compile-cache hits.
+        geo_key = (self._plan, str(self._strategy), V.shape[0], str(dtype))
+        if geo_key not in _SEEN_PROGRAM_GEOMETRIES:
+            _SEEN_PROGRAM_GEOMETRIES.add(geo_key)
+            self._logger.debug(
+                'new program geometry: strategy=%s mode=%s sample=%s atom=%s '
+                'n_samples=%d dtype=%s — first dispatches will compile; '
+                'later fits with this geometry hit the compile cache',
+                self._strategy, self._plan.mode, self._plan.sample_shape,
+                self._plan.atom_shape, V.shape[0], dtype)
 
     def _pallas_mu_enabled(self, n_samples: int) -> bool:
         """Resolve the use_pallas tri-state for the inhibited-H kernel.

@@ -96,6 +96,13 @@ def prepare_data(V: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
     return extend_data(V, plan)
 
 
+#: the prepared domain (mode extension) is an entrywise replication/zero-fill
+#: of the canonical domain, so elementwise beta-divergence factors can be
+#: computed directly on prepared tensors (engine._beta_factors) — no
+#: per-iteration re-extension of a V-shaped tensor
+FACTORS_IN_PREPARED = True
+
+
 def _conv(lhs, rhs, dn, preferred, precision=None, strides=None):
     # sub-float32 storage (bfloat16) still accumulates in float32 on the MXU
     if jnp.dtype(preferred).itemsize < 4:
@@ -234,32 +241,55 @@ def reconstruct(W: jnp.ndarray, H: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
                          plan.sample_shape).astype(W.dtype)
 
 
+def corr_H(Xp: jnp.ndarray, W: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
+    """Single-stream prepared-domain H-gradient correlation:
+    ``G[n,m,t] = sum_{c,a} Xp[n,c,t+a] * W[m,c,a]`` (no flip).  ``Xp`` is a
+    mode-extended data-space tensor; its batch extent is free (the stacked
+    gradient pairs and the batch-1 beta=1 denominator both run through
+    here)."""
+    sp = _dim_letters(plan.ndim)
+    dn = ('NC' + sp, 'OI' + sp, 'NC' + sp)
+    return _corr_blocked(Xp, W, dn, W.dtype, plan.lax_precision,
+                         plan.transform_shape)
+
+
+def corr_W(Xp: jnp.ndarray, H: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
+    """Single-stream prepared-domain W-gradient correlation:
+    ``G[m,c,a] = sum_{n,t} Xp[n,c,a+t] * H[n,m,t]``.  The channel extent of
+    ``Xp`` is free (it rides the conv's batch role)."""
+    sp = _dim_letters(plan.ndim)
+    # batch role <- channel axis, feature role <- sample axis (contracted)
+    dn = ('CN' + sp, 'IO' + sp, 'NC' + sp)
+    return jnp.swapaxes(_conv(Xp, H, dn, H.dtype, plan.lax_precision), 0, 1)
+
+
+def grad_H_pair_prepared(Ap: jnp.ndarray, Bp: jnp.ndarray, W: jnp.ndarray,
+                         plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(neg, pos) H-gradient correlations of two already-prepared streams.
+    They run as ONE convolution with the streams stacked along the batch
+    axis: one bigger MXU kernel instead of two half-occupancy ones
+    (measured 20-35% faster per MU iteration on v5e)."""
+    G2 = corr_H(jnp.concatenate([Ap, Bp], axis=0), W, plan)
+    n = Ap.shape[0]
+    return G2[:n], G2[n:]
+
+
+def grad_W_pair_prepared(Ap: jnp.ndarray, Bp: jnp.ndarray, H: jnp.ndarray,
+                         plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(neg, pos) W-gradient correlations of two already-prepared streams,
+    stacked along the channel axis (the conv's batch role)."""
+    G2 = corr_W(jnp.concatenate([Ap, Bp], axis=1), H, plan)
+    c = Ap.shape[1]
+    return G2[:, :c], G2[:, c:]
+
+
 def grad_H_pair(Vp: jnp.ndarray, R: jnp.ndarray, W: jnp.ndarray, plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(neg, pos) parts of dE/dH as one stacked correlation (reference role:
     ``NumPy_FFT.py:71-88``)."""
-    sp = _dim_letters(plan.ndim)
-    dn = ('NC' + sp, 'OI' + sp, 'NC' + sp)
-    Rp = extend_data(R, plan)
-    # G[n,m,t] = sum_{c,a} Xp[n,c,t+a] * W[m,c,a]   (correlation: no flip).
-    # The neg (X=V) and pos (X=R) parts run as ONE convolution with V and R
-    # stacked along the batch axis: one bigger MXU kernel instead of two
-    # half-occupancy ones (measured 20-35% faster per MU iteration on v5e).
-    X2 = jnp.concatenate([Vp, Rp], axis=0)
-    G2 = _corr_blocked(X2, W, dn, W.dtype, plan.lax_precision, plan.transform_shape)
-    n = Vp.shape[0]
-    return G2[:n], G2[n:]
+    return grad_H_pair_prepared(Vp, extend_data(R, plan), W, plan)
 
 
 def grad_W_pair(Vp: jnp.ndarray, R: jnp.ndarray, H: jnp.ndarray, plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(neg, pos) parts of dE/dW as one stacked huge-kernel correlation
     (reference role: ``NumPy_FFT.py:52-69``)."""
-    sp = _dim_letters(plan.ndim)
-    # batch role <- channel axis, feature role <- sample axis (contracted)
-    dn = ('CN' + sp, 'IO' + sp, 'NC' + sp)
-    Rp = extend_data(R, plan)
-    # G[c,m,a] = sum_{n,t} Xp[n,c,a+t] * H[n,m,t]; neg/pos stacked along the
-    # channel axis (the conv's batch role) — see grad_H_pair.
-    X2 = jnp.concatenate([Vp, Rp], axis=1)
-    G2 = jnp.swapaxes(_conv(X2, H, dn, H.dtype, plan.lax_precision), 0, 1)
-    c = Vp.shape[1]
-    return G2[:, :c], G2[:, c:]
+    return grad_W_pair_prepared(Vp, extend_data(R, plan), H, plan)

@@ -46,6 +46,12 @@ def prepare_data(V: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
     return V
 
 
+#: prepare_data is the identity, so beta-divergence factors trivially apply
+#: to prepared tensors (engine._beta_factors); with beta = 1 the denominator
+#: matmuls collapse to the classic KL-NMF row sums
+FACTORS_IN_PREPARED = True
+
+
 def reconstruct(W: jnp.ndarray, H: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
     """R[n,c,*S] = sum_m H[n,m] * W[m,c,*S] — one (n,m)x(m,cF) matmul."""
     h = H.reshape(H.shape[:2])                      # (n, m)
@@ -54,25 +60,45 @@ def reconstruct(W: jnp.ndarray, H: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
     return R.reshape((H.shape[0],) + W.shape[1:]).astype(W.dtype)
 
 
+def corr_H(Xp: jnp.ndarray, W: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
+    """Single-stream H-gradient matmul ``G[n,m] = sum_{cF} Xp[n,cF] W[m,cF]``."""
+    G = _dot(Xp.reshape(Xp.shape[0], -1),
+             W.reshape(W.shape[0], -1).T, W.dtype, plan.lax_precision)
+    return G.astype(W.dtype).reshape(G.shape + (1,) * plan.ndim)
+
+
+def corr_W(Xp: jnp.ndarray, H: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
+    """Single-stream W-gradient matmul ``G[m,c,*S] = sum_n H[n,m] Xp[n,c,*S]``."""
+    h = H.reshape(H.shape[:2])                      # (n, m)
+    G = _dot(h.T, Xp.reshape(Xp.shape[0], -1), H.dtype, plan.lax_precision)
+    return G.astype(H.dtype).reshape((h.shape[1],) + Xp.shape[1:])
+
+
+def grad_H_pair_prepared(Ap: jnp.ndarray, Bp: jnp.ndarray, W: jnp.ndarray,
+                         plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(neg, pos) H-gradient matmuls, batch-stacked (conv-strategy trick)."""
+    n = Ap.shape[0]
+    G2 = corr_H(jnp.concatenate([Ap, Bp], axis=0), W, plan)
+    return G2[:n], G2[n:]
+
+
+def grad_W_pair_prepared(Ap: jnp.ndarray, Bp: jnp.ndarray, H: jnp.ndarray,
+                         plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(neg, pos) W-gradient matmuls, channel-stacked."""
+    c = Ap.shape[1]
+    G2 = corr_W(jnp.concatenate([Ap, Bp], axis=1), H, plan)
+    return G2[:, :c], G2[:, c:]
+
+
 def grad_H_pair(Vp: jnp.ndarray, R: jnp.ndarray, W: jnp.ndarray,
                 plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(neg, pos) of dE/dH: X . W over (c, *S), V and R stacked along the
     batch axis into one matmul (same trick as the conv strategy)."""
-    n = Vp.shape[0]
-    X2 = jnp.concatenate([Vp, R], axis=0)
-    G2 = _dot(X2.reshape(X2.shape[0], -1),
-              W.reshape(W.shape[0], -1).T, W.dtype, plan.lax_precision)
-    G2 = G2.astype(W.dtype).reshape(G2.shape + (1,) * plan.ndim)
-    return G2[:n], G2[n:]
+    return grad_H_pair_prepared(Vp, R, W, plan)
 
 
 def grad_W_pair(Vp: jnp.ndarray, R: jnp.ndarray, H: jnp.ndarray,
                 plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(neg, pos) of dE/dW: H^T . X over samples, V and R stacked along the
     channel axis into one matmul."""
-    h = H.reshape(H.shape[:2])                      # (n, m)
-    c = Vp.shape[1]
-    X2 = jnp.concatenate([Vp, R], axis=1)           # (n, 2c, *S)
-    G2 = _dot(h.T, X2.reshape(X2.shape[0], -1), H.dtype, plan.lax_precision)
-    G2 = G2.astype(H.dtype).reshape((h.shape[1],) + X2.shape[1:])
-    return G2[:, :c], G2[:, c:]
+    return grad_W_pair_prepared(Vp, R, H, plan)

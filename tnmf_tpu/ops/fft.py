@@ -283,16 +283,52 @@ def reconstruct(W: jnp.ndarray, H: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
     return _crop(R, (0,) * plan.ndim, plan.sample_shape)
 
 
+def corr_H(Xf: jnp.ndarray, W: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
+    """Single-stream Fourier-domain H-gradient correlation:
+    ``G[n,m,t] = sum_{c,a} Xext[n,c,t+a] W[m,c,a]`` from the transformed
+    prepared tensor ``Xf``.  The batch extent is free; repeated calls with
+    the same W share one ``rfftn(W)`` via XLA CSE."""
+    Wf_c = jnp.conj(_rfftn(W, plan))
+    Gf = jnp.einsum('nc...,mc...->nm...', Xf, Wf_c, precision=plan.lax_precision)
+    return _crop(_irfftn(Gf, plan), (0,) * plan.ndim, plan.transform_shape)
+
+
+def corr_W(Xf: jnp.ndarray, H: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
+    """Single-stream Fourier-domain W-gradient correlation, summed over
+    samples and shifts; ``H`` arrives in data space."""
+    Hf_c = jnp.conj(_rfftn(H, plan))
+    Gf = jnp.einsum('nc...,nm...->mc...', Xf, Hf_c, precision=plan.lax_precision)
+    return _crop(_irfftn(Gf, plan), (0,) * plan.ndim, plan.atom_shape)
+
+
+def grad_H_pair_prepared(Af: jnp.ndarray, Bf: jnp.ndarray, W: jnp.ndarray,
+                         plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(neg, pos) H-gradient correlations of two already-transformed
+    streams, batch-stacked into one contraction."""
+    G2 = corr_H(jnp.concatenate([Af, Bf], axis=0), W, plan)
+    n = Af.shape[0]
+    return G2[:n], G2[n:]
+
+
+def grad_W_pair_prepared(Af: jnp.ndarray, Bf: jnp.ndarray, H: jnp.ndarray,
+                         plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(neg, pos) W-gradient correlations of two already-transformed
+    streams, channel-stacked into one contraction."""
+    G2 = corr_W(jnp.concatenate([Af, Bf], axis=1), H, plan)
+    c = Af.shape[1]
+    return G2[:, :c], G2[:, c:]
+
+
 def grad_H_pair(Vf: jnp.ndarray, R: jnp.ndarray, W: jnp.ndarray, plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(neg, pos) parts of dE/dH: corr(Xext, W) summed over channels.
 
     ``Vf`` is the precomputed :func:`prepare_data` transform of V; ``R`` is
     the current data-space reconstruction.
     """
+    Rf = _rfftn(extend_data(R, plan), plan)
     tshape = plan.transform_shape
     zero = (0,) * plan.ndim
     Wf_c = jnp.conj(_rfftn(W, plan))
-    Rf = _rfftn(extend_data(R, plan), plan)
     out = []
     for Xf in (Vf, Rf):
         Gf = jnp.einsum('nc...,mc...->nm...', Xf, Wf_c, precision=plan.lax_precision)

@@ -15,7 +15,7 @@ Channels-last is deliberate: the phased channel count ``M*prod(r)`` is the
 one axis sized in 128-lane multiples (256 at the flagship config), so the
 default row-major layout fills the vector lanes for the elementwise MU
 ratio and — crucially — the Pallas fused-update kernels
-(:mod:`tnmf_tpu.ops.pallas_phased`) see full lanes at their boundary,
+(:mod:`tnmf_tpu.experimental.pallas_phased`) see full lanes at their boundary,
 where Pallas mandates the default layout.  (A channels-second carry makes
 the minormost axis the ragged spatial extent — 66 of 128 lanes at the
 flagship scale — and forces boundary relayouts around every Pallas call.)
@@ -63,6 +63,25 @@ of H (the reflection ``x -> -x`` maps phase ``q`` to ``(r - q) % r``, so
 the offset-1 boundary reversal IS block-aligned in phase space; see
 :func:`_reflect_left`).  Reference roles covered: ``NumPy_FFT.py:52-93``
 (the gradient/reconstruct hot loop of /root/reference).
+
+Spatial (context-parallel) meshes — measured negative.  The model gates the
+phased lowering off under ``shard_axis='spatial'/'both'``
+(models/tnmf.py).  Measured on the virtual 8-device mesh (valid mode,
+60x28 sample, 5x5 atoms, H spatial axis 64 = 8x8): the plain conv update
+step stays partitioned (H output sharded ``P(None, None, 'data')``, 33
+halo ``collective-permute`` ops), while the SAME step through this module
+comes back **fully replicated** (H output spec ``P()``, 4 ``all-gather``
+ops, zero permutes) — GSPMD cannot propagate the spatial sharding through
+the phase encode's pad-to-``t_pad`` + space-to-depth reshape + channels-
+last transpose (the padded block count, e.g. 68/4 = 17 here, is not
+divisible by the mesh, and the transpose moves the sharded dim minormost).
+Replication silently defeats the memory point of spatial sharding, so the
+gate stays; pinned by ``tests/test_phased.py::
+test_phased_spatial_mesh_replicates``.  Lifting it would need mesh-aware
+geometry (``t_pad`` a multiple of ``r * n_shards`` plus sharding
+constraints on the phased carry) and pays a per-iteration reshard of the
+extended data stream — revisit if huge-single-image spatial fits become a
+real workload.
 """
 
 from __future__ import annotations
@@ -346,6 +365,13 @@ def prepare_data(V: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
     return _extend_phased(V, plan)
 
 
+#: the phased prepared domain (mode extension + absorbing pad + phase
+#: reshape) is an entrywise replication/zero-fill of the canonical domain,
+#: so elementwise beta-divergence factors apply directly to prepared
+#: tensors (engine._beta_factors)
+FACTORS_IN_PREPARED = True
+
+
 def _unshuffle_cl(out: jnp.ndarray, C: int, ks: Tuple[int, ...]) -> jnp.ndarray:
     """(N, *B, C*prod(ks)) channels-last blocked -> (N, C, *(B*ks))
     canonical (the channels-last pixel unshuffle)."""
@@ -432,26 +458,37 @@ def reconstruct(W: jnp.ndarray, Hph: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray
     return R[(Ellipsis,) + tuple(slice(0, si) for si in plan.sample_shape)]
 
 
+def corr_H(Xs: jnp.ndarray, W: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
+    """Single-stream H-gradient correlation of a phased prepared tensor
+    against the one-hot-expanded dictionary kernel; output in H's phased
+    layout.  The batch extent of ``Xs`` is free (repeated calls with the
+    same W share one ``_grad_kernel`` build via XLA CSE)."""
+    g = geometry(plan)
+    K2 = _grad_kernel(W, g)
+    return _conv(Xs, K2, _dn(plan.ndim, 'std'), W.dtype, plan.lax_precision,
+                 keep_low=True)
+
+
+def grad_H_pair_prepared(As: jnp.ndarray, Bs: jnp.ndarray, W: jnp.ndarray,
+                         plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(neg, pos) H-gradient correlations of two already-phased streams.
+
+    They run as TWO separate convs on purpose: a batch-stacked conv (the
+    plain conv strategy's trick) forces the consumer to slice its output
+    across the batch dim, which blocks XLA's conv-output fusion and
+    materializes the stacked H-sized gradient pair (~500 MB at the
+    flagship scale) to HBM.  Kept separate, each conv fuses into the
+    downstream MU ratio — measured 2.64 -> 1.72 ms for grad pair + ratio
+    on v5e (the ratio alone costs 1.62 ms: the convs become nearly free).
+    """
+    return corr_H(As, W, plan), corr_H(Bs, W, plan)
+
+
 def grad_H_pair(Vs: jnp.ndarray, R: jnp.ndarray, W: jnp.ndarray,
                 plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(neg, pos) of dE/dH, both in H's phased layout.
-
-    ``Vs`` is the phased prepared data.  The neg/pos correlations run as
-    TWO separate convs on purpose: a batch-stacked conv (the plain conv
-    strategy's trick) forces the consumer to slice its output across the
-    batch dim, which blocks XLA's conv-output fusion and materializes the
-    stacked H-sized gradient pair (~500 MB at the flagship scale) to HBM.
-    Kept separate, each conv fuses into the downstream MU ratio — measured
-    2.64 -> 1.72 ms for grad pair + ratio on v5e (the ratio alone costs
-    1.62 ms: the convs become nearly free).
-    """
-    g = geometry(plan)
-    Rs = _extend_phased(R, plan)
-    K2 = _grad_kernel(W, g)
-    dn = _dn(plan.ndim, 'std')
-    neg = _conv(Vs, K2, dn, W.dtype, plan.lax_precision, keep_low=True)
-    pos = _conv(Rs, K2, dn, W.dtype, plan.lax_precision, keep_low=True)
-    return neg, pos
+    """(neg, pos) of dE/dH, both in H's phased layout.  ``Vs`` is the
+    phased prepared data; ``R`` the current data-space reconstruction."""
+    return grad_H_pair_prepared(Vs, _extend_phased(R, plan), W, plan)
 
 
 @lru_cache(maxsize=None)
@@ -538,6 +575,42 @@ def inhibition_positive_term_phased(
     return term
 
 
+def corr_W(Xs: jnp.ndarray, Hph: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
+    """Single-stream W-gradient correlation of a phased prepared tensor
+    against phased H, with the one-hot phase reassembly folded in; output
+    ``(M, C, *atom)`` in canonical atom-offset space.  The channel extent
+    of ``Xs`` is free (it rides the conv's batch role)."""
+    g = geometry(plan)
+    A, r = g['a'], g['r']
+    pp = math.prod(r)
+    M = Hph.shape[-1] // pp
+    C = Xs.shape[-1] // pp
+    out = _conv(Xs, Hph, _dn(plan.ndim, 'gw'), Hph.dtype, plan.lax_precision)
+    K = out.shape[2:]
+    # the reassembly placement is the grad placement with the (p, q) roles
+    # transposed: out[(c,q),(m,p),k] contributes to G[c,m,a] iff
+    # p + a = r*k + q per axis
+    P, Kgrid = _grad_placement(A, r)
+    assert tuple(Kgrid) == tuple(K), (Kgrid, K)
+    P4 = jnp.asarray(P.transpose(1, 0, 2, 3), out.dtype)
+    o = out.reshape((C, pp, M, pp, math.prod(K)))
+    # one-hot scatter-add of the phase terms: exact products (x1.0) keep
+    # the f32 gradient statistics unrounded under TPU's bf16 default
+    G = jnp.einsum('cqmpk,qpka->cma', o, P4,
+                   precision=conv_ops._EXACT).reshape((C, M) + A)
+    return jnp.swapaxes(G, 0, 1)
+
+
+def grad_W_pair_prepared(As: jnp.ndarray, Bs: jnp.ndarray, Hph: jnp.ndarray,
+                         plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(neg, pos) W-gradient correlations of two already-phased streams,
+    stacked along the phased channel axis (the conv's batch role)."""
+    c = As.shape[-1]
+    G2 = corr_W(jnp.concatenate([As, Bs], axis=-1), Hph, plan)
+    pp = math.prod(geometry(plan)['r'])
+    return G2[:, :c // pp], G2[:, c // pp:]
+
+
 def grad_W_pair(Vs: jnp.ndarray, R: jnp.ndarray, Hph: jnp.ndarray,
                 plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(neg, pos) of dE/dW from phased operands.
@@ -546,24 +619,4 @@ def grad_W_pair(Vs: jnp.ndarray, R: jnp.ndarray, Hph: jnp.ndarray,
     lowering has M), then a tiny one-hot einsum sums the pp phase terms
     back into atom-offset space.
     """
-    g = geometry(plan)
-    A, r = g['a'], g['r']
-    pp = math.prod(r)
-    M = Hph.shape[-1] // pp
-    C = Vs.shape[-1] // pp
-    Rs = _extend_phased(R, plan)
-    X2 = jnp.concatenate([Vs, Rs], axis=-1)  # (N, ..., 2C*pp)
-    out = _conv(X2, Hph, _dn(plan.ndim, 'gw'), Hph.dtype, plan.lax_precision)
-    K = out.shape[2:]
-    # the reassembly placement is the grad placement with the (p, q) roles
-    # transposed: out[(c,q),(m,p),k] contributes to G[c,m,a] iff
-    # p + a = r*k + q per axis
-    P, Kgrid = _grad_placement(A, r)
-    assert tuple(Kgrid) == tuple(K), (Kgrid, K)
-    P4 = jnp.asarray(P.transpose(1, 0, 2, 3), out.dtype)
-    o = out.reshape((2 * C, pp, M, pp, math.prod(K)))
-    # one-hot scatter-add of the phase terms: exact products (x1.0) keep
-    # the f32 gradient statistics unrounded under TPU's bf16 default
-    G = jnp.einsum('cqmpk,qpka->cma', o, P4,
-                   precision=conv_ops._EXACT).reshape((2 * C, M) + A)
-    return jnp.swapaxes(G[:C], 0, 1), jnp.swapaxes(G[C:], 0, 1)
+    return grad_W_pair_prepared(Vs, _extend_phased(R, plan), Hph, plan)

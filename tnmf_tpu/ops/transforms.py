@@ -181,6 +181,10 @@ class GroupOps:
         if hasattr(base, 'encode_h'):
             self.encode_h = base.encode_h
             self.decode_h = base.decode_h
+        # forward the beta-divergence fast-path contract: the expansion /
+        # tie-back wraps the base correlations exactly like the pairs
+        self.FACTORS_IN_PREPARED = bool(
+            getattr(base, 'FACTORS_IN_PREPARED', False))
 
     def inhibition_positive_term_phased(self, Hph, kernels, plan, n_atoms,
                                         *args, **kwargs):
@@ -200,4 +204,20 @@ class GroupOps:
 
     def grad_W_pair(self, Vp, R, H, plan):
         neg, pos = self.base.grad_W_pair(Vp, R, H, plan)
+        return tie_back(neg, self.group), tie_back(pos, self.group)
+
+    # beta-divergence fast-path primitives (engine._beta_grad_H/_beta_grad_W)
+
+    def corr_H(self, Xp, W, plan):
+        return self.base.corr_H(Xp, expand_w(W, self.group), plan)
+
+    def corr_W(self, Xp, H, plan):
+        return tie_back(self.base.corr_W(Xp, H, plan), self.group)
+
+    def grad_H_pair_prepared(self, Ap, Bp, W, plan):
+        return self.base.grad_H_pair_prepared(
+            Ap, Bp, expand_w(W, self.group), plan)
+
+    def grad_W_pair_prepared(self, Ap, Bp, H, plan):
+        neg, pos = self.base.grad_W_pair_prepared(Ap, Bp, H, plan)
         return tie_back(neg, self.group), tie_back(pos, self.group)

@@ -170,11 +170,13 @@ def export_serving(model, *,
         V = V.astype(W.dtype)
         Vp = engine.prepare_data(V, plan=plan, strategy=strategy)
         # mirror the model's matched-filter init (_initialize_matrices):
-        # for beta != 2 the loop consumes the canonical V, but the matched
-        # filter always correlates the prepared (Euclidean) tensor
+        # a beta != 2 fft loop consumes the canonical V (spectral prepared
+        # domain), every other configuration the prepared tensor; the
+        # matched filter always correlates the prepared (Euclidean) tensor
         H0 = engine.correlate_init_H(Vp, V, W, plan=plan, strategy=strategy,
                                      n_atoms=n_atoms)
-        Vloop = V if beta != 2.0 else Vp
+        Vloop = (Vp if beta == 2.0 or engine.beta_prepares_data(strategy)
+                 else V)
         Hph = engine._enc_h(H0, plan, strategy)
 
         def body(_, Hph):

@@ -41,15 +41,35 @@ def st_define_nmf_params(default_params: dict, have_ground_truth: bool = True,
     explanation('## Model parameters', verbose)
 
     atom_shape = tuple(
-        int(st.sidebar.number_input(f'Atom size (axis {i})', min_value=1, value=int(a)))
+        int(st.sidebar.number_input(
+            f'Atom size (axis {i})', min_value=1, value=int(a),
+            help='Extent of every dictionary atom along this axis. Atoms '
+                 'should be large enough to hold one recurring feature of '
+                 'the data; every position of the signal is explained by '
+                 'shifted copies of these atoms.'))
         for i, a in enumerate(default_params['atom_shape']))
     n_atoms = int(st.sidebar.number_input(
-        'Number of atoms', min_value=1, value=int(default_params['n_atoms'])))
+        'Number of atoms', min_value=1, value=int(default_params['n_atoms']),
+        help='Dictionary size: how many distinct features the model may '
+             'learn. More atoms lower the reconstruction error but risk '
+             'splitting one true feature across several atoms — lateral '
+             'inhibition and the cross-atom penalty counteract that.'))
     reconstruction_mode = st.sidebar.selectbox(
         'Reconstruction mode', ['valid', 'full', 'circular', 'reflect'],
         index=['valid', 'full', 'circular', 'reflect'].index(
-            default_params.get('reconstruction_mode', 'valid')))
-    backend = st.sidebar.selectbox('Backend', ['auto', 'jax_fft', 'jax_conv'], index=0)
+            default_params.get('reconstruction_mode', 'valid')),
+        help="Boundary handling of the shift-invariant reconstruction: "
+             "'valid' lets atoms extend past the signal edges (activation "
+             "maps are larger than the signal), 'full' requires atoms to "
+             "lie fully inside (smaller maps), 'circular' wraps around "
+             "(periodic signals), 'reflect' mirrors at the edges.")
+    backend = st.sidebar.selectbox(
+        'Backend', ['auto', 'jax_fft', 'jax_conv'], index=0,
+        help="Numerical strategy for the convolution operators. 'auto' "
+             "picks by atom/sample geometry (direct MXU convolution for "
+             "small atoms, spectral for large) and upgrades to the "
+             "phase-decomposed TPU lowering where it wins; results are "
+             "identical across backends, so switching is for speed only.")
     # transform invariances beyond shift (tnmf_tpu.ops.transforms);
     # rotations need square atoms in the last two axes
     transform_options = ['shift', 'shift+flip']
@@ -58,7 +78,12 @@ def st_define_nmf_params(default_params: dict, have_ground_truth: bool = True,
     transform_type = st.sidebar.selectbox(
         'Transform invariance', transform_options,
         index=transform_options.index(
-            default_params.get('transform_type', 'shift')))
+            default_params.get('transform_type', 'shift')),
+        help="Invariances of the dictionary beyond shifts: with "
+             "'shift+flip' / 'shift+rot90' every atom also matches its "
+             "mirrored / quarter-turned copies through one tied canonical "
+             "atom (one activation map per transform). Rotations require "
+             "square atoms in the last two axes.")
 
     nmf_params = dict(
         n_atoms=n_atoms,
@@ -69,24 +94,60 @@ def st_define_nmf_params(default_params: dict, have_ground_truth: bool = True,
     )
 
     explanation('## Fit parameters', verbose)
-    minibatch = st.sidebar.checkbox('Minibatch updates', value=False)
+    minibatch = st.sidebar.checkbox(
+        'Minibatch updates', value=False,
+        help='Optimize on sample subsets (Serizel/Essid/Richard 2016, '
+             'algorithms 4-8) instead of the full batch: faster early '
+             'progress on large datasets at the cost of noisier updates.')
     fit_params = dict(
-        sparsity_H=float(st.sidebar.number_input('Sparsity weight', min_value=0.0, value=0.0)),
+        sparsity_H=float(st.sidebar.number_input(
+            'Sparsity weight', min_value=0.0, value=0.0,
+            help='L1 penalty on the activations: larger values push more H '
+                 'entries to exactly zero, producing sparser codes and '
+                 'cleaner atoms at the cost of reconstruction energy.')),
         inhibition_strength=float(st.sidebar.number_input(
-            'Lateral inhibition weight', min_value=0.0, value=0.1)),
+            'Lateral inhibition weight', min_value=0.0, value=0.1,
+            help='Suppresses activations of the SAME atom at nearby shifts '
+                 '(within roughly one atom extent), so a feature is '
+                 'explained by one activation peak instead of a smear of '
+                 'adjacent ones.')),
         cross_atom_inhibition_strength=float(st.sidebar.number_input(
-            'Cross-atom inhibition weight', min_value=0.0, value=0.0)),
+            'Cross-atom inhibition weight', min_value=0.0, value=0.0,
+            help='Suppresses activations of OTHER atoms at nearby shifts: '
+                 'discourages several atoms from explaining the same data '
+                 'region, i.e. pushes toward non-overlapping, diverse '
+                 'atoms.')),
     )
     if minibatch:
         fit_params['algorithm'] = MiniBatchAlgorithm[st.sidebar.selectbox(
-            'Minibatch algorithm', [a.name for a in MiniBatchAlgorithm], index=1)]
-        fit_params['batch_size'] = int(st.sidebar.number_input('Batch size', min_value=1, value=3))
-        fit_params['n_epochs'] = int(st.sidebar.number_input('Epochs', min_value=1, value=100))
+            'Minibatch algorithm', [a.name for a in MiniBatchAlgorithm],
+            index=1,
+            help='Update schedule: Cyclic_MU accumulates W statistics over '
+                 'an epoch, ASG_MU (recommended) updates W per shuffled '
+                 'batch, GSG_MU once per epoch from the last batch, '
+                 'ASAG_MU/GSAG_MU average statistics across epochs with '
+                 'the SAG forgetting factor.')]
+        fit_params['batch_size'] = int(st.sidebar.number_input(
+            'Batch size', min_value=1, value=3,
+            help='Samples per minibatch step. Smaller batches update more '
+                 'often (faster early descent, more noise); larger batches '
+                 'approach full-batch behavior.'))
+        fit_params['n_epochs'] = int(st.sidebar.number_input(
+            'Epochs', min_value=1, value=100,
+            help='Full passes over the data; one epoch visits every batch '
+                 'once.'))
         fit_params['sag_lambda'] = float(st.sidebar.number_input(
-            'SAG forgetting factor', min_value=0.0, max_value=1.0, value=0.2))
+            'SAG forgetting factor', min_value=0.0, max_value=1.0, value=0.2,
+            help='Exponential averaging weight of the ASAG/GSAG W '
+                 'statistics: new batch gradients enter with this weight, '
+                 'history keeps (1 - weight); 1.0 degenerates to plain '
+                 'summation.'))
     else:
         fit_params['n_iterations'] = int(st.sidebar.number_input(
-            'Iterations', min_value=1, value=100))
+            'Iterations', min_value=1, value=100,
+            help='Multiplicative H+W update steps. MU monotonically '
+                 'decreases the objective; more iterations refine the '
+                 'factorization with diminishing returns.'))
     return nmf_params, fit_params
 
 
