@@ -474,11 +474,23 @@ def main():
         return
     rm = args.remeasure_reference
 
-    print(json.dumps(metric_2d(remeasure=rm)), flush=True)
+    def emit(m):
+        """Print the JSON line AND fold the measurement into the claims
+        record (benchmarks/CLAIMS.json) — the single source every published
+        performance range is generated from (tools/update_claims.py)."""
+        print(json.dumps(m), flush=True)
+        try:
+            from benchmarks import claims
+            claims.record(m['metric'], m['value'], m['unit'],
+                          pinned(m['metric']))
+        except Exception as e:  # never fail the driver contract over this
+            print(f'claims record failed: {e!r}', file=sys.stderr)
+
+    emit(metric_2d(remeasure=rm))
     if args.all:
-        print(json.dumps(metric_1d(remeasure=rm)), flush=True)
-        print(json.dumps(metric_time_to_tolerance(remeasure=rm)), flush=True)
-        print(json.dumps(metric_minibatch(remeasure=rm)), flush=True)
+        emit(metric_1d(remeasure=rm))
+        emit(metric_time_to_tolerance(remeasure=rm))
+        emit(metric_minibatch(remeasure=rm))
 
 
 if __name__ == '__main__':
