@@ -101,7 +101,11 @@ def test_fuzz_mu_parity(i):
         Vd = jnp.asarray(V)
         mask_d = jnp.asarray(case['mask']) if case.get('mask') is not None else None
         if case['beta'] != 2.0:
-            Vp = Vd
+            # prepared-factor strategies (conv/phased/dot) take prepare(V)
+            # even for beta != 2; fft takes the canonical tensor
+            # (engine._beta_factors docstring)
+            Vp = (engine.prepare_data(Vd, plan=plan, strategy=strategy)
+                  if engine.beta_prepares_data(strategy) else Vd)
         elif mask_d is not None:
             Vp = engine.prepare_data(Vd * mask_d, plan=plan, strategy=strategy)
         else:

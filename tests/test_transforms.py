@@ -373,9 +373,10 @@ def test_phased_lowering_composes_with_groups(monkeypatch, mode):
 
 
 def test_beta_divergence_composes_with_groups():
-    """beta != 2 moves the prepare transform inside the iteration
-    (engine._beta_grad_pair); the group adapter must tie those statistics
-    identically — pinned against the NumPy oracle for generalized KL."""
+    """beta != 2 computes the MU factors in the prepared domain
+    (engine._beta_factors fast path on conv); the group adapter must tie
+    those statistics identically — pinned against the NumPy oracle for
+    generalized KL."""
     from tnmf_tpu.ops import beta as beta_ops
     V = _data(seed=21, n=2, c=1, sample=(11,))
     beta = 1.0

@@ -16,9 +16,20 @@ The MU update for any beta keeps the reference's ``(neg, pos)`` contract
     neg = corr(A, H)   pos = corr(B, H)     (W gradient)
 
 which for beta = 2 reduces to the implemented ``(corr(V, .), corr(R, .))``
-pair.  Every strategy's ``grad_H_pair`` / ``grad_W_pair`` therefore serves
-all betas unchanged: the engine feeds ``prepare_data(A)`` and ``B`` into
-the slots that carry ``prepare_data(V)`` and ``R`` in the Euclidean case.
+pair.  Every strategy's correlation operators therefore serve all betas
+unchanged.  How the engine feeds them (:func:`tnmf_tpu.engine._beta_grad_H`
+/ ``_beta_grad_W``):
+
+* conv / phased / dot (prepared domain = entrywise replication/zero-fill
+  of the canonical domain): the factors are computed directly on prepared
+  tensors — the loop-invariant ``prepare_data(V)`` is reused and no
+  V-shaped tensor is re-prepared per iteration;
+* beta = 1 (KL): ``B = 1``, so the denominator correlations collapse to
+  correlations of the (constant) boundary-extension pattern — batch extent
+  1 for the H gradient, batch-presummed H for the W gradient;
+* fft (spectral prepared domain) and masked fits: the generic fallback
+  computes the factors canonically and prepares ``A`` per iteration
+  (:func:`tnmf_tpu.engine._beta_grad_pair`).
 
 On TPU the factors are one fused elementwise pass over V-shaped streams
 (small next to the H-sized streams that bound the iteration; see
