@@ -39,21 +39,46 @@ def st_define_nmf_params(default_params: dict, have_ground_truth: bool = True,
     ``TransformInvariantNMF(**nmf_params)`` and ``nmf.fit(V, **fit_params)``.
     """
     explanation('## Model parameters', verbose)
+    explanation(
+        'The model decomposes the data `V` into a dictionary `W` of small '
+        'atoms and sparse activation maps `H`: every sample is explained as '
+        'a sum of atoms placed at the positions (and, optionally, under the '
+        'transforms) where their activations are non-zero. The settings '
+        'below control how large that dictionary is and how the atoms may '
+        'be placed.', verbose)
 
-    atom_shape = tuple(
-        int(st.sidebar.number_input(
-            f'Atom size (axis {i})', min_value=1, value=int(a),
-            help='Extent of every dictionary atom along this axis. Atoms '
-                 'should be large enough to hold one recurring feature of '
-                 'the data; every position of the signal is explained by '
-                 'shifted copies of these atoms.'))
-        for i, a in enumerate(default_params['atom_shape']))
-    n_atoms = int(st.sidebar.number_input(
-        'Number of atoms', min_value=1, value=int(default_params['n_atoms']),
-        help='Dictionary size: how many distinct features the model may '
-             'learn. More atoms lower the reconstruction error but risk '
-             'splitting one true feature across several atoms — lateral '
-             'inhibition and the cross-atom penalty counteract that.'))
+    # with known ground truth the oracle values can simply be adopted
+    # (reference sidebar role: tnmf/utils/demo.py:54-79)
+    use_gt_atoms = have_ground_truth and st.sidebar.checkbox(
+        'Use ground-truth number of atoms', value=True,
+        help='The demo data is generated from a known dictionary, so the '
+             'true number of atoms is available. Untick to choose your own '
+             'and watch how the factorization under- or over-fits.')
+    use_gt_shape = have_ground_truth and st.sidebar.checkbox(
+        'Use ground-truth atom size', value=True,
+        help='Adopt the exact extent of the generating symbols. Untick to '
+             'see the effect of atoms that are too small to hold one '
+             'feature, or needlessly large.')
+    if use_gt_shape:
+        atom_shape = tuple(int(a) for a in default_params['atom_shape'])
+    else:
+        atom_shape = tuple(
+            int(st.sidebar.number_input(
+                f'Atom size (axis {i})', min_value=1, value=int(a),
+                help='Extent of every dictionary atom along this axis. Atoms '
+                     'should be large enough to hold one recurring feature of '
+                     'the data; every position of the signal is explained by '
+                     'shifted copies of these atoms.'))
+            for i, a in enumerate(default_params['atom_shape']))
+    if use_gt_atoms:
+        n_atoms = int(default_params['n_atoms'])
+    else:
+        n_atoms = int(st.sidebar.number_input(
+            'Number of atoms', min_value=1, value=int(default_params['n_atoms']),
+            help='Dictionary size: how many distinct features the model may '
+                 'learn. More atoms lower the reconstruction error but risk '
+                 'splitting one true feature across several atoms — lateral '
+                 'inhibition and the cross-atom penalty counteract that.'))
     reconstruction_mode = st.sidebar.selectbox(
         'Reconstruction mode', ['valid', 'full', 'circular', 'reflect'],
         index=['valid', 'full', 'circular', 'reflect'].index(
@@ -174,6 +199,12 @@ class SignalTool(ABC):
     def st_generate_input(self, verbose: bool = True) -> Tuple[np.ndarray, dict]:
         """Generate demo input and the matching 'oracle' NMF parameters."""
         explanation('## Input generation', verbose)
+        explanation(
+            'The demo input is synthesized from a **known ground-truth '
+            'dictionary**: a handful of symbols placed at random positions. '
+            'That makes the learning task transparent — a good factorization '
+            'should rediscover the generating symbols as its atoms and place '
+            'activations exactly where symbols were planted.', verbose)
         return self._generate(verbose)
 
     @abstractmethod
@@ -187,6 +218,15 @@ class SignalTool(ABC):
         one row — reference gallery role: ``tnmf/utils/demo.py:257-295``),
         plus the first sample as a signal-space pair."""
         explanation('## Reconstruction quality', verbose)
+        explanation(
+            'A first global impression of the fit. Each row of the three '
+            'matrices is one sample with its channels and signal dimensions '
+            'flattened: **left** the input, **middle** its reconstruction '
+            'from the learned factorization, **right** their difference. A '
+            'structureless right panel means the model captured the data; '
+            'visible symbol outlines there point to missing atoms or too '
+            'few iterations. Below, the first sample is shown in its native '
+            'signal space.', verbose)
         err = float(0.5 * np.sum((V - R) ** 2))
         st.markdown(f'Reconstruction energy: **{err:.4f}**')
         import matplotlib.pyplot as plt
@@ -205,6 +245,13 @@ class SignalTool(ABC):
         streamlit, the full gallery when headless (reference role:
         ``tnmf/utils/demo.py:297-319``)."""
         explanation('## Per-sample comparison', verbose)
+        explanation(
+            'The same comparison, one sample at a time and channel by '
+            'channel — pick a sample to inspect how closely its '
+            'reconstruction follows the input. Systematic deviations (e.g. '
+            'every pulse slightly too wide) indicate a dictionary problem; '
+            'isolated ones indicate activations the sparsity or inhibition '
+            'penalties suppressed.', verbose)
         if HAVE_STREAMLIT and len(V) > 1:
             idx = [int(st.slider('Sample number', 1, len(V))) - 1]
         else:
@@ -218,6 +265,15 @@ class SignalTool(ABC):
         its partial contribution to the selected sample's reconstruction
         (reference gallery role: ``tnmf/utils/demo.py:321-355``)."""
         explanation('## Atom-wise partial reconstructions', verbose)
+        explanation(
+            'What did each atom learn, and what part of the signal does it '
+            'explain? Every row shows one dictionary atom next to its '
+            '**partial reconstruction** — the contribution of that atom '
+            'alone (its activation map convolved with it). Ideally each '
+            'atom matches one generating symbol and its contribution covers '
+            'exactly the occurrences of that symbol; atoms sharing one '
+            'symbol between them call for cross-atom inhibition, dead atoms '
+            'for fewer atoms or more iterations.', verbose)
         if HAVE_STREAMLIT and len(V) > 1:
             i_signal = int(st.slider('Sample number', 1, len(V),
                                      key='i_signal_partial')) - 1
@@ -244,14 +300,33 @@ class SignalTool1D(SignalTool):
 
     def _generate(self, verbose: bool) -> Tuple[np.ndarray, dict]:
         from .signals import generate_pulse_train
-        n_signals = int(st.sidebar.number_input('Number of signals', min_value=1, value=3))
-        n_pulses = int(st.sidebar.number_input('Pulses per signal', min_value=1, value=3))
-        pulse_length = int(st.sidebar.number_input('Pulse length', min_value=2, value=20))
-        symbols = st.sidebar.multiselect(
-            'Symbols', ['nnn', '---', '^^^', 'vvv', '___'], default=['nnn', '^^^', 'vvv'])
+        n_signals = int(st.sidebar.number_input(
+            'Number of signals', min_value=1, value=3,
+            help='Independent pulse trains in the batch. All signals share '
+                 'one symbol dictionary, so more signals give the model '
+                 'more evidence per symbol.'))
+        n_pulses = int(st.sidebar.number_input(
+            'Pulses per signal', min_value=1, value=3,
+            help='Symbols concatenated into each signal; its length is '
+                 'pulses x pulse length.'))
+        pulse_length = int(st.sidebar.number_input(
+            'Pulse length', min_value=2, value=20,
+            help='Samples per symbol — also the ground-truth atom size.'))
+        n_channels = int(st.sidebar.number_input(
+            'Number of channels', min_value=1, max_value=5, value=3,
+            help='Channels of the multi-channel signal. Each symbol plays '
+                 'the same pulse shape on every channel, and each atom must '
+                 'explain all channels at once (channels are not shifted '
+                 'independently).'))
+        shapes = st.sidebar.multiselect(
+            'Pulse shapes', ['n', '-', '^', 'v', '_'], default=['n', '^', 'v'],
+            help="Ground-truth symbol shapes: 'n' half-sine bump, '-' "
+                 "constant high, '^' rising ramp, 'v' falling ramp, '_' "
+                 "constant low. One dictionary atom per selected shape.")
+        symbols = [s * n_channels for s in shapes]
         V, W = [], None
         for _ in range(n_signals):
-            signal, W = generate_pulse_train(symbols=list(symbols),
+            signal, W = generate_pulse_train(symbols=symbols,
                                              pulse_length=pulse_length, n_pulses=n_pulses)
             V.append(signal)
         V = np.stack(V)
@@ -288,10 +363,25 @@ class SignalTool2D(SignalTool):
         super().__init__(2)
 
     def _generate(self, verbose: bool) -> Tuple[np.ndarray, dict]:
-        from .signals import generate_block_image
-        n_symbols = int(st.sidebar.number_input('Patches per image side', min_value=2, value=5))
-        symbol_size = int(st.sidebar.number_input('Patch size', min_value=3, value=10))
-        image, W = generate_block_image(symbol_size=symbol_size, n_symbols=n_symbols)
+        from .signals import PATCH_PATTERNS, generate_block_image
+        n_symbols = int(st.sidebar.number_input(
+            'Patches per image side', min_value=2, value=5,
+            help='The image is a grid of n x n randomly chosen patches; '
+                 'larger grids give more occurrences of every patch to '
+                 'learn from.'))
+        symbol_size = int(st.sidebar.number_input(
+            'Patch size', min_value=3, value=10,
+            help='Pixels per patch side — also the ground-truth atom size. '
+                 'Patches tile the image exactly, so atoms sit on a regular '
+                 'grid the model does not know about.'))
+        color = st.sidebar.radio(
+            'Channels', ['3 (color patches)', '1 (grayscale patches)'], index=0,
+            help='Color draws every pattern in several colors (one '
+                 'ground-truth atom per pattern-color pair, 3-channel '
+                 'image); grayscale keeps one atom per pattern.')
+        symbols = None if color.startswith('3') else list(PATCH_PATTERNS)
+        image, W = generate_block_image(symbols=symbols,
+                                        symbol_size=symbol_size, n_symbols=n_symbols)
         V = image[np.newaxis]
         return V, dict(n_atoms=len(W), atom_shape=(symbol_size, symbol_size))
 
