@@ -106,8 +106,30 @@ _MAX_PHASES = 16
 # one-hot FLOP inflation) was swept on v5e and measured a wash in the real
 # fused fit loop at every scale (within run noise at 64x256x256 and
 # 128x128; slightly worse at the 76x102 fixture), so the simple fixed
-# blocking stays.
+# blocking stays.  These factors also set the valid-mode padding
+# congruence in :func:`geometry`; the reconstruction conv itself may
+# *locally* double the minormost block for channel-poor data
+# (:func:`_rec_block`) without changing any carried shape.
 _REC_BLOCK = {1: (64,), 2: (8, 8), 3: (4, 4, 4)}
+
+
+def _rec_block(g, n_channels: int) -> Tuple[int, ...]:
+    """Effective reconstruction output blocking for ``n_channels`` data.
+
+    The rec conv's output channel count is ``C * prod(s)``; at the base 2-D
+    blocking and C=1 that is 64 — half of the 128 vector lanes.  Doubling
+    the minormost block fills the lanes and wins despite ~1.5x one-hot FLOP
+    inflation (v5e flagship 64x256x256/16x9x9/C=1 full MU iteration:
+    1.88 -> 1.81 ms bf16, 3.41 -> 3.19 ms f32; larger or earlier-axis
+    blockings measured worse).  C >= 2 already fills the lanes, so the base
+    blocking stays.  Purely local to the reconstruction: ``t_pad`` keeps the
+    base-``s`` congruence and :func:`reconstruct` right-pads any
+    non-congruent strided grid with absorbing zeros.
+    """
+    s = g['s']
+    if n_channels == 1 and math.prod(s) < 128:
+        s = s[:-1] + (2 * s[-1],)
+    return s
 
 
 # ---------------------------------------------------------------------------
@@ -180,17 +202,19 @@ def applicable(plan: ConvPlan, n_channels: int, n_atoms: int) -> bool:
         return False
     if plan.ndim == 1 and plan.transform_shape[0] < 256:
         return False  # the (64,) output blocking would pad tiny signals away
-    # one-hot kernels must stay reasonable
+    # one-hot kernels must stay reasonable (evaluated at the EFFECTIVE
+    # reconstruction blocking, which may double for channel-poor data)
     pp = math.prod(g['r'])
+    se = _rec_block(g, n_channels)
     ky = tuple((s - 1 + a - 1) // r + 1
-               for a, r, s in zip(g['a'], g['r'], g['s']))
-    if n_atoms * pp * math.prod(g['s']) * math.prod(ky) > 2 ** 22:
+               for a, r, s in zip(g['a'], g['r'], se))
+    if n_atoms * pp * math.prod(se) * math.prod(ky) > 2 ** 22:
         return False
     # ... and so must the cached host-side placement tensors (the rec
     # placement is (prod(s), pp, prod(ky), prod(A)) — an lru-cached jit
     # constant independent of n_atoms; e.g. 21x21 atoms at r=(4,4) would
     # allocate ~88 MB, where the plain conv strategy needs nothing)
-    if math.prod(g['s']) * pp * math.prod(ky) * math.prod(g['a']) > 2 ** 23:
+    if math.prod(se) * pp * math.prod(ky) * math.prod(g['a']) > 2 ** 23:
         return False
     return True
 
@@ -308,9 +332,9 @@ def _grad_kernel(W: jnp.ndarray, g) -> jnp.ndarray:
 
 def _rec_kernel(W: jnp.ndarray, g) -> jnp.ndarray:
     """(M, C, *A) -> (C*prod(s), M*pp, *T) strided reconstruction kernel
-    (W flip folded in)."""
+    (W flip folded in; ``s`` is the channel-adaptive effective blocking)."""
     M, C = W.shape[:2]
-    A, r, s = g['a'], g['r'], g['s']
+    A, r, s = g['a'], g['r'], _rec_block(g, C)
     Wf = jnp.flip(W, axis=tuple(range(2, 2 + len(A))))
     P, T = _rec_placement(A, r, s)
     Kk = jnp.einsum('mca,sqta->csmqt', Wf.reshape(M, C, -1),
@@ -429,7 +453,7 @@ def reconstruct(W: jnp.ndarray, Hph: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray
     padding tops up the strided output grid to ``ceil(S/s)`` blocks; any
     overhang reads absorbing/pad zeros and is cropped."""
     g = geometry(plan)
-    s, r, A = g['s'], g['r'], g['a']
+    s, r, A = _rec_block(g, W.shape[1]), g['r'], g['a']
     nd = plan.ndim
     K3 = _rec_kernel(W, g)
     taps = K3.shape[2:]
