@@ -107,6 +107,41 @@ def test_revival_is_reproducible_with_seed():
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
+def test_revival_under_mesh_matches_single_device():
+    """Mesh-sharded revival (VERDICT r3 composition hole): revive_every
+    under a data-parallel mesh reproduces the single-device trajectory and
+    preserves the factor shardings across the host round-trip, so the
+    following fused chunks reuse the compiled sharded program."""
+    import jax
+    from tnmf_tpu.parallel import DATA_AXIS, make_mesh
+    if jax.device_count() < 8:
+        pytest.skip('needs 8 (virtual) devices')
+    V = _V(shape=(8, 1, 12, 12)).astype(np.float64)
+
+    def kill(nmf, m):
+        H = np.asarray(nmf._H).copy()
+        H[:, m] = 0.0
+        Hd = jnp.asarray(H, dtype=nmf._H.dtype)
+        nmf._H = jax.device_put(Hd, nmf._H.sharding)
+
+    results = []
+    for mesh in (None, make_mesh(8)):
+        nmf = TransformInvariantNMF(n_atoms=3, atom_shape=(3, 3), seed=5,
+                                    mesh=mesh)
+        nmf.fit(V, n_iterations=2)
+        kill(nmf, 2)
+        assert find_dead_atoms(nmf).size == 1
+        nmf.fit(V, n_iterations=6, keep_W=True, keep_H=True, revive_every=2)
+        assert find_dead_atoms(nmf).size == 0
+        results.append((nmf.W, nmf.H, nmf))
+    (Ws, Hs, _), (Wm, Hm, meshed) = results
+    np.testing.assert_allclose(Wm, Ws, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(Hm, Hs, rtol=1e-8, atol=1e-10)
+    # the revival kept H distributed on the data axis
+    assert meshed._H.sharding.spec[0] == DATA_AXIS
+    assert len(meshed._H.devices()) == 8
+
+
 def test_transform_group_atom_mass_and_revival():
     V = _V()
     nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), seed=3,

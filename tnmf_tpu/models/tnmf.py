@@ -870,7 +870,8 @@ class TransformInvariantNMF:
           ``revive_threshold`` times the mean are re-drawn from the model's
           RNG (:func:`tnmf_tpu.utils.atoms.revive_dead_atoms`) and the fit
           continues with the full dictionary live.  Requires both factor
-          updates; single-device fits only.
+          updates.  Works under single-process meshes (revival preserves
+          the factor shardings); multi-process global arrays are rejected.
         """
         _assert_nonnegative(V)
         self._assert_beta_domain(V, mask)
@@ -916,11 +917,12 @@ class TransformInvariantNMF:
             if not (update_H and update_W):
                 raise ValueError('revive_every requires update_H and '
                                  'update_W (revival re-draws both factors)')
-            if self._mesh is not None:
+            if isinstance(V, jax.Array) and not V.is_fully_addressable:
                 raise ValueError(
-                    'revive_every re-draws atoms host-side and is validated '
-                    'for single-device fits only; under a mesh, run '
-                    'utils.atoms.revive_dead_atoms between fits')
+                    'revive_every re-draws atoms host-side and needs fully '
+                    'addressable factors; with multi-process global arrays, '
+                    'run utils.atoms.revive_dead_atoms between fits from '
+                    'gathered copies instead')
             from ..utils.atoms import revive_dead_atoms
             thr = float(revive_threshold)
 

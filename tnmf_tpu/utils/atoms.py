@@ -56,11 +56,29 @@ def revive_dead_atoms(model, rel_threshold: float = 1e-4,
     are drawn from ``rng`` (default: the model's own RNG, so seeded models
     stay reproducible).  Alive atoms and their activations are untouched;
     refit with ``keep_W=True, keep_H=True`` to continue.
+
+    Mesh-sharded models are supported as long as the factors are fully
+    addressable (single-process meshes): the revival round-trips through
+    host and re-places W/H with their original shardings, so the next fit
+    chunk reuses the compiled sharded program.  Multi-process global
+    arrays are rejected (the host round-trip would need a cross-process
+    gather; revive between fits from gathered copies instead).
     """
+    import jax
+
+    for arr in (model._W, model._H):
+        if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+            raise RuntimeError(
+                'revive_dead_atoms needs fully addressable factors; '
+                'multi-process global W/H cannot be revived in place')
     dead = find_dead_atoms(model, rel_threshold)
     if dead.size == 0:
         return dead
     draw = rng if rng is not None else model._rng
+    w_sharding = (model._W.sharding
+                  if isinstance(model._W, jax.Array) else None)
+    h_sharding = (model._H.sharding
+                  if isinstance(model._H, jax.Array) else None)
     W = np.asarray(model._W).copy()
     H = np.asarray(model._H).copy()
     atom_axes = tuple(range(-len(model.atom_shape), 0))
@@ -71,8 +89,13 @@ def revive_dead_atoms(model, rel_threshold: float = 1e-4,
         H[:, m * g:(m + 1) * g] = 1 - draw.random(
             (H.shape[0], g) + H.shape[2:])
     import jax.numpy as jnp
-    model._W = jnp.asarray(W, dtype=model._W.dtype)
-    model._H = jnp.asarray(H, dtype=model._H.dtype)
+    Wd = jnp.asarray(W, dtype=model._W.dtype)
+    Hd = jnp.asarray(H, dtype=model._H.dtype)
+    # restore the original placements so a following fit chunk hits the
+    # same compiled sharded program (device_put with the captured sharding
+    # is a no-op for plain single-device arrays)
+    model._W = jax.device_put(Wd, w_sharding) if w_sharding else Wd
+    model._H = jax.device_put(Hd, h_sharding) if h_sharding else Hd
     return dead
 
 
