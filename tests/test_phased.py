@@ -86,32 +86,38 @@ def test_applicable_gating():
 
 def test_rec_block_channel_adaptive():
     """The reconstruction blocking doubles its minormost block exactly when
-    the rec conv would under-fill the 128 vector lanes (C*prod(s) < 128) —
-    and the doubled blocking reconstructs identically (it is purely local
-    to the rec conv; the carried H layout keeps the base-``s`` shape)."""
+    the rec conv would under-fill the 128 vector lanes (C*prod(s) < 128)
+    AND the dtype is narrow (bf16; for f32 the doubling measured a net
+    loss) — and the doubled blocking reconstructs identically (it is
+    purely local to the rec conv; the carried H layout keeps the
+    base-``s`` shape)."""
     g2 = phased.geometry(ConvPlan.create('valid', (64, 64), (9, 9)))
     assert g2['s'] == (8, 8)
-    assert phased._rec_block(g2, 1) == (8, 16)   # 64 lanes -> double
-    assert phased._rec_block(g2, 2) == (8, 8)    # 128 lanes already full
-    assert phased._rec_block(g2, 3) == (8, 8)
+    assert phased._rec_block(g2, 1, 2) == (8, 16)  # 64 lanes, bf16 -> double
+    assert phased._rec_block(g2, 1, 4) == (8, 8)   # f32: keep base
+    assert phased._rec_block(g2, 2, 2) == (8, 8)   # 128 lanes already full
+    assert phased._rec_block(g2, 3, 2) == (8, 8)
     g1 = phased.geometry(ConvPlan.create('valid', (300,), (9,)))
-    assert phased._rec_block(g1, 1) == (128,)    # (64,) -> 128 lanes
+    assert phased._rec_block(g1, 1, 2) == (128,)   # (64,) -> 128 lanes
     g3 = phased.geometry(ConvPlan.create('valid', (12, 12, 12), (3, 5, 3)))
-    assert phased._rec_block(g3, 1) == (4, 4, 8)
-    # numerical equivalence: base vs adaptive blocking, non-congruent grid
+    assert phased._rec_block(g3, 1, 2) == (4, 4, 8)
+    # numerical equivalence of the doubled rec conv, pinned in float64 on
+    # a non-congruent grid (force the doubling — f64 alone would keep the
+    # base blocking and the comparison would be vacuous)
     plan = ConvPlan.create('valid', (65, 70), (9, 9))
     rng = np.random.default_rng(0)
     W = jnp.asarray(rng.random((5, 1, 9, 9)))
     H = jnp.asarray(rng.random((2, 5) + plan.transform_shape))
     Hph = phased.encode_h(H, plan)
-    R_adaptive = np.asarray(phased.reconstruct(W, Hph, plan))
     orig = phased._rec_block
     try:
-        phased._rec_block = lambda g, c: g['s']
+        phased._rec_block = lambda g, c, i=2: (g['s'][:-1] + (2 * g['s'][-1],))
+        R_doubled = np.asarray(phased.reconstruct(W, Hph, plan))
+        phased._rec_block = lambda g, c, i=2: g['s']
         R_base = np.asarray(phased.reconstruct(W, Hph, plan))
     finally:
         phased._rec_block = orig
-    np.testing.assert_allclose(R_adaptive, R_base, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(R_doubled, R_base, rtol=1e-12, atol=1e-12)
 
 
 def test_resolve_strategy_platform_gate(monkeypatch):

@@ -113,21 +113,29 @@ _MAX_PHASES = 16
 _REC_BLOCK = {1: (64,), 2: (8, 8), 3: (4, 4, 4)}
 
 
-def _rec_block(g, n_channels: int) -> Tuple[int, ...]:
+def _rec_block(g, n_channels: int, itemsize: int = 2) -> Tuple[int, ...]:
     """Effective reconstruction output blocking for ``n_channels`` data.
 
     The rec conv's output channel count is ``C * prod(s)``; at the base 2-D
-    blocking and C=1 that is 64 — half of the 128 vector lanes.  Doubling
-    the minormost block fills the lanes and wins despite ~1.5x one-hot FLOP
-    inflation (v5e flagship 64x256x256/16x9x9/C=1 full MU iteration:
-    1.88 -> 1.81 ms bf16, 3.41 -> 3.19 ms f32; larger or earlier-axis
-    blockings measured worse).  C >= 2 already fills the lanes, so the base
-    blocking stays.  Purely local to the reconstruction: ``t_pad`` keeps the
-    base-``s`` congruence and :func:`reconstruct` right-pads any
-    non-congruent strided grid with absorbing zeros.
+    blocking and C=1 that is 64 — half of the 128 vector lanes.  For
+    narrow dtypes (bf16), doubling the minormost block fills the lanes
+    and wins despite ~1.5x one-hot FLOP inflation: measured side-by-side
+    in one process at the v5e flagship (64x256x256/16x9x9/C=1 full MU
+    iteration), bf16 1.99-2.03 -> 1.83-1.88 ms (~8%).  For f32 the same
+    doubling measured a consistent ~3% *loss* (3.30-3.38 -> 3.44 ms): the
+    wider iteration's byte budget already hides the half-filled lanes,
+    so only the extra FLOPs and tail padding remain — f32 keeps the base
+    blocking.  (An earlier sweep that made the doubled block global —
+    changing ``t_pad`` congruence, i.e. padding the carried H — measured
+    an f32 win, but that variant taxes every H stream ~3% for all C,
+    which mu_H's stream-roofline cost cannot afford.)  C >= 2 already
+    fills the lanes, so the base blocking stays.  Purely local to the
+    reconstruction: ``t_pad`` keeps the base-``s`` congruence and
+    :func:`reconstruct` tops up any non-congruent strided grid with
+    absorbing conv padding.
     """
     s = g['s']
-    if n_channels == 1 and math.prod(s) < 128:
+    if n_channels == 1 and itemsize < 4 and math.prod(s) < 128:
         s = s[:-1] + (2 * s[-1],)
     return s
 
@@ -202,8 +210,9 @@ def applicable(plan: ConvPlan, n_channels: int, n_atoms: int) -> bool:
         return False
     if plan.ndim == 1 and plan.transform_shape[0] < 256:
         return False  # the (64,) output blocking would pad tiny signals away
-    # one-hot kernels must stay reasonable (evaluated at the EFFECTIVE
-    # reconstruction blocking, which may double for channel-poor data)
+    # one-hot kernels must stay reasonable (evaluated at the worst-case
+    # EFFECTIVE reconstruction blocking — the narrow-dtype doubling for
+    # channel-poor data — so strategy selection stays dtype-independent)
     pp = math.prod(g['r'])
     se = _rec_block(g, n_channels)
     ky = tuple((s - 1 + a - 1) // r + 1
@@ -334,7 +343,7 @@ def _rec_kernel(W: jnp.ndarray, g) -> jnp.ndarray:
     """(M, C, *A) -> (C*prod(s), M*pp, *T) strided reconstruction kernel
     (W flip folded in; ``s`` is the channel-adaptive effective blocking)."""
     M, C = W.shape[:2]
-    A, r, s = g['a'], g['r'], _rec_block(g, C)
+    A, r, s = g['a'], g['r'], _rec_block(g, C, jnp.dtype(W.dtype).itemsize)
     Wf = jnp.flip(W, axis=tuple(range(2, 2 + len(A))))
     P, T = _rec_placement(A, r, s)
     Kk = jnp.einsum('mca,sqta->csmqt', Wf.reshape(M, C, -1),
@@ -453,7 +462,8 @@ def reconstruct(W: jnp.ndarray, Hph: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray
     padding tops up the strided output grid to ``ceil(S/s)`` blocks; any
     overhang reads absorbing/pad zeros and is cropped."""
     g = geometry(plan)
-    s, r, A = _rec_block(g, W.shape[1]), g['r'], g['a']
+    s, r, A = (_rec_block(g, W.shape[1], jnp.dtype(W.dtype).itemsize),
+               g['r'], g['a'])
     nd = plan.ndim
     K3 = _rec_kernel(W, g)
     taps = K3.shape[2:]
