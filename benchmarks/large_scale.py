@@ -126,6 +126,14 @@ def main():
     # (update_W=False) — the per-iteration cost of encoding new data
     # against a trained model
     run(n_samples=n, update_W=False, label=' serving (W frozen)')
+    # 3-D volumetric factorization (the reference supports n-D only via
+    # its NumPy backends; PyTorch caps at rank 3 — PyTorch.py:30-33).
+    # Phased gates off at these geometries (placement caps), so this
+    # measures the rank-3 conv vs fft lowerings and validates the chooser
+    for strat in ('conv', 'fft'):
+        run(n_samples=8, sample=(64, 64, 64), atom=(5, 5, 5), n_atoms=8,
+            n_channels=1, strategy=strat, iters=(10, 60),
+            label=f' 3-D volume [{strat}]')
     # long-1-D fft strategy across the former 4096-length cliff: the
     # two-stage Cooley-Tukey matmul-DFT keeps >4096 transforms on the MXU
     # (round-2 verdict weak #3); per-sample cost must scale ~linearly from

@@ -101,6 +101,14 @@ def test_rec_block_channel_adaptive():
     assert phased._rec_block(g1, 1, 2) == (128,)   # (64,) -> 128 lanes
     g3 = phased.geometry(ConvPlan.create('valid', (12, 12, 12), (3, 5, 3)))
     assert phased._rec_block(g3, 1, 2) == (4, 4, 8)
+    # resource-cap fallback: the 64^3 volume geometry is phased-applicable
+    # at the base blocking (BASELINE.md's 24.6x row) but its doubled
+    # placement tensor busts the cap — bf16 keeps base instead of
+    # kicking the whole config out of the phased strategy
+    vplan = ConvPlan.create('valid', (64, 64, 64), (5, 5, 5))
+    assert phased.applicable(vplan, 1, 8)
+    gv = phased.geometry(vplan)
+    assert phased._rec_block(gv, 1, 2, n_atoms=8) == gv['s']
     # numerical equivalence of the doubled rec conv, pinned in float64 on
     # a non-congruent grid (force the doubling — f64 alone would keep the
     # base blocking and the comparison would be vacuous)
@@ -111,9 +119,10 @@ def test_rec_block_channel_adaptive():
     Hph = phased.encode_h(H, plan)
     orig = phased._rec_block
     try:
-        phased._rec_block = lambda g, c, i=2: (g['s'][:-1] + (2 * g['s'][-1],))
+        phased._rec_block = lambda g, c, *a, **k: (g['s'][:-1]
+                                                   + (2 * g['s'][-1],))
         R_doubled = np.asarray(phased.reconstruct(W, Hph, plan))
-        phased._rec_block = lambda g, c, i=2: g['s']
+        phased._rec_block = lambda g, c, *a, **k: g['s']
         R_base = np.asarray(phased.reconstruct(W, Hph, plan))
     finally:
         phased._rec_block = orig

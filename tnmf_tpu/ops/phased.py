@@ -113,7 +113,8 @@ _MAX_PHASES = 16
 _REC_BLOCK = {1: (64,), 2: (8, 8), 3: (4, 4, 4)}
 
 
-def _rec_block(g, n_channels: int, itemsize: int = 2) -> Tuple[int, ...]:
+def _rec_block(g, n_channels: int, itemsize: int = 2,
+               n_atoms: int = 1) -> Tuple[int, ...]:
     """Effective reconstruction output blocking for ``n_channels`` data.
 
     The rec conv's output channel count is ``C * prod(s)``; at the base 2-D
@@ -136,7 +137,13 @@ def _rec_block(g, n_channels: int, itemsize: int = 2) -> Tuple[int, ...]:
     """
     s = g['s']
     if n_channels == 1 and itemsize < 4 and math.prod(s) < 128:
-        s = s[:-1] + (2 * s[-1],)
+        doubled = s[:-1] + (2 * s[-1],)
+        # the doubled blocking must respect the same resource caps the
+        # strategy choice checked at the base blocking (e.g. the 64^3
+        # volume config is phased-applicable at (4,4,4) but its doubled
+        # placement tensor would exceed the cap — it keeps the base)
+        if _rec_caps_ok(g, doubled, n_atoms):
+            s = doubled
     return s
 
 
@@ -210,22 +217,25 @@ def applicable(plan: ConvPlan, n_channels: int, n_atoms: int) -> bool:
         return False
     if plan.ndim == 1 and plan.transform_shape[0] < 256:
         return False  # the (64,) output blocking would pad tiny signals away
-    # one-hot kernels must stay reasonable (evaluated at the worst-case
-    # EFFECTIVE reconstruction blocking — the narrow-dtype doubling for
-    # channel-poor data — so strategy selection stays dtype-independent)
+    # one-hot kernel and placement caps at the BASE blocking: strategy
+    # selection is blocking-independent (the narrow-dtype doubled blocking
+    # checks the same caps itself and falls back to base when it would
+    # bust them — see :func:`_rec_caps_ok` / :func:`_rec_block`)
+    return _rec_caps_ok(g, g['s'], n_atoms)
+
+
+def _rec_caps_ok(g, s: Tuple[int, ...], n_atoms: int) -> bool:
+    """Resource caps of the strided reconstruction at output blocking
+    ``s``: the one-hot kernel must stay reasonable, and so must the cached
+    host-side placement tensor (``(prod(s), pp, prod(ky), prod(A))`` — an
+    lru-cached jit constant; e.g. 21x21 atoms at r=(4,4) would allocate
+    ~88 MB, where the plain conv strategy needs nothing)."""
     pp = math.prod(g['r'])
-    se = _rec_block(g, n_channels)
-    ky = tuple((s - 1 + a - 1) // r + 1
-               for a, r, s in zip(g['a'], g['r'], se))
-    if n_atoms * pp * math.prod(se) * math.prod(ky) > 2 ** 22:
+    ky = tuple((si - 1 + a - 1) // r + 1
+               for a, r, si in zip(g['a'], g['r'], s))
+    if n_atoms * pp * math.prod(s) * math.prod(ky) > 2 ** 22:
         return False
-    # ... and so must the cached host-side placement tensors (the rec
-    # placement is (prod(s), pp, prod(ky), prod(A)) — an lru-cached jit
-    # constant independent of n_atoms; e.g. 21x21 atoms at r=(4,4) would
-    # allocate ~88 MB, where the plain conv strategy needs nothing)
-    if math.prod(se) * pp * math.prod(ky) * math.prod(g['a']) > 2 ** 23:
-        return False
-    return True
+    return math.prod(s) * pp * math.prod(ky) * math.prod(g['a']) <= 2 ** 23
 
 
 # ---------------------------------------------------------------------------
@@ -343,7 +353,8 @@ def _rec_kernel(W: jnp.ndarray, g) -> jnp.ndarray:
     """(M, C, *A) -> (C*prod(s), M*pp, *T) strided reconstruction kernel
     (W flip folded in; ``s`` is the channel-adaptive effective blocking)."""
     M, C = W.shape[:2]
-    A, r, s = g['a'], g['r'], _rec_block(g, C, jnp.dtype(W.dtype).itemsize)
+    A, r, s = g['a'], g['r'], _rec_block(g, C, jnp.dtype(W.dtype).itemsize,
+                                         n_atoms=M)
     Wf = jnp.flip(W, axis=tuple(range(2, 2 + len(A))))
     P, T = _rec_placement(A, r, s)
     Kk = jnp.einsum('mca,sqta->csmqt', Wf.reshape(M, C, -1),
@@ -462,7 +473,8 @@ def reconstruct(W: jnp.ndarray, Hph: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray
     padding tops up the strided output grid to ``ceil(S/s)`` blocks; any
     overhang reads absorbing/pad zeros and is cropped."""
     g = geometry(plan)
-    s, r, A = (_rec_block(g, W.shape[1], jnp.dtype(W.dtype).itemsize),
+    s, r, A = (_rec_block(g, W.shape[1], jnp.dtype(W.dtype).itemsize,
+                          n_atoms=W.shape[0]),
                g['r'], g['a'])
     nd = plan.ndim
     K3 = _rec_kernel(W, g)
