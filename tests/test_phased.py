@@ -309,6 +309,18 @@ def test_phased_random_geometry_fuzz():
         R = np.asarray(phased.reconstruct(jnp.asarray(W), Hph, plan))
         np.testing.assert_allclose(R, oracle.reconstruct(W, H, mode),
                                    rtol=1e-9, atol=1e-9)
+        # the narrow-dtype doubled rec blocking, forced in f64 wherever
+        # its caps allow: must reconstruct identically
+        g = phased.geometry(plan)
+        doubled = g['s'][:-1] + (2 * g['s'][-1],)
+        if phased._rec_caps_ok(g, doubled, M):
+            orig_rb = phased._rec_block
+            try:
+                phased._rec_block = lambda gg, c, *a, **k: doubled
+                R2 = np.asarray(phased.reconstruct(jnp.asarray(W), Hph, plan))
+            finally:
+                phased._rec_block = orig_rb
+            np.testing.assert_allclose(R2, R, rtol=1e-9, atol=1e-9)
         neg, pos = phased.grad_H_pair(Vs, jnp.asarray(R), jnp.asarray(W), plan)
         on, op = oracle.reconstruction_gradient_H(V, W, H, mode)
         np.testing.assert_allclose(np.asarray(phased.decode_h(neg, plan, M)),
