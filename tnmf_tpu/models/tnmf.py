@@ -800,6 +800,7 @@ class TransformInvariantNMF:
             mask=None,
             revive_every: Optional[int] = None,
             revive_threshold: float = 1e-4,
+            extrapolate=False,
     ):
         r"""Full-batch multiplicative-update factorization of ``V``.
 
@@ -863,6 +864,23 @@ class TransformInvariantNMF:
           (two atoms converged onto the same feature are both alive).
           Recorded/logged energies remain the pure reconstruction
           divergence, like the reference's.
+        * ``extrapolate=True`` (or a float initial momentum weight in
+          ``(0, 1)``; True means 0.5) accelerates the fit with
+          Ang & Gillis 2019-style extrapolation with restarts: each MU
+          update is computed at ``Y = X_new + beta_k (X_new - X_old)``
+          projected to the nonnegative orthant, with an on-device
+          safeguard every ``tol_check_every`` iterations that halves
+          ``beta_k`` and resets ``Y = X`` whenever the energy increased —
+          typically reaching a given tolerance in substantially fewer
+          iterations at ~zero extra per-iteration cost (the reference's
+          plain Lee-Seung MU has no acceleration).  Composes with ``tol``
+          (recommended: that is where fewer-iterations pays off) and all
+          regularizers/masks/strategies/meshes; incompatible with
+          callbacks, ``record_energies``, ``checkpoint_every`` and
+          ``revive_every`` (the accelerated loop runs as one on-device
+          ``while_loop``).  The trajectory differs from plain MU by
+          design; energies land within the same converged basin
+          (``tests/test_extrapolation.py``).
         * ``revive_every=k`` makes the fit self-healing against MU's
           absorbing zero state (atoms collapsed under sparsity pressure can
           never recover on their own): every ``k`` fused on-device
@@ -891,6 +909,18 @@ class TransformInvariantNMF:
                 'tol-based early stopping runs as one on-device while_loop '
                 'and cannot combine with checkpoint_every (the periodic '
                 'checkpoint needs host round trips)')
+        if extrapolate:
+            if (progress_callback is not None or record_energies
+                    or checkpoint_every is not None
+                    or revive_every is not None):
+                raise ValueError(
+                    'extrapolate runs as one on-device while_loop and '
+                    'cannot combine with progress_callback, '
+                    'record_energies, checkpoint_every or revive_every')
+            xtr_beta0 = 0.5 if extrapolate is True else float(extrapolate)
+            if not 0.0 < xtr_beta0 < 1.0:
+                raise ValueError('extrapolate must be True or an initial '
+                                 'momentum weight in (0, 1)')
         if checkpoint_every is not None:
             assert checkpoint_every >= 1
             if progress_callback is not None:
@@ -957,6 +987,18 @@ class TransformInvariantNMF:
 
         log_each = self._logger.isEnabledFor(logging.INFO)
         self.energies_ = None
+        if extrapolate:
+            acc = jnp.promote_types(self._W.dtype, jnp.float32)
+            self._W, self._H, n_done, _ = engine.fit_loop_extrapolated(
+                self._Vp, self._Vd, self._W, self._H,
+                jnp.asarray(int(n_iterations), jnp.int32),
+                jnp.asarray(0.0 if tol is None else tol, acc),
+                jnp.asarray(xtr_beta0, acc), *scalars, self._kernels,
+                mask=self._mask_d, **regs,
+                check_every=int(tol_check_every), **statics)
+            self.n_iterations_ = int(n_done)
+            self._logger.info('TNMF finished.')
+            return
         if tol is not None:
             if progress_callback is not None or record_energies:
                 raise ValueError(
