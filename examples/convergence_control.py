@@ -56,6 +56,16 @@ def main():
     print(f'tol=1e-4 fit stopped after {nmf_tol.n_iterations_} iterations '
           f'at energy {nmf_tol._energy_function():.6f}')
 
+    # accelerate the same adaptive fit: extrapolated MU (multiplicative
+    # momentum with on-device safeguard restarts) typically reaches the
+    # tolerance in substantially fewer iterations, often at a lower energy
+    np.random.seed(42)
+    nmf_xtr = TransformInvariantNMF(n_atoms=len(W_true), atom_shape=(20,))
+    nmf_xtr.fit(V, n_iterations=1000, tol=1e-4, tol_check_every=10,
+                extrapolate=True)
+    print(f'extrapolated tol fit stopped after {nmf_xtr.n_iterations_} '
+          f'iterations at energy {nmf_xtr._energy_function():.6f}')
+
     plt.figure(figsize=(6, 4))
     plt.semilogy(energies)
     plt.axhline(energies[0] * RELATIVE_THRESHOLD, color='r', ls='--', label='threshold')
