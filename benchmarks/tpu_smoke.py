@@ -185,6 +185,22 @@ def _tol():
     return f'tol_stopped_at={m.n_iterations_}'
 
 
+@check('extrapolated_mu')
+def _extrapolated():
+    from tnmf_tpu import TransformInvariantNMF
+    V = _data()
+    x = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), seed=0)
+    x.fit(V, n_iterations=400, tol=1e-3, tol_check_every=5,
+          extrapolate=True)
+    p = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), seed=0)
+    p.fit(V, n_iterations=int(x.n_iterations_))
+    # no worse than plain MU at the same iteration count, factors sane
+    assert (float(x._energy_function())
+            <= 1.05 * float(p._energy_function()))
+    assert np.isfinite(np.asarray(x.W, np.float64)).all()
+    return f'stopped_at={x.n_iterations_}'
+
+
 @check('serving_artifact_exact')
 def _serving():
     from tnmf_tpu import TransformInvariantNMF, load_serving
