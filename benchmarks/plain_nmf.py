@@ -108,7 +108,7 @@ def bench_device_loop(n, features, components, iters=(10, 110),
     return rates
 
 
-def bench_sklearn(n, features, components, iters):
+def bench_sklearn(n, features, components, iters, solver='mu'):
     try:
         from sklearn.decomposition import NMF
     except ImportError:  # pragma: no cover
@@ -118,11 +118,63 @@ def bench_sklearn(n, features, components, iters):
 
     def timed():
         t0 = time.perf_counter()
-        NMF(n_components=components, init='random', solver='mu',
+        NMF(n_components=components, init='random', solver=solver,
             max_iter=iters, tol=0, random_state=0).fit(X)
         return time.perf_counter() - t0
 
     return min(timed() for _ in range(3))
+
+
+def bench_hals(n, features, components, n_iterations):
+    """End-to-end HALS fit at sklearn-benchmark scale (the comparison row
+    for sklearn's NMF(solver='cd'), which is the same algorithm —
+    tests/test_hals.py pins the trajectories equal)."""
+    rng = np.random.default_rng(0)
+    V = rng.random((n, 1, features)).astype('float32')
+    m = TransformInvariantNMF(n_atoms=components, atom_shape=(features,),
+                              seed=1, reconstruction_mode='full')
+    return fit_seconds(m, V, n_iterations, solver='hals')
+
+
+def bench_hals_device_loop(n, features, components, iters=(10, 110),
+                           dtype='float32', inner=None):
+    """Production-scale HALS outer-iterations/s, device-resident (same
+    methodology as :func:`bench_device_loop`)."""
+    import jax
+    import jax.numpy as jnp
+    from tnmf_tpu import engine_hals
+    from tnmf_tpu.ops.modes import ConvPlan
+
+    plan = ConvPlan.create('full', (features,), (features,))
+    dt = jnp.dtype(dtype)
+    kv, ki = jax.random.split(jax.random.PRNGKey(0))
+    V = jax.jit(lambda k: jax.random.uniform(k, (n, 1, features), dt))(kv)
+    W0, H0 = engine.init_matrices(
+        ki, w_shape=(components, 1, features),
+        h_shape=(n, components) + plan.transform_shape,
+        n_shift_axes=plan.ndim, dtype=dt)
+    inner = engine_hals.auto_inner(components, features, inner)
+    acc = jnp.promote_types(dt, jnp.float32)
+    z = jnp.zeros((), acc)
+    statics = dict(inner=inner, update_H=True, update_W=True, plan=plan)
+
+    def go(k):
+        Wn, _ = engine_hals.fit_loop(V, W0 + 0, H0 + 0, k, z, z, **statics)
+        return float(np.asarray(Wn.astype(jnp.float32)).sum())
+
+    def timed(k):
+        t0 = time.perf_counter()
+        go(k)
+        return time.perf_counter() - t0
+
+    go(2)
+    n1, n2 = iters
+    lo = min(timed(n1) for _ in range(3))
+    hi = min(timed(n2) for _ in range(3))
+    per_iter = (hi - lo) / (n2 - n1)
+    if per_iter <= 0:  # pragma: no cover - timer noise floor
+        per_iter = hi / n2
+    return 1.0 / per_iter, inner
 
 
 def main():
@@ -138,6 +190,12 @@ def main():
     if sk:
         print(f'  sklearn NMF(solver=mu), CPU: {sk * 1000:8.1f} ms '
               f'(dot = {sk / secs["dot"]:.1f}x)')
+    hals = bench_hals(64, 128, 8, n_iterations=iters)
+    skcd = bench_sklearn(64, 128, 8, iters, solver='cd')
+    print(f'  hals : {hals * 1000:8.1f} ms')
+    if skcd:
+        print(f'  sklearn NMF(solver=cd), CPU: {skcd * 1000:8.1f} ms '
+              f'(hals = {skcd / hals:.1f}x)')
 
     if small_only:
         return
@@ -149,6 +207,9 @@ def main():
         for k, v in rates.items():
             print(f'  {dtype:9s} {k:5s}: {v:8.2f} MU iters/s '
                   f'({1000 / v:.2f} ms/iter)')
+        hv, inner = bench_hals_device_loop(16384, 4096, 256, dtype=dtype)
+        print(f'  {dtype:9s} hals : {hv:8.2f} HALS iters/s '
+              f'({1000 / hv:.2f} ms/iter, inner={inner})')
 
 
 if __name__ == '__main__':

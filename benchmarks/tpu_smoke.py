@@ -201,6 +201,31 @@ def _extrapolated():
     return f'stopped_at={x.n_iterations_}'
 
 
+@check('hals_solver')
+def _hals():
+    from tnmf_tpu import TransformInvariantNMF
+    rng = np.random.default_rng(0)
+    V = (rng.random((16, 4)) @ rng.random((4, 96))
+         ).reshape(16, 1, 96).astype(np.float32)
+
+    def model():
+        return TransformInvariantNMF(n_atoms=4, atom_shape=(96,),
+                                     reconstruction_mode='full', seed=0)
+
+    h = model()
+    h.fit(V, n_iterations=25, solver='hals', record_energies=True)
+    e = np.asarray(h.energies_, np.float64)
+    assert np.isfinite(e).all() and np.all(np.diff(e) <= 1e-6 * e[0])
+    m = model()
+    m.fit(V, n_iterations=25)  # plain MU from the same seeded start
+    assert e[-1] < float(m._energy_function())  # exact steps beat MU here
+    t = model()
+    t.fit(V, n_iterations=500, solver='hals', tol=1e-7, tol_check_every=10)
+    assert t.n_iterations_ < 500
+    return f'hals_e={e[-1]:.3g} mu_e={float(m._energy_function()):.3g} ' \
+           f'tol_stop={t.n_iterations_}'
+
+
 @check('serving_artifact_exact')
 def _serving():
     from tnmf_tpu import TransformInvariantNMF, load_serving

@@ -1,0 +1,336 @@
+"""HALS (hierarchical alternating least squares) solver for the plain-NMF
+geometry — an exact block-coordinate-descent alternative to the
+multiplicative updates, with no reference counterpart (the reference
+implements only Lee–Seung MU, ``TransformInvariantNMF.py:136-179``).
+
+Applies when shift invariance degenerates to classic NMF (reconstruction
+mode ``'full'`` with ``atom_shape == sample_shape``, i.e.
+``prod(transform_shape) == 1`` — the same corner the ``'dot'`` strategy
+lowers to a single matmul, :mod:`tnmf_tpu.ops.dot`).  With ``V`` flattened
+to ``(n, F)``, ``H`` to ``(n, m)`` and ``W`` to ``(m, F)``, each outer
+iteration updates one factor at a time by sweeping its components in
+Gauss–Seidel order, each component solved *exactly* (the 1-D nonnegative
+least-squares minimizer in closed form):
+
+    H[:, j] <- max(0, (P[:, j] - sum_{k != j} H[:, k] G[k, j] - l1)
+                      / (G[j, j] + l2)),   G = W W^T,  P = V W^T
+    W[j, :] <- max(0, (B[j, :] - sum_{k != j} A[j, k] W[k, :])
+                      / A[j, j]),          A = H^T H,  B = H^T V
+
+This is sklearn's ``NMF(solver='cd')`` algorithm (Cichocki & Phan 2009
+fast HALS; cross-checked trajectory-exact against sklearn in
+``tests/test_hals.py``) with the **accelerated** variant of Gillis &
+Glineur 2012: the Gram/cross matrices ``(G, P)`` / ``(A, B)`` are exact
+regardless of the *other* factor's last update, so each one — the only
+quantities that touch the ``(n, F)`` data — can be reused for several
+inner component sweeps.  On TPU that split is the whole design: the Grams
+are large MXU matmuls (the ``O(n m F)`` work), while a component sweep is
+``m`` small matvecs (``O(n m^2)`` / ``O(m^2 F)``) run as one
+``lax.fori_loop`` of dynamic-slice updates — so ``inner > 1`` buys extra
+objective decrease at a small fraction of an iteration's cost whenever
+``F >> m`` (the production regime).
+
+Why offer HALS at all: per outer iteration it decreases the Frobenius
+objective at least as much as one exact coordinate pass can (each
+component update is the exact minimizer, vs MU's fixed-point step), it
+converges in substantially fewer iterations on ill-conditioned problems,
+and — unlike MU — **zero is not absorbing** (a zeroed component re-enters
+whenever its partial residual correlation turns positive, so dead-atom
+revival is unnecessary by construction).
+
+TPU numerics: all contractions accumulate in float32
+(``preferred_element_type``) under bfloat16 storage and honor
+``plan.lax_precision``; the component loops carry the factors in their
+storage dtype.  Data parallelism: the Grams are per-sample sums, so under
+a ``shard_axis='samples'`` mesh GSPMD turns them into all-reduces
+automatically while the H sweep stays fully sample-parallel
+(``tests/test_hals.py::test_hals_sharded_matches_single``).
+
+Energy convention matches the MU engine: ``0.5 * ||V - H W||_F^2``
+(:func:`tnmf_tpu.ops.beta.divergence` at beta = 2), so ``energies_`` /
+``tol`` semantics are directly comparable across solvers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops import beta as beta_ops
+from .ops.modes import ConvPlan
+
+#: division guard for dead components (a component whose factor row is all
+#: zero has a zero diagonal Gram entry; the guarded ratio then yields 0 for
+#: it instead of nan, and the component may still re-enter a later sweep)
+_TINY = jnp.finfo(jnp.float32).tiny
+
+
+def _acc_dtype(*xs):
+    """Accumulation dtype: at least float32 (bfloat16 storage accumulates
+    in float32 on the MXU; float64 test runs keep float64)."""
+    return jnp.promote_types(jnp.result_type(*xs), jnp.float32)
+
+
+def _dot(a, b, precision):
+    """MXU matmul accumulating in at least float32."""
+    return jnp.matmul(a, b, precision=precision,
+                      preferred_element_type=_acc_dtype(a, b))
+
+
+def _sweep_H(H, G, P, l1, l2):
+    """One Gauss–Seidel pass over the ``m`` activation columns.
+
+    ``H (n, m)`` in storage dtype; ``G (m, m)`` / ``P (n, m)`` in float32.
+    Column ``j``'s exact minimizer uses the *current* H (components
+    ``< j`` already updated this pass) — sklearn's in-order coordinate
+    descent (``shuffle=False``).
+    """
+    m = H.shape[1]
+
+    def body(j, H):
+        g = jax.lax.dynamic_slice_in_dim(G, j, 1, axis=1)          # (m, 1)
+        gjj = jnp.squeeze(jax.lax.dynamic_slice_in_dim(g, j, 1, axis=0))
+        hj = jax.lax.dynamic_slice_in_dim(H, j, 1, axis=1)          # (n, 1)
+        pj = jax.lax.dynamic_slice_in_dim(P, j, 1, axis=1)
+        u = pj - _dot(H, g, None) + hj.astype(gjj.dtype) * gjj - l1
+        denom = gjj + l2
+        new = jnp.maximum(u / jnp.maximum(denom, _TINY), 0.0)
+        # dead component (zero dictionary row -> zero curvature): keep the
+        # old column rather than divide by ~0 — sklearn's `hess != 0` skip
+        new = jnp.where(denom > 0, new.astype(H.dtype), hj)
+        return jax.lax.dynamic_update_slice_in_dim(H, new, j, axis=1)
+
+    return jax.lax.fori_loop(0, m, body, H)
+
+
+def _sweep_W(W, A, B):
+    """One Gauss–Seidel pass over the ``m`` dictionary rows.
+
+    ``W (m, F)`` in storage dtype; ``A (m, m)`` / ``B (m, F)`` in float32.
+    Row updates are contiguous sublane slices (W is carried
+    components-major so the dynamic updates never straddle lanes).
+    """
+    m = W.shape[0]
+
+    def body(j, W):
+        a = jax.lax.dynamic_slice_in_dim(A, j, 1, axis=0)           # (1, m)
+        ajj = jnp.squeeze(jax.lax.dynamic_slice_in_dim(a, j, 1, axis=1))
+        wj = jax.lax.dynamic_slice_in_dim(W, j, 1, axis=0)          # (1, F)
+        bj = jax.lax.dynamic_slice_in_dim(B, j, 1, axis=0)
+        u = bj - _dot(a, W, None) + ajj * wj.astype(ajj.dtype)
+        new = jnp.maximum(u / jnp.maximum(ajj, _TINY), 0.0)
+        # unused component (zero activation column): keep the old row
+        new = jnp.where(ajj > 0, new.astype(W.dtype), wj)
+        return jax.lax.dynamic_update_slice_in_dim(W, new, j, axis=0)
+
+    return jax.lax.fori_loop(0, m, body, W)
+
+
+def _iteration(V2, W2, H2, l1, l2, *, inner: int, update_H: bool,
+               update_W: bool, precision):
+    """One outer HALS iteration: H sweeps (fresh Grams), then W sweeps.
+
+    H first, then W — the MU engine's order (and sklearn's: its ``W``
+    is this module's ``H``).  ``inner`` static sweeps reuse each Gram
+    pair (Gillis & Glineur 2012 acceleration).
+    """
+    if update_H:
+        Wt = W2.astype(_acc_dtype(W2)).T
+        G = _dot(W2, Wt, precision)                                # (m, m)
+        P = _dot(V2, Wt, precision)                                # (n, m)
+        l1h, l2h = l1.astype(G.dtype), l2.astype(G.dtype)
+        for _ in range(inner):
+            H2 = _sweep_H(H2, G, P, l1h, l2h)
+    if update_W:
+        Ht = H2.astype(_acc_dtype(H2)).T
+        A = _dot(Ht, H2, precision)                                # (m, m)
+        B = _dot(Ht, V2, precision)                                # (m, F)
+        for _ in range(inner):
+            W2 = _sweep_W(W2, A, B)
+    return W2, H2
+
+
+def _flatten(V, W, H):
+    """Canonical model tensors -> the 2-D HALS views (free reshapes)."""
+    V2 = V.reshape(V.shape[0], -1)                                  # (n, F)
+    W2 = W.reshape(W.shape[0], -1)                                  # (m, F)
+    H2 = H.reshape(H.shape[0], H.shape[1])                          # (n, m)
+    return V2, W2, H2
+
+
+def _energy(V2, W2, H2, precision):
+    R = _dot(H2, W2.astype(_acc_dtype(W2)), precision)
+    return beta_ops.divergence(V2, R, 2.0).astype(_acc_dtype(V2))
+
+
+_STATICS = ('inner', 'update_H', 'update_W', 'plan')
+
+
+@partial(jax.jit, static_argnames=_STATICS, donate_argnums=(1, 2))
+def update_step(V, W, H, l1, l2, *, inner: int, update_H: bool,
+                update_W: bool, plan: ConvPlan):
+    """One outer iteration on the canonical model shapes (callback path)."""
+    V2, W2, H2 = _flatten(V, W, H)
+    W2, H2 = _iteration(V2, W2, H2, l1, l2, inner=inner, update_H=update_H,
+                        update_W=update_W, precision=plan.lax_precision)
+    return W2.reshape(W.shape), H2.reshape(H.shape)
+
+
+@partial(jax.jit, static_argnames=_STATICS, donate_argnums=(1, 2))
+def fit_loop(V, W, H, n_iterations, l1, l2, *, inner: int, update_H: bool,
+             update_W: bool, plan: ConvPlan):
+    """The no-callback fast path: the whole HALS fit as one on-device loop
+    with donated factor buffers.  ``n_iterations`` is traced — varying it
+    never recompiles."""
+    V2, W2, H2 = _flatten(V, W, H)
+
+    def body(_, WH):
+        return _iteration(V2, *WH[::-1], l1, l2, inner=inner,
+                          update_H=update_H, update_W=update_W,
+                          precision=plan.lax_precision)[::-1]
+
+    H2, W2 = jax.lax.fori_loop(0, n_iterations, body, (H2, W2))
+    return W2.reshape(W.shape), H2.reshape(H.shape)
+
+
+#: scan-chunk length of the energy-recording loop (same rationale as
+#: engine.ENERGY_CHUNK: one compiled graph serves every n_iterations)
+ENERGY_CHUNK = 32
+
+
+@partial(jax.jit, static_argnames=_STATICS + ('chunk',),
+         donate_argnums=(1, 2))
+def _energies_chunk(V, W, H, k, l1, l2, *, chunk: int, inner: int,
+                    update_H: bool, update_W: bool, plan: ConvPlan):
+    V2, W2, H2 = _flatten(V, W, H)
+    precision = plan.lax_precision
+
+    def body(WH, i):
+        def active(WH):
+            W2, H2 = _iteration(V2, WH[0], WH[1], l1, l2, inner=inner,
+                                update_H=update_H, update_W=update_W,
+                                precision=precision)
+            return (W2, H2), _energy(V2, W2, H2, precision)
+
+        def idle(WH):
+            return WH, jnp.zeros((), _acc_dtype(V2))
+
+        return jax.lax.cond(i < k, active, idle, WH)
+
+    (W2, H2), energies = jax.lax.scan(body, (W2, H2), jnp.arange(chunk))
+    return W2.reshape(W.shape), H2.reshape(H.shape), energies
+
+
+def fit_loop_energies(V, W, H, l1, l2, *, n_iterations: int, inner: int,
+                      update_H: bool, update_W: bool, plan: ConvPlan):
+    """HALS fit with an on-device per-iteration energy trace, dispatched in
+    fixed-length compiled chunks with the live count traced (changing
+    ``n_iterations`` never recompiles)."""
+    n = int(n_iterations)
+    traces = []
+    done = 0
+    while done < n:
+        k = jnp.int32(min(ENERGY_CHUNK, n - done))
+        W, H, es = _energies_chunk(V, W, H, k, l1, l2, chunk=ENERGY_CHUNK,
+                                   inner=inner, update_H=update_H,
+                                   update_W=update_W, plan=plan)
+        traces.append(es)
+        done += ENERGY_CHUNK
+    energies = (jnp.concatenate(traces)[:n] if traces
+                else jnp.zeros((0,), jnp.promote_types(V.dtype, jnp.float32)))
+    return W, H, energies
+
+
+@partial(jax.jit, static_argnames=_STATICS + ('check_every',),
+         donate_argnums=(1, 2))
+def fit_loop_tol(V, W, H, n_max, tol, l1, l2, *, check_every: int,
+                 inner: int, update_H: bool, update_W: bool,
+                 plan: ConvPlan):
+    """Adaptive HALS fit with on-device convergence detection — the same
+    ``(e_prev - e) / e_init < tol`` protocol as :func:`engine.fit_loop_tol`
+    (one dispatch regardless of where it stops).  Returns
+    ``(W, H, n_done, e_final)``."""
+    V2, W2, H2 = _flatten(V, W, H)
+    precision = plan.lax_precision
+    acc = _acc_dtype(V2)
+    tol = tol.astype(acc)
+
+    def inner_body(_, WH):
+        return _iteration(V2, *WH[::-1], l1, l2, inner=inner,
+                          update_H=update_H, update_W=update_W,
+                          precision=precision)[::-1]
+
+    e0 = _energy(V2, W2, H2, precision)
+    scale = jnp.maximum(e0, jnp.asarray(jnp.finfo(acc).tiny, acc))
+
+    def cond(state):
+        _, _, i, _, rel = state
+        return jnp.logical_and(i < n_max, rel >= tol)
+
+    def body(state):
+        H2, W2, i, e_prev, _ = state
+        k = jnp.minimum(check_every, n_max - i)
+        H2, W2 = jax.lax.fori_loop(0, k, inner_body, (H2, W2))
+        e = _energy(V2, W2, H2, precision)
+        return H2, W2, i + k, e, (e_prev - e) / scale
+
+    state = (H2, W2, jnp.asarray(0, jnp.int32), e0,
+             jnp.asarray(jnp.inf, acc))
+    H2, W2, n_done, e, _ = jax.lax.while_loop(cond, body, state)
+    return W2.reshape(W.shape), H2.reshape(H.shape), n_done, e
+
+
+def auto_inner(n_components: int, n_features: int,
+               inner: Optional[object] = 'auto') -> int:
+    """Resolve the inner-sweep count.
+
+    ``'auto'`` scales with the Gram-to-sweep cost ratio ``F / m`` (a Gram
+    pair costs ``O(n m F)``, a sweep ``O(n m^2)``), following the
+    accelerated-HALS principle of Gillis & Glineur 2012 that extra sweeps
+    are nearly free while the data-touching matmuls dominate — clamped to
+    ``[1, 8]`` (beyond a few sweeps the pass has essentially converged for
+    fixed Grams).
+    """
+    if inner == 'auto' or inner is None:
+        return max(1, min(8, round(0.5 * n_features / max(n_components, 1))))
+    iv = int(inner)
+    if iv < 1:
+        raise ValueError('hals_inner must be >= 1 or "auto"')
+    return iv
+
+
+# ---------------------------------------------------------------------------
+# NumPy oracle (tests)
+# ---------------------------------------------------------------------------
+
+def np_hals_iteration(V2, W2, H2, l1: float = 0.0, l2: float = 0.0,
+                      inner: int = 1,
+                      update_H: bool = True, update_W: bool = True
+                      ) -> Tuple['np.ndarray', 'np.ndarray']:
+    """Float64 NumPy mirror of one outer iteration (Gauss–Seidel order),
+    the trajectory oracle for ``tests/test_hals.py``."""
+    import numpy as np
+    V2 = np.asarray(V2, np.float64)
+    W2 = np.asarray(W2, np.float64).copy()
+    H2 = np.asarray(H2, np.float64).copy()
+    tiny = np.finfo(np.float64).tiny
+    if update_H:
+        G, P = W2 @ W2.T, V2 @ W2.T
+        for _ in range(inner):
+            for j in range(H2.shape[1]):
+                if G[j, j] + l2 <= 0:
+                    continue  # dead component: sklearn's `hess != 0` skip
+                u = P[:, j] - H2 @ G[:, j] + H2[:, j] * G[j, j] - l1
+                H2[:, j] = np.maximum(u / max(G[j, j] + l2, tiny), 0.0)
+    if update_W:
+        A, B = H2.T @ H2, H2.T @ V2
+        for _ in range(inner):
+            for j in range(W2.shape[0]):
+                if A[j, j] <= 0:
+                    continue  # unused component: keep the old row
+                u = B[j] - A[j] @ W2 + A[j, j] * W2[j]
+                W2[j] = np.maximum(u / max(A[j, j], tiny), 0.0)
+    return W2, H2

@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import engine
+from .. import engine_hals
 from ..ops import beta as beta_ops
 from ..ops.inhibition import inhibition_kernels, resolve_inhibition_range
 from ..ops.modes import ConvPlan
@@ -801,6 +802,8 @@ class TransformInvariantNMF:
             revive_every: Optional[int] = None,
             revive_threshold: float = 1e-4,
             extrapolate=False,
+            solver: str = 'mu',
+            hals_inner='auto',
     ):
         r"""Full-batch multiplicative-update factorization of ``V``.
 
@@ -881,6 +884,28 @@ class TransformInvariantNMF:
           ``while_loop``).  The trajectory differs from plain MU by
           design; energies land within the same converged basin
           (``tests/test_extrapolation.py``).
+        * ``solver='hals'`` replaces the multiplicative updates with exact
+          block coordinate descent (fast HALS, Cichocki & Phan 2009 — the
+          algorithm behind sklearn's ``NMF(solver='cd')``; no reference
+          counterpart, the reference is MU-only) for the degenerate
+          plain-NMF geometry (mode ``'full'`` with ``atom_shape ==
+          sample_shape``): each component is solved exactly per pass, so
+          a given tolerance is typically reached in far fewer iterations,
+          and zero is *not* absorbing (collapsed atoms re-enter on their
+          own — ``revive_every`` is unnecessary and rejected).
+          ``hals_inner`` sets how many component sweeps reuse each pair of
+          Gram matrices (the accelerated variant of Gillis & Glineur
+          2012); ``'auto'`` scales it with the feature/component cost
+          ratio.  Composes with ``sparsity_H`` (L1), ``l2_H``,
+          ``update_H/update_W``, ``keep_W/keep_H``, ``tol``,
+          ``record_energies``, callbacks/checkpointing, bfloat16, and
+          ``shard_axis='samples'`` meshes.  MU-only features are rejected:
+          inhibition, ``ortho_W``, masks, ``beta_loss != 2``, transform
+          groups, ``extrapolate``.  Unlike MU (which sum-normalizes atoms
+          every update, reference ``_Backend.py:75-77``) HALS leaves the
+          dictionary un-normalized during the fit — sklearn's convention;
+          the exact coordinate minimization is incompatible with a
+          per-iteration rescaling (:mod:`tnmf_tpu.engine_hals`).
         * ``revive_every=k`` makes the fit self-healing against MU's
           absorbing zero state (atoms collapsed under sparsity pressure can
           never recover on their own): every ``k`` fused on-device
@@ -901,6 +926,42 @@ class TransformInvariantNMF:
         assert l2_H >= 0
         assert ortho_W >= 0
         assert callback_interval >= 1
+        if solver not in ('mu', 'hals'):
+            raise ValueError(f"solver must be 'mu' or 'hals', got {solver!r}")
+        if solver == 'hals':
+            if (inhibition_strength > 0 or cross_atom_inhibition_strength > 0
+                    or ortho_W > 0):
+                raise ValueError(
+                    "solver='hals' minimizes the plain (L1/L2-regularized) "
+                    'Frobenius objective exactly; inhibition and ortho_W '
+                    'are MU-only regularizers')
+            if self._beta != 2.0:
+                raise ValueError(
+                    "solver='hals' requires beta_loss=2 (Frobenius); the "
+                    'closed-form coordinate minimizer does not exist for '
+                    'other beta divergences — use the MU solver')
+            if mask is not None:
+                raise ValueError(
+                    'masked/weighted fits are MU-only (the masked Gram '
+                    'matrices are no longer shared across components)')
+            if extrapolate:
+                raise ValueError(
+                    'extrapolate accelerates MU; HALS takes exact '
+                    'coordinate steps and does not compose with it')
+            if revive_every is not None:
+                raise ValueError(
+                    'revive_every is unnecessary under HALS: zero is not '
+                    'absorbing (a zeroed atom re-enters a later sweep when '
+                    'its partial residual correlation turns positive)')
+            if self._group is not None:
+                raise ValueError(
+                    "transform groups are MU-only (solver='hals' applies "
+                    'to the degenerate plain-NMF geometry)')
+            if self._mesh is not None and self._shard_axis != 'samples':
+                raise ValueError(
+                    "solver='hals' supports shard_axis='samples' meshes "
+                    '(Grams become all-reduces); atom/spatial sharding '
+                    'would serialize the Gauss-Seidel sweep')
         if (checkpoint_every is None) != (checkpoint_path is None):
             raise ValueError(
                 'checkpoint_every and checkpoint_path must be given together')
@@ -967,6 +1028,23 @@ class TransformInvariantNMF:
             callback_interval = int(revive_every)
 
         self._initialize_matrices(V, keep_W, keep_H=keep_H, mask=mask)
+        if solver == 'hals':
+            if math.prod(self._plan.transform_shape) != 1:
+                raise ValueError(
+                    "solver='hals' requires the degenerate plain-NMF "
+                    "geometry (mode 'full' with atom_shape == sample_shape"
+                    ', so prod(transform_shape) == 1); shift-invariant '
+                    'problems use the MU solver — the exact coordinate '
+                    'minimizer would need the Gram of the full shifted '
+                    'dictionary, an (m*T, m*T) operator')
+            self._fit_batch_hals(
+                n_iterations, update_H=update_H, update_W=update_W,
+                l1=sparsity_H, l2=l2_H, hals_inner=hals_inner,
+                progress_callback=progress_callback,
+                callback_interval=callback_interval,
+                record_energies=record_energies,
+                tol=tol, tol_check_every=tol_check_every)
+            return
         statics = dict(
             plan=self._plan, strategy=self._strategy,
             update_H=update_H, update_W=update_W,
@@ -1064,6 +1142,87 @@ class TransformInvariantNMF:
                 self._W, self._H = engine.update_step(
                     self._Vp, self._W, self._H, *scalars, self._kernels,
                     self._mask_d, **regs, **statics)
+                self.n_iterations_ = iteration + 1
+                if record_energies:
+                    energies.append(self._energy_function())
+                if progress_callback is not None:
+                    if not progress_callback(self, iteration):
+                        break
+                else:
+                    self._logger.info('Iteration: %d\tEnergy function: %s',
+                                      iteration, self._energy_function())
+            if record_energies:
+                self.energies_ = np.asarray(energies)
+        self._logger.info('TNMF finished.')
+
+    def _fit_batch_hals(self, n_iterations, *, update_H, update_W, l1, l2,
+                        hals_inner, progress_callback, callback_interval,
+                        record_energies, tol, tol_check_every):
+        """Loop dispatch for ``solver='hals'`` (:mod:`tnmf_tpu.engine_hals`),
+        mirroring the MU block above: tol while_loop / fused loop /
+        on-device energy trace / chunked or per-iteration callbacks."""
+        inner = engine_hals.auto_inner(
+            self._W.shape[0], int(np.prod(self._W.shape[1:])), hals_inner)
+        statics = dict(inner=inner, update_H=update_H, update_W=update_W,
+                       plan=self._plan)
+        acc = jnp.promote_types(self._W.dtype, jnp.float32)
+        l1 = jnp.asarray(l1, acc)
+        l2 = jnp.asarray(l2, acc)
+        log_each = self._logger.isEnabledFor(logging.INFO)
+        self.energies_ = None
+        if tol is not None:
+            if progress_callback is not None or record_energies:
+                raise ValueError(
+                    'tol-based early stopping runs as one on-device '
+                    'while_loop and cannot combine with progress_callback '
+                    'or record_energies')
+            assert tol >= 0 and tol_check_every >= 1
+            self._W, self._H, n_done, _ = engine_hals.fit_loop_tol(
+                self._Vd, self._W, self._H,
+                jnp.asarray(int(n_iterations), jnp.int32),
+                jnp.asarray(tol, jnp.float32), l1, l2,
+                check_every=int(tol_check_every), **statics)
+            self.n_iterations_ = int(n_done)
+            self._logger.info('TNMF finished.')
+            return
+        self.n_iterations_ = int(n_iterations)
+        if record_energies and progress_callback is None:
+            self._W, self._H, energies = engine_hals.fit_loop_energies(
+                self._Vd, self._W, self._H, l1, l2,
+                n_iterations=int(n_iterations), **statics)
+            self.energies_ = np.asarray(energies)
+            if log_each:
+                for i, e in enumerate(self.energies_):
+                    self._logger.info('Iteration: %d\tEnergy function: %s',
+                                      i, e)
+        elif progress_callback is None and not log_each:
+            self._W, self._H = engine_hals.fit_loop(
+                self._Vd, self._W, self._H, n_iterations, l1, l2, **statics)
+        elif progress_callback is not None and callback_interval > 1:
+            traces = [] if record_energies else None
+            done = 0
+            while done < n_iterations:
+                chunk = min(callback_interval, n_iterations - done)
+                if record_energies:
+                    self._W, self._H, es = engine_hals.fit_loop_energies(
+                        self._Vd, self._W, self._H, l1, l2,
+                        n_iterations=chunk, **statics)
+                    traces.append(np.asarray(es))
+                else:
+                    self._W, self._H = engine_hals.fit_loop(
+                        self._Vd, self._W, self._H, chunk, l1, l2, **statics)
+                done += chunk
+                if not progress_callback(self, done - 1):
+                    break
+            self.n_iterations_ = done
+            if record_energies:
+                self.energies_ = (np.concatenate(traces) if traces
+                                  else np.zeros((0,)))
+        else:
+            energies = [] if record_energies else None
+            for iteration in range(n_iterations):
+                self._W, self._H = engine_hals.update_step(
+                    self._Vd, self._W, self._H, l1, l2, **statics)
                 self.n_iterations_ = iteration + 1
                 if record_energies:
                     energies.append(self._energy_function())
