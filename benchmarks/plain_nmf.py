@@ -153,7 +153,7 @@ def bench_hals_device_loop(n, features, components, iters=(10, 110),
         ki, w_shape=(components, 1, features),
         h_shape=(n, components) + plan.transform_shape,
         n_shift_axes=plan.ndim, dtype=dt)
-    inner = engine_hals.auto_inner(components, features, inner)
+    inner = engine_hals.auto_inner(components, features, inner, n_samples=n)
     acc = jnp.promote_types(dt, jnp.float32)
     z = jnp.zeros((), acc)
     statics = dict(inner=inner, update_H=True, update_W=True, plan=plan)

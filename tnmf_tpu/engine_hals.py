@@ -26,9 +26,13 @@ quantities that touch the ``(n, F)`` data — can be reused for several
 inner component sweeps.  On TPU that split is the whole design: the Grams
 are large MXU matmuls (the ``O(n m F)`` work), while a component sweep is
 ``m`` small matvecs (``O(n m^2)`` / ``O(m^2 F)``) run as one
-``lax.fori_loop`` of dynamic-slice updates — so ``inner > 1`` buys extra
-objective decrease at a small fraction of an iteration's cost whenever
-``F >> m`` (the production regime).
+``lax.fori_loop`` of dynamic-slice updates.  Crucially the sweep's *time*
+is not its FLOPs: the factor tile stays VMEM-resident across the loop, so
+each chain step costs a ~3.5 us latency floor regardless of operand size
+— :func:`auto_inner` therefore prices Gram refresh vs sweep in seconds,
+buying extra (staler) inner sweeps only in the Gram-bound huge-``F``
+regime; at 16384x4096/256 on v5e that choice is 2.1 ms/outer-iteration
+vs 15.5 ms for the naive FLOP-ratio rule.
 
 Why offer HALS at all: per outer iteration it decreases the Frobenius
 objective at least as much as one exact coordinate pass can (each
@@ -80,6 +84,17 @@ def _dot(a, b, precision):
                       preferred_element_type=_acc_dtype(a, b))
 
 
+#: component-block width of the delayed-update sweeps
+#: (:func:`_sweep_H_blocked` / :func:`_sweep_W_blocked` — kept as a
+#: documented measured NEGATIVE, not routed by :func:`_iteration`)
+_BLOCK = 8
+
+#: unroll factor of the sweep fori_loops: the chain step is latency-bound
+#: (a ~16 MB VMEM-resident matvec behind ~µs of loop/slice overhead), so
+#: unrolling amortizes the while-loop trip cost without changing the math
+_UNROLL = 8
+
+
 def _sweep_H(H, G, P, l1, l2):
     """One Gauss–Seidel pass over the ``m`` activation columns.
 
@@ -103,7 +118,82 @@ def _sweep_H(H, G, P, l1, l2):
         new = jnp.where(denom > 0, new.astype(H.dtype), hj)
         return jax.lax.dynamic_update_slice_in_dim(H, new, j, axis=1)
 
-    return jax.lax.fori_loop(0, m, body, H)
+    return jax.lax.fori_loop(0, m, body, H, unroll=_UNROLL)
+
+
+def _sweep_H_blocked(H, G, P, l1, l2, n_sweeps: int, block: int = _BLOCK):
+    """``n_sweeps`` delayed-update blocked Gauss–Seidel passes over H.
+
+    Algebraically the same update sequence as :func:`_sweep_H` (each
+    column's minimizer sees every previously updated column —
+    ``tests/test_hals.py::test_hals_blocked_sweeps_equal_plain``), but the
+    sequential chain step touches only the current ``(n, block)`` tile:
+    the running product ``C = H @ G`` carries all cross-block coupling
+    and is refreshed once per block with one MXU matmul
+    (``C += (H_B - H0_B) @ G[B, :]``) — the delayed-update trick of
+    blocked Cholesky applied to coordinate descent.  Per pass that is
+    ``m`` latency-bound steps of O(n*block) + ``m/block`` MXU matmuls of
+    O(n*block*m), instead of ``m`` steps of O(n*m).  Requires
+    ``block | m``.
+
+    **Measured negative — kept for the record, not routed.**  On v5e at
+    the 16384x4096/256 production scale the plain sweep runs ~1.0 ms (the
+    full H tile is VMEM-resident, so its per-step matvec is already
+    ~free and the cost is ~3.5 us/step of loop latency), while this
+    version pays the same ``m`` chain steps *plus* rewriting the (n, m)
+    running product per block: marginal cost per extra sweep measured
+    2.2x the plain sweep at block=8, parity only at block=32.  The
+    winning lever for the latency-bound regime is instead loop unrolling
+    (``_UNROLL``) and a time-based ``auto_inner`` (fresh Grams beat extra
+    sweeps once the sweep dominates wall-clock).
+    """
+    n, m = H.shape
+    nb = m // block
+    acc = G.dtype
+    C = _dot(H.astype(acc), G, None)                                # (n, m)
+    # (nb, b, b) diagonal blocks of G and (nb, b, m) row-blocks, gathered
+    # once so the inner loops only dynamic-slice small operands
+    Grows = G.reshape(nb, block, m)
+    Gdiag = jnp.moveaxis(
+        G.reshape(nb, block, nb, block).diagonal(axis1=0, axis2=2), -1, 0)
+
+    def block_body(b_idx, state):
+        H, C = state
+        j0 = b_idx * block
+        H0B = jax.lax.dynamic_slice_in_dim(H, j0, block, axis=1)    # (n, b)
+        CB = jax.lax.dynamic_slice_in_dim(C, j0, block, axis=1)
+        PB = jax.lax.dynamic_slice_in_dim(P, j0, block, axis=1)
+        GBB = jax.lax.dynamic_index_in_dim(Gdiag, b_idx, axis=0,
+                                           keepdims=False)          # (b, b)
+
+        def col_body(t, HB):
+            g = jax.lax.dynamic_slice_in_dim(GBB, t, 1, axis=1)     # (b, 1)
+            gjj = jnp.squeeze(jax.lax.dynamic_slice_in_dim(g, t, 1, axis=0))
+            ht = jax.lax.dynamic_slice_in_dim(HB, t, 1, axis=1)     # (n, 1)
+            pt = jax.lax.dynamic_slice_in_dim(PB, t, 1, axis=1)
+            ct = jax.lax.dynamic_slice_in_dim(CB, t, 1, axis=1)
+            h0t = jax.lax.dynamic_slice_in_dim(H0B, t, 1, axis=1)
+            # delta of already-updated columns (cols >= t are still H0)
+            delta = HB.astype(acc) - H0B.astype(acc)                # (n, b)
+            u = (pt - ct - _dot(delta, g, None)
+                 + h0t.astype(acc) * gjj - l1)
+            denom = gjj + l2
+            new = jnp.maximum(u / jnp.maximum(denom, _TINY), 0.0)
+            new = jnp.where(denom > 0, new.astype(HB.dtype), ht)
+            return jax.lax.dynamic_update_slice_in_dim(HB, new, t, axis=1)
+
+        HB = jax.lax.fori_loop(0, block, col_body, H0B)
+        GB = jax.lax.dynamic_index_in_dim(Grows, b_idx, axis=0,
+                                          keepdims=False)           # (b, m)
+        C = C + _dot(HB.astype(acc) - H0B.astype(acc), GB, None)
+        H = jax.lax.dynamic_update_slice_in_dim(H, HB, j0, axis=1)
+        return H, C
+
+    def sweep(_, state):
+        return jax.lax.fori_loop(0, nb, block_body, state)
+
+    H, _ = jax.lax.fori_loop(0, n_sweeps, sweep, (H, C))
+    return H
 
 
 def _sweep_W(W, A, B):
@@ -126,7 +216,56 @@ def _sweep_W(W, A, B):
         new = jnp.where(ajj > 0, new.astype(W.dtype), wj)
         return jax.lax.dynamic_update_slice_in_dim(W, new, j, axis=0)
 
-    return jax.lax.fori_loop(0, m, body, W)
+    return jax.lax.fori_loop(0, m, body, W, unroll=_UNROLL)
+
+
+def _sweep_W_blocked(W, A, B, n_sweeps: int, block: int = _BLOCK):
+    """``n_sweeps`` delayed-update blocked Gauss–Seidel passes over the
+    dictionary rows — same scheme as :func:`_sweep_H_blocked` with the
+    running product ``C = A @ W`` carrying cross-block coupling; each
+    chain step touches a ``(block, F)`` tile instead of ``(m, F)``."""
+    m = W.shape[0]
+    nb = m // block
+    acc = A.dtype
+    C = _dot(A, W.astype(acc), None)                                # (m, F)
+    Adiag = jnp.moveaxis(
+        A.reshape(nb, block, nb, block).diagonal(axis1=0, axis2=2), -1, 0)
+    Acols = jnp.moveaxis(A.reshape(m, nb, block), 1, 0)             # (nb, m, b)
+
+    def block_body(b_idx, state):
+        W, C = state
+        j0 = b_idx * block
+        W0B = jax.lax.dynamic_slice_in_dim(W, j0, block, axis=0)    # (b, F)
+        CB = jax.lax.dynamic_slice_in_dim(C, j0, block, axis=0)
+        BB = jax.lax.dynamic_slice_in_dim(B, j0, block, axis=0)
+        ABB = jax.lax.dynamic_index_in_dim(Adiag, b_idx, axis=0,
+                                           keepdims=False)          # (b, b)
+
+        def row_body(t, WB):
+            a = jax.lax.dynamic_slice_in_dim(ABB, t, 1, axis=0)     # (1, b)
+            ajj = jnp.squeeze(jax.lax.dynamic_slice_in_dim(a, t, 1, axis=1))
+            wt = jax.lax.dynamic_slice_in_dim(WB, t, 1, axis=0)     # (1, F)
+            bt = jax.lax.dynamic_slice_in_dim(BB, t, 1, axis=0)
+            ct = jax.lax.dynamic_slice_in_dim(CB, t, 1, axis=0)
+            w0t = jax.lax.dynamic_slice_in_dim(W0B, t, 1, axis=0)
+            delta = WB.astype(acc) - W0B.astype(acc)                # (b, F)
+            u = bt - ct - _dot(a, delta, None) + ajj * w0t.astype(acc)
+            new = jnp.maximum(u / jnp.maximum(ajj, _TINY), 0.0)
+            new = jnp.where(ajj > 0, new.astype(WB.dtype), wt)
+            return jax.lax.dynamic_update_slice_in_dim(WB, new, t, axis=0)
+
+        WB = jax.lax.fori_loop(0, block, row_body, W0B)
+        AB = jax.lax.dynamic_index_in_dim(Acols, b_idx, axis=0,
+                                          keepdims=False)           # (m, b)
+        C = C + _dot(AB, WB.astype(acc) - W0B.astype(acc), None)
+        W = jax.lax.dynamic_update_slice_in_dim(W, WB, j0, axis=0)
+        return W, C
+
+    def sweep(_, state):
+        return jax.lax.fori_loop(0, nb, block_body, state)
+
+    W, _ = jax.lax.fori_loop(0, n_sweeps, sweep, (W, C))
+    return W
 
 
 def _iteration(V2, W2, H2, l1, l2, *, inner: int, update_H: bool,
@@ -283,23 +422,51 @@ def fit_loop_tol(V, W, H, n_max, tol, l1, l2, *, check_every: int,
     return W2.reshape(W.shape), H2.reshape(H.shape), n_done, e
 
 
+#: crude accelerator cost model behind ``auto_inner`` (v5e-calibrated):
+#: effective f32 matmul throughput, HBM bandwidth, and the measured
+#: latency floor of one Gauss–Seidel chain step (fori_loop trip + dynamic
+#: slices + a VMEM-resident matvec — ~3.5 us at 16384x256, largely
+#: independent of the operand size)
+_MXU_FLOPS = 8e13
+_HBM_BPS = 6e11
+_STEP_SECONDS = 3e-6
+
+
 def auto_inner(n_components: int, n_features: int,
-               inner: Optional[object] = 'auto') -> int:
+               inner: Optional[object] = 'auto',
+               n_samples: Optional[int] = None) -> int:
     """Resolve the inner-sweep count.
 
-    ``'auto'`` scales with the Gram-to-sweep cost ratio ``F / m`` (a Gram
-    pair costs ``O(n m F)``, a sweep ``O(n m^2)``), following the
-    accelerated-HALS principle of Gillis & Glineur 2012 that extra sweeps
-    are nearly free while the data-touching matmuls dominate — clamped to
-    ``[1, 8]`` (beyond a few sweeps the pass has essentially converged for
-    fixed Grams).
+    ``'auto'`` follows the accelerated-HALS principle of Gillis & Glineur
+    2012 — reuse each Gram pair for extra component sweeps while those
+    sweeps are nearly free next to the data-touching matmuls — but costs
+    the two sides in *time*, not FLOPs, because on TPU the sweep is
+    latency-bound (``m`` sequential chain steps of ~``_STEP_SECONDS``
+    each, the matvec itself being VMEM-resident and ~free) while the
+    Grams are MXU/HBM-bound.  Measured at the 16384x4096/256 production
+    scale the FLOP-ratio rule (``F/m = 16`` -> 8 sweeps) chose a 15.5
+    ms iteration where the time rule's ``inner=1`` iteration runs 2.2 ms
+    with *more* objective decrease per second (every sweep sees fresh
+    Grams).  ``inner = clamp(round(0.5 + t_gram / (2 t_sweep)), 1, 8)``:
+    extra (staler) sweeps are bought only when a Gram refresh costs more
+    than the sweeps it would improve — the huge-``F``, small-``m``
+    regime.  Without ``n_samples`` the FLOP-ratio fallback is used.
     """
-    if inner == 'auto' or inner is None:
-        return max(1, min(8, round(0.5 * n_features / max(n_components, 1))))
-    iv = int(inner)
-    if iv < 1:
-        raise ValueError('hals_inner must be >= 1 or "auto"')
-    return iv
+    if inner != 'auto' and inner is not None:
+        iv = int(inner)
+        if iv < 1:
+            raise ValueError('hals_inner must be >= 1 or "auto"')
+        return iv
+    m, F = max(n_components, 1), n_features
+    if not n_samples:
+        return max(1, min(8, round(0.5 * F / m)))
+    n = n_samples
+    # per factor update: the V-touching cross matmul + the small Gram,
+    # plus one V read from HBM; vs m latency-bound chain steps
+    t_gram = (2 * n * m * F + 2 * m * m * F) / _MXU_FLOPS \
+        + 4 * n * F / _HBM_BPS
+    t_sweep = m * _STEP_SECONDS + 2 * n * m * m / _MXU_FLOPS
+    return max(1, min(8, round(0.5 + t_gram / (2 * t_sweep))))
 
 
 # ---------------------------------------------------------------------------

@@ -1162,7 +1162,8 @@ class TransformInvariantNMF:
         mirroring the MU block above: tol while_loop / fused loop /
         on-device energy trace / chunked or per-iteration callbacks."""
         inner = engine_hals.auto_inner(
-            self._W.shape[0], int(np.prod(self._W.shape[1:])), hals_inner)
+            self._W.shape[0], int(np.prod(self._W.shape[1:])), hals_inner,
+            n_samples=int(self._H.shape[0]))
         statics = dict(inner=inner, update_H=update_H, update_W=update_W,
                        plan=self._plan)
         acc = jnp.promote_types(self._W.dtype, jnp.float32)
