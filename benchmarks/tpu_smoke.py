@@ -301,7 +301,27 @@ def main():
         print(details[-1], file=sys.stderr, flush=True)
     summary.update(value=ok, detail='; '.join(details))
     print(json.dumps(summary), flush=True)
+    _write_record(summary)
     sys.exit(0 if ok else 1)
+
+
+def _write_record(summary):
+    """Persist the gate result next to this script (TPU_SMOKE.json) so the
+    recorded real-chip status always comes from an actual run — the file
+    is written by the gate itself, never edited by hand."""
+    import datetime
+    record = dict(summary)
+    record['date'] = datetime.date.today().isoformat()
+    record['command'] = 'python bench.py --tpu-smoke'
+    record['note'] = ('real-chip integration gate: every major capability '
+                      'exercised natively on TPU (strategies resolve '
+                      'without monkeypatches, bf16 real, serving artifacts '
+                      'served on-chip); file auto-written by each run')
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'TPU_SMOKE.json')
+    with open(path, 'w', encoding='utf-8') as f:
+        json.dump(record, f, indent=1)
+        f.write('\n')
 
 
 if __name__ == '__main__':

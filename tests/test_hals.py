@@ -329,6 +329,33 @@ def test_hals_rejections():
         shift.fit(V, n_iterations=2, solver='hals')
 
 
+def test_hals_transform_encoding():
+    """``transform(solver='hals')`` composes through the kwargs
+    passthrough: frozen-dictionary encoding by exact H coordinate sweeps.
+    Chunked encoding is exact (no cross-sample coupling), and the exact
+    sweeps reach a lower residual than MU at the same iteration count."""
+    V, _ = _problem(n=12, F=30, m=4, seed=21, rank=4)
+    np.random.seed(5)
+    model = _model()
+    model.fit(V, n_iterations=40, solver='hals')
+    V_new, _ = _problem(n=8, F=30, m=4, seed=22, rank=4)
+
+    def residual(H):
+        R = H.reshape(8, -1) @ model.W.reshape(4, -1)
+        return float(np.sum((V_new.reshape(8, -1) - R) ** 2))
+
+    np.random.seed(9)
+    H_hals = model.transform(V_new, n_iterations=30, solver='hals')
+    np.random.seed(9)
+    H_chunked = model.transform(V_new, n_iterations=30, solver='hals',
+                                batch_size=3)
+    np.testing.assert_allclose(H_chunked, H_hals, rtol=1e-9, atol=1e-12)
+    np.random.seed(9)
+    H_mu = model.transform(V_new, n_iterations=30)
+    assert residual(H_hals) < residual(H_mu)
+    assert np.asarray(model.W).sum() > 0  # dictionary untouched
+
+
 @needs_8_devices
 def test_hals_sharded_matches_single():
     """Sample-sharded HALS equals single-device: the Grams are per-sample
