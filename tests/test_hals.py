@@ -329,6 +329,20 @@ def test_hals_rejections():
         shift.fit(V, n_iterations=2, solver='hals')
 
 
+def test_hals_nndsvd_init():
+    """sklearn's canonical CD pairing: deterministic NNDSVDA init +
+    coordinate descent — composes through the init layer untouched."""
+    V, _ = _problem(seed=17, rank=4)
+    np.random.seed(0)
+    model = TransformInvariantNMF(n_atoms=4, atom_shape=(30,),
+                                  reconstruction_mode='full',
+                                  w_init='nndsvd', verbose=0)
+    model.fit(V, n_iterations=15, solver='hals', record_energies=True)
+    e = model.energies_
+    assert np.all(np.diff(e) <= 1e-12 * e[0])
+    assert e[-1] < 0.05 * e[0]
+
+
 def test_hals_transform_encoding():
     """``transform(solver='hals')`` composes through the kwargs
     passthrough: frozen-dictionary encoding by exact H coordinate sweeps.

@@ -293,3 +293,104 @@ def test_sweep_error_paths():
         with pytest.raises(ValueError, match='divisible'):
             sweep_fit(V, 2, (3, 3), n_models=3, seed=0,
                       mesh=make_mesh_models(8))
+
+
+# ---------------------------------------------------------------------------
+# solver='hals' (exact coordinate descent, plain-NMF geometry)
+# ---------------------------------------------------------------------------
+
+def _make_V_plain(n=6, c=1, F=20, rank=3, seed=3):
+    rng = np.random.default_rng(seed)
+    X = rng.random((n, rank)) @ rng.random((rank, c * F))
+    return X.reshape(n, c, F).astype(np.float32)
+
+
+def _hals_fit_one_by_hand(V, key, n_atoms, n_iter, l1, l2, inner):
+    """One HALS model through the engine directly — the sweep's oracle."""
+    from tnmf_tpu import engine_hals
+    plan = ConvPlan.create('full', V.shape[2:], V.shape[2:])
+    W0, H0 = engine.init_matrices(
+        key, w_shape=(n_atoms,) + V.shape[1:],
+        h_shape=(V.shape[0], n_atoms) + plan.transform_shape,
+        n_shift_axes=plan.ndim, dtype=jnp.float32)
+    W, H = engine_hals.fit_loop(
+        jnp.asarray(V), W0, H0, n_iter, jnp.float32(l1), jnp.float32(l2),
+        inner=inner, update_H=True, update_W=True, plan=plan)
+    return np.asarray(W), np.asarray(H)
+
+
+def test_sweep_hals_matches_individual_fits():
+    """The vmapped HALS sweep reproduces, model by model, the standalone
+    engine_hals fit from the same per-model keys and strength grid."""
+    V = _make_V_plain()
+    l1 = np.array([0.0, 0.05, 0.3], np.float32)
+    l2 = np.array([0.2, 0.0, 0.1], np.float32)
+    res = sweep_fit(V, 3, V.shape[2:], n_models=3, seed=11, n_iterations=7,
+                    sparsity=l1, l2=l2, reconstruction_mode='full',
+                    solver='hals', hals_inner=2)
+    keys = jax.random.split(jax.random.PRNGKey(11), 3)
+    for i in range(3):
+        W_i, H_i = _hals_fit_one_by_hand(V, keys[i], 3, 7, l1[i], l2[i],
+                                         inner=2)
+        np.testing.assert_allclose(np.asarray(res.W[i]), W_i, rtol=1e-5,
+                                   atol=1e-7, err_msg=f'model {i} W')
+        np.testing.assert_allclose(np.asarray(res.H[i]), H_i, rtol=1e-5,
+                                   atol=1e-7, err_msg=f'model {i} H')
+
+
+def test_sweep_hals_traces_and_tol():
+    V = _make_V_plain(n=8, F=24, rank=4)
+    res = sweep_fit(V, 4, V.shape[2:], n_models=4, seed=0, n_iterations=20,
+                    reconstruction_mode='full', solver='hals',
+                    record_energies=True)
+    assert res.energy_traces.shape == (4, 20)
+    tr = np.asarray(res.energy_traces, np.float64)
+    assert np.all(np.diff(tr, axis=1) <= 1e-6 * tr[:, :1])  # monotone
+    np.testing.assert_allclose(np.asarray(res.energies), tr[:, -1])
+    # tol: converged models freeze; every n_iters is a check multiple
+    res_tol = sweep_fit(V, 4, V.shape[2:], n_models=4, seed=0,
+                        n_iterations=500, reconstruction_mode='full',
+                        solver='hals', tol=1e-6, tol_check_every=5)
+    iters = np.asarray(res_tol.n_iters)
+    assert np.all(iters % 5 == 0) and np.all(iters <= 500)
+    assert np.all(np.isfinite(np.asarray(res_tol.energies)))
+
+
+def test_sweep_hals_rejections():
+    V = _make_V_plain(n=2)
+    kw = dict(n_models=2, seed=0, reconstruction_mode='full',
+              solver='hals')
+    with pytest.raises(ValueError, match='MU-only regularizers'):
+        sweep_fit(V, 2, V.shape[2:], inhibition=0.1, **kw)
+    with pytest.raises(ValueError, match='MU-only regularizers'):
+        sweep_fit(V, 2, V.shape[2:], ortho=0.1, **kw)
+    with pytest.raises(ValueError, match='beta_loss=2'):
+        sweep_fit(V, 2, V.shape[2:], beta_loss=1.0, **kw)
+    with pytest.raises(ValueError, match='MU-only'):
+        sweep_fit(V, 2, V.shape[2:], mask=np.ones_like(V), **kw)
+    with pytest.raises(ValueError, match='transform groups'):
+        sweep_fit(V, 2, V.shape[2:], transform_type='shift+flip', **kw)
+    with pytest.raises(ValueError, match='degenerate'):
+        sweep_fit(V, 2, (5,), **kw)  # shift-invariant geometry
+    with pytest.raises(ValueError, match="solver must be"):
+        sweep_fit(V, 2, V.shape[2:], n_models=2, seed=0, solver='nope',
+                  reconstruction_mode='full')
+
+
+@needs_8_devices
+def test_sweep_hals_mesh_parity():
+    V = _make_V_plain(n=8, F=16, rank=3)
+    l1 = np.linspace(0, 0.4, 8).astype(np.float32)
+    kw = dict(n_models=8, seed=4, n_iterations=6, sparsity=l1,
+              reconstruction_mode='full', solver='hals')
+    res = sweep_fit(V, 3, V.shape[2:], mesh=make_mesh_models(8), **kw)
+    assert res.H.sharding.spec[0] == MODEL_AXIS
+    res1 = sweep_fit(V, 3, V.shape[2:], **kw)
+    # the model axis is embarrassingly parallel, but partitioning changes
+    # the f32 Gram accumulation order and the CD clip nonlinearity
+    # amplifies last-ulp differences over iterations — factor agreement is
+    # loose-tolerance, the objectives must match tightly
+    np.testing.assert_allclose(np.asarray(res.W), np.asarray(res1.W),
+                               rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.energies),
+                               np.asarray(res1.energies), rtol=1e-4)

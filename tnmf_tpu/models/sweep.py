@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import engine
+from .. import engine_hals
 from ..ops.inhibition import inhibition_kernels, resolve_inhibition_range
 from ..ops.modes import ConvPlan
 
@@ -256,6 +257,113 @@ def _sweep_impl_tol(Vp, V, keys, sparsity, inhibition, cross_inhibition,
     return W, H, e, iters
 
 
+# ---------------------------------------------------------------------------
+# HALS sweeps (solver='hals': exact coordinate descent on the plain-NMF
+# geometry, :mod:`tnmf_tpu.engine_hals`) — the vmapped analogue of
+# sklearn users' alpha grids over NMF(solver='cd')
+# ---------------------------------------------------------------------------
+
+def _hals_vmap_pieces(V, keys, *, n_atoms, inner, plan):
+    """Shared vmapped init / iteration / energy closures of the HALS
+    sweep impls.  The per-model iteration inlines
+    :func:`engine_hals._iteration` (rather than the public jitted loops,
+    whose buffer donation is meaningless under ``vmap``)."""
+    w_shape = (n_atoms, V.shape[1]) + plan.atom_shape
+    h_shape = (V.shape[0], n_atoms) + plan.transform_shape
+    V2 = V.reshape(V.shape[0], -1)
+    precision = plan.lax_precision
+
+    def init_one(key):
+        return engine.init_matrices(
+            key, w_shape=w_shape, h_shape=h_shape,
+            n_shift_axes=plan.ndim, dtype=V.dtype)
+
+    def iter_one(W, H, l1v, l2v):
+        W2 = W.reshape(W.shape[0], -1)
+        H2 = H.reshape(H.shape[0], H.shape[1])
+        W2, H2 = engine_hals._iteration(
+            V2, W2, H2, l1v, l2v, inner=inner, update_H=True,
+            update_W=True, precision=precision)
+        return W2.reshape(W.shape), H2.reshape(H.shape)
+
+    def energy_one(W, H):
+        return engine_hals._energy(
+            V2, W.reshape(W.shape[0], -1), H.reshape(H.shape[0], H.shape[1]),
+            precision)
+
+    W0, H0 = jax.vmap(init_one)(keys)
+    return W0, H0, iter_one, energy_one
+
+
+@partial(jax.jit,
+         static_argnames=('n_iterations', 'n_atoms', 'inner', 'plan',
+                          'trace'))
+def _sweep_impl_hals(V, keys, l1, l2, *, n_iterations, n_atoms, inner,
+                     plan, trace: bool):
+    """All-model HALS fit (optionally with per-iteration energy traces)."""
+    W, H, iter_one, energy_one = _hals_vmap_pieces(
+        V, keys, n_atoms=n_atoms, inner=inner, plan=plan)
+    viter = jax.vmap(iter_one)
+    venergy = jax.vmap(energy_one)
+    if trace:
+        def step(WH, _):
+            W, H = viter(WH[0], WH[1], l1, l2)
+            return (W, H), venergy(W, H)
+
+        (W, H), es = jax.lax.scan(step, (W, H), None, length=n_iterations)
+        return W, H, es.T  # (S, n_iterations)
+
+    def body(_, WH):
+        return viter(WH[0], WH[1], l1, l2)
+
+    W, H = jax.lax.fori_loop(0, n_iterations, body, (W, H))
+    return W, H, venergy(W, H)
+
+
+@partial(jax.jit,
+         static_argnames=('n_atoms', 'inner', 'plan', 'check_every'))
+def _sweep_impl_hals_tol(V, keys, l1, l2, n_max, tol, *, n_atoms, inner,
+                         plan, check_every):
+    """Per-model convergence detection for the HALS sweep — the same
+    freeze-converged-lanes protocol as :func:`_sweep_impl_tol`."""
+    W, H, iter_one, energy_one = _hals_vmap_pieces(
+        V, keys, n_atoms=n_atoms, inner=inner, plan=plan)
+    viter = jax.vmap(iter_one)
+    venergy = jax.vmap(energy_one)
+    acc = jnp.promote_types(V.dtype, jnp.float32)
+
+    e0 = venergy(W, H).astype(acc)
+    scale = jnp.maximum(e0, jnp.asarray(jnp.finfo(acc).tiny, acc))
+    tol = tol.astype(acc)
+
+    def lane(done, x):
+        return done.reshape(done.shape + (1,) * (x.ndim - 1))
+
+    def cond(state):
+        _, _, i, _, done, _ = state
+        return jnp.logical_and(i < n_max, ~jnp.all(done))
+
+    def body(state):
+        W, H, i, e_prev, done, iters = state
+        k = jnp.minimum(check_every, n_max - i)
+        W2, H2 = jax.lax.fori_loop(
+            0, k, lambda _, WH: viter(WH[0], WH[1], l1, l2), (W, H))
+        e = venergy(W2, H2).astype(acc)
+        rel = (e_prev - e) / scale
+        W = jnp.where(lane(done, W2), W, W2)
+        H = jnp.where(lane(done, H2), H, H2)
+        e = jnp.where(done, e_prev, e)
+        iters = jnp.where(done, iters, i + k)
+        done = jnp.logical_or(done, rel < tol)
+        return W, H, i + k, e, done, iters
+
+    S = keys.shape[0]
+    state = (W, H, jnp.asarray(0, jnp.int32), e0,
+             jnp.zeros((S,), bool), jnp.zeros((S,), jnp.int32))
+    W, H, _, e, _, iters = jax.lax.while_loop(cond, body, state)
+    return W, H, e, iters
+
+
 def sweep_fit(
     V,
     n_atoms: int,
@@ -281,6 +389,8 @@ def sweep_fit(
     record_energies: bool = False,
     tol: Optional[float] = None,
     tol_check_every: int = 10,
+    solver: str = 'mu',
+    hals_inner='auto',
 ) -> SweepResult:
     """Fit ``n_models`` independent TNMF models on the same data in one
     compiled graph and return all of them with their final objectives.
@@ -315,6 +425,16 @@ def sweep_fit(
     as every model converged (or at ``n_iterations``).  The result then
     carries ``n_iters`` (iterations each model actually ran).  Mutually
     exclusive with ``record_energies`` (traces need a static length).
+
+    ``solver='hals'`` runs every model with exact block coordinate
+    descent instead of MU (the model class's ``fit(solver='hals')``,
+    :mod:`tnmf_tpu.engine_hals`) — the vmapped analogue of sklearn
+    users' alpha grids over ``NMF(solver='cd')``.  Requires the
+    degenerate plain-NMF geometry and composes with ``sparsity`` (L1 on
+    H) and ``l2`` grids, ``tol``, ``record_energies`` and ``mesh``;
+    MU-only knobs (inhibition, ortho, masks, ``beta_loss != 2``,
+    transform groups) are rejected.  ``hals_inner`` as in the model
+    class (time-based ``'auto'`` by default).
 
     Unsupported here (use
     :class:`~tnmf_tpu.models.tnmf.TransformInvariantNMF` per model
@@ -356,6 +476,70 @@ def sweep_fit(
     n_maps = n_atoms * (group.size if group is not None else 1)
     plan = ConvPlan.create(reconstruction_mode, tuple(V.shape[2:]),
                            atom_shape, precision=precision)
+    if solver not in ('mu', 'hals'):
+        raise ValueError(f"solver must be 'mu' or 'hals', got {solver!r}")
+    if solver == 'hals':
+        if group is not None:
+            raise ValueError("transform groups are MU-only under "
+                             "solver='hals' (plain-NMF geometry)")
+        if float(beta_loss) != 2.0:
+            raise ValueError("solver='hals' requires beta_loss=2 "
+                             '(Frobenius) — no closed-form coordinate '
+                             'minimizer exists for other divergences')
+        if mask is not None:
+            raise ValueError("masked/weighted sweeps are MU-only under "
+                             "solver='hals'")
+        if np.any(np.asarray(inhibition, np.float64) > 0) or \
+                np.any(np.asarray(cross_inhibition, np.float64) > 0) or \
+                np.any(np.asarray(ortho, np.float64) > 0):
+            raise ValueError("inhibition / cross_inhibition / ortho are "
+                             "MU-only regularizers under solver='hals' "
+                             '(the exact sweep minimizes the L1/L2-'
+                             'regularized Frobenius objective)')
+        if int(np.prod(plan.transform_shape)) != 1:
+            raise ValueError(
+                "solver='hals' requires the degenerate plain-NMF geometry "
+                "(mode 'full' with atom_shape == sample_shape)")
+        sdt = V.dtype
+        acc = jnp.promote_types(sdt, jnp.float32)
+        l1v = _per_model(sparsity, n_models, 'sparsity', acc)
+        l2v = _per_model(l2, n_models, 'l2', acc)
+        inner = engine_hals.auto_inner(
+            n_atoms, int(V.shape[1] * np.prod(atom_shape)), hals_inner,
+            n_samples=int(V.shape[0]))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_dev = int(np.prod(mesh.devices.shape))
+            if n_models % n_dev:
+                raise ValueError(
+                    f'n_models ({n_models}) must be divisible by the mesh '
+                    f'size ({n_dev}) for the model axis')
+            model_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+            rep = NamedSharding(mesh, P())
+            keys, l1v, l2v = (jax.device_put(x, model_sh)
+                              for x in (keys, l1v, l2v))
+            V = jax.device_put(V, rep)
+        statics = dict(n_atoms=n_atoms, inner=inner, plan=plan)
+        if tol is not None:
+            if record_energies:
+                raise ValueError('tol= and record_energies are mutually '
+                                 'exclusive (per-iteration traces need a '
+                                 'static iteration count)')
+            if tol < 0 or int(tol_check_every) < 1:
+                raise ValueError('tol must be >= 0 and tol_check_every >= 1')
+            W, H, E, iters = _sweep_impl_hals_tol(
+                V, keys, l1v, l2v, jnp.asarray(int(n_iterations), jnp.int32),
+                jnp.asarray(tol, acc), check_every=int(tol_check_every),
+                **statics)
+            return SweepResult(W=W, H=H, energies=E, seeds=seeds,
+                               n_iters=iters)
+        W, H, E = _sweep_impl_hals(
+            V, keys, l1v, l2v, n_iterations=int(n_iterations),
+            trace=bool(record_energies), **statics)
+        if record_energies:
+            return SweepResult(W=W, H=H, energies=E[:, -1], seeds=seeds,
+                               energy_traces=E)
+        return SweepResult(W=W, H=H, energies=E, seeds=seeds)
     if strategy == 'auto':
         strategy = engine.choose_strategy(plan, n_maps, V.shape[1])
     strategy = engine.resolve_strategy(strategy, plan, n_maps, V.shape[1])
