@@ -177,7 +177,36 @@ def bench_hals_device_loop(n, features, components, iters=(10, 110),
     return 1.0 / per_iter, inner
 
 
+def hals_breakdown(n=16384, features=4096, components=256, dtype='float32'):
+    """Where the HALS outer iteration goes: Grams vs sweeps vs inner reuse.
+
+    Reproduces the measurement behind the time-based ``auto_inner``
+    (BASELINE.md HALS production row): iteration cost at inner = 1, 2, 8
+    — the marginal cost per extra (H+W) sweep pair isolates the
+    latency-bound Gauss-Seidel chains from the MXU/HBM-bound Grams.
+    """
+    rows = {}
+    for inner in (1, 2, 8):
+        rate, _ = bench_hals_device_loop(n, features, components,
+                                         dtype=dtype, inner=inner)
+        rows[inner] = 1000.0 / rate
+    per_pair = (rows[8] - rows[1]) / 7
+    grams = max(rows[1] - per_pair, 0.0)  # inner=1 = Grams + ONE sweep pair
+    print(f'== HALS breakdown ({n} x {features}, {components} components, '
+          f'{dtype}) ==')
+    for inner, ms in rows.items():
+        print(f'  inner={inner}: {ms:7.2f} ms/outer-iteration')
+    print(f'  marginal (H+W) sweep pair: {per_pair:5.2f} ms '
+          f'({per_pair / 2 / components * 1000:.1f} us per chain '
+          f'step at m={components})')
+    print(f'  implied Grams + overhead:  {grams:5.2f} ms '
+          f'(sweeps dominate => time-based auto_inner picks 1 here)')
+
+
 def main():
+    if '--hals-breakdown' in sys.argv:
+        hals_breakdown()
+        return
     small_only = '--small' in sys.argv
     iters = 200
 

@@ -359,3 +359,48 @@ def test_warmup_populates_compile_cache():
     V = _data(n=3, seed=41)
     np.testing.assert_allclose(served(V), m.transform(V, n_iterations=2),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_hals_solver_artifact():
+    """solver='hals' bakes exact H coordinate sweeps (plain-NMF geometry,
+    frozen-dictionary Gram folded into the artifact): matches
+    model.transform(solver='hals', hals_inner=1) from the same
+    matched-filter init, reaches a lower residual than the MU artifact at
+    equal iteration counts, and rejects MU-only configurations."""
+    rng = np.random.default_rng(0)
+    V = (rng.random((6, 3)) @ rng.random((3, 24))
+         ).reshape(6, 1, 24).astype(np.float32)
+    m = TransformInvariantNMF(n_atoms=3, atom_shape=(24,), seed=0,
+                              reconstruction_mode='full',
+                              h_init='correlate')
+    m.fit(V, n_iterations=30, solver='hals')
+    V_new = (rng.random((4, 3)) @ rng.random((3, 24))
+             ).reshape(4, 1, 24).astype(np.float32)
+
+    srv = load_serving(m.export_serving(n_iterations=8, sparsity_H=0.05,
+                                        solver='hals'))
+    H_art = srv.transform(V_new)
+    H_ref = m.transform(V_new, n_iterations=8, solver='hals', hals_inner=1,
+                        sparsity_H=0.05)
+    np.testing.assert_allclose(H_art, H_ref, rtol=1e-6, atol=1e-9)
+
+    # exact sweeps beat MU refinement at the same artifact iteration count
+    srv_mu = load_serving(m.export_serving(n_iterations=8))
+    srv_hals = load_serving(m.export_serving(n_iterations=8, solver='hals'))
+    W2 = np.asarray(m.W).reshape(3, -1)
+
+    def residual(H):
+        R = np.asarray(H).reshape(4, -1) @ W2
+        return float(np.sum((V_new.reshape(4, -1) - R) ** 2))
+
+    assert residual(srv_hals.transform(V_new)) < residual(srv_mu.transform(V_new))
+
+    # MU-only configurations are rejected
+    with pytest.raises(ValueError, match='MU-only'):
+        m.export_serving(solver='hals', inhibition_strength=0.1)
+    with pytest.raises(ValueError, match="solver must be"):
+        m.export_serving(solver='nope')
+    shift = TransformInvariantNMF(n_atoms=2, atom_shape=(4, 3), seed=0)
+    shift.fit(_data(), n_iterations=2)
+    with pytest.raises(ValueError, match='degenerate'):
+        shift.export_serving(solver='hals')

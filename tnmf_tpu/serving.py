@@ -55,7 +55,8 @@ def export_serving(model, *,
                    platforms: Optional[Sequence[str]] = None,
                    input_dtype=None,
                    include_decoder: bool = False,
-                   sample_shape: Optional[Tuple[int, ...]] = None) -> bytes:
+                   sample_shape: Optional[Tuple[int, ...]] = None,
+                   solver: str = 'mu') -> bytes:
     """Serialize ``model``'s encoding step to a self-contained artifact.
 
     Parameters
@@ -92,6 +93,14 @@ def export_serving(model, *,
         Export for this sample geometry instead of the last fit's —
         required when the model only carries a dictionary (a W-only
         checkpoint or ``set_dictionary``) and no plan yet.
+    solver : str
+        ``'mu'`` (default) bakes MU H-refinement steps; ``'hals'`` bakes
+        exact H coordinate sweeps (:mod:`tnmf_tpu.engine_hals` — the
+        Gram of the frozen dictionary folds into the artifact, each
+        "iteration" is one Gauss–Seidel pass) for the plain-NMF
+        geometry, starting from the same matched-filter init as the MU
+        path.  HALS artifacts reject inhibition (MU-only) and reach a
+        given residual in far fewer iterations.
 
     Returns the artifact bytes.
     """
@@ -166,29 +175,70 @@ def export_serving(model, *,
     l2_c = jnp.asarray(l2_H, W.dtype) if l2_H > 0 else None
     ops = engine.get_ops(strategy)
 
-    def serve(V, n_iters):
-        V = V.astype(W.dtype)
-        Vp = engine.prepare_data(V, plan=plan, strategy=strategy)
-        # mirror the model's matched-filter init (_initialize_matrices):
-        # a beta != 2 fft loop consumes the canonical V (spectral prepared
-        # domain), every other configuration the prepared tensor; the
-        # matched filter always correlates the prepared (Euclidean) tensor
-        H0 = engine.correlate_init_H(Vp, V, W, plan=plan, strategy=strategy,
-                                     n_atoms=n_atoms)
-        Vloop = (Vp if beta == 2.0 or engine.beta_prepares_data(strategy)
-                 else V)
-        Hph = engine._enc_h(H0, plan, strategy)
+    if solver not in ('mu', 'hals'):
+        raise ValueError(f"solver must be 'mu' or 'hals', got {solver!r}")
+    if solver == 'hals':
+        from . import engine_hals
+        if int(np.prod(plan.transform_shape)) != 1:
+            raise ValueError(
+                "export_serving(solver='hals') requires the degenerate "
+                "plain-NMF geometry (mode 'full' with atom_shape == "
+                'sample_shape)')
+        if use_inh or use_cross:
+            raise ValueError('inhibition regularizers are MU-only under '
+                             "solver='hals'")
+        if beta != 2.0 or n_transforms > 1:
+            raise ValueError("solver='hals' artifacts require beta_loss=2 "
+                             'and no transform group')
+        acc = jnp.promote_types(W.dtype, jnp.float32)
+        W2 = W.reshape(W.shape[0], -1)
+        G = jnp.matmul(W2, W2.astype(acc).T,
+                       precision=plan.lax_precision,
+                       preferred_element_type=acc)     # baked (m, m) Gram
+        l1_h = jnp.asarray(sparsity_H, acc)
+        l2_h = jnp.asarray(l2_H, acc)
 
-        def body(_, Hph):
-            return engine._mu_H(ops, Vloop, W, Hph, s_c, i_c, x_c, kernels,
-                                plan=plan, use_inhibition=use_inh,
-                                use_cross=use_cross, beta=beta, l2=l2_c)
+        def serve(V, n_iters):
+            V = V.astype(W.dtype)
+            Vp = engine.prepare_data(V, plan=plan, strategy=strategy)
+            H0 = engine.correlate_init_H(Vp, V, W, plan=plan,
+                                         strategy=strategy, n_atoms=n_atoms)
+            H2 = H0.reshape(H0.shape[0], H0.shape[1])
+            P = jnp.matmul(V.reshape(V.shape[0], -1), W2.astype(acc).T,
+                           precision=plan.lax_precision,
+                           preferred_element_type=acc)
 
-        Hph = lax.fori_loop(0, n_iters, body, Hph)
-        H = engine._dec_h(Hph, plan, strategy, W.shape[0])
-        if n_transforms > 1:
-            H = H.reshape((H.shape[0], n_atoms, n_transforms) + H.shape[2:])
-        return H
+            def body(_, H2):
+                return engine_hals._sweep_H(H2, G, P, l1_h, l2_h)
+
+            H2 = lax.fori_loop(0, n_iters, body, H2)
+            return H2.reshape(H0.shape)
+    else:
+        def serve(V, n_iters):
+            V = V.astype(W.dtype)
+            Vp = engine.prepare_data(V, plan=plan, strategy=strategy)
+            # mirror the model's matched-filter init (_initialize_matrices):
+            # a beta != 2 fft loop consumes the canonical V (spectral
+            # prepared domain), every other configuration the prepared
+            # tensor; the matched filter always correlates the prepared
+            # (Euclidean) tensor
+            H0 = engine.correlate_init_H(Vp, V, W, plan=plan,
+                                         strategy=strategy, n_atoms=n_atoms)
+            Vloop = (Vp if beta == 2.0 or engine.beta_prepares_data(strategy)
+                     else V)
+            Hph = engine._enc_h(H0, plan, strategy)
+
+            def body(_, Hph):
+                return engine._mu_H(ops, Vloop, W, Hph, s_c, i_c, x_c,
+                                    kernels, plan=plan, use_inhibition=use_inh,
+                                    use_cross=use_cross, beta=beta, l2=l2_c)
+
+            Hph = lax.fori_loop(0, n_iters, body, Hph)
+            H = engine._dec_h(Hph, plan, strategy, W.shape[0])
+            if n_transforms > 1:
+                H = H.reshape((H.shape[0], n_atoms, n_transforms)
+                              + H.shape[2:])
+            return H
 
     if input_dtype is not None:
         in_dtype = jnp.dtype(input_dtype)
@@ -241,6 +291,7 @@ def export_serving(model, *,
         'cross_atom_inhibition_strength': float(cross_atom_inhibition_strength),
         'l2_H': float(l2_H),
         'beta_loss': float(beta),
+        'solver': solver,
     }
     return _assemble(header, payloads, path)
 
