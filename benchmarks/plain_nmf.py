@@ -159,7 +159,8 @@ def bench_hals_device_loop(n, features, components, iters=(10, 110),
     statics = dict(inner=inner, update_H=True, update_W=True, plan=plan)
 
     def go(k):
-        Wn, _ = engine_hals.fit_loop(V, W0 + 0, H0 + 0, k, z, z, **statics)
+        Wn, _ = engine_hals.fit_loop(V, W0 + 0, H0 + 0, k, z, z, z, z,
+                                     **statics)
         return float(np.asarray(Wn.astype(jnp.float32)).sum())
 
     def timed(k):

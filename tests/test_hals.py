@@ -119,11 +119,65 @@ def test_hals_blocked_sweeps_equal_plain():
                                    rtol=1e-9, atol=1e-12)
         Wp = jnp.asarray(W2)
         for _ in range(inner):
-            Wp = engine_hals._sweep_W(Wp, jnp.asarray(A), jnp.asarray(B))
+            Wp = engine_hals._sweep_W(Wp, jnp.asarray(A), jnp.asarray(B),
+                                      l1, l2)
         Wb = engine_hals._sweep_W_blocked(jnp.asarray(W2), jnp.asarray(A),
-                                          jnp.asarray(B), inner)
+                                          jnp.asarray(B), l1, l2, inner)
         np.testing.assert_allclose(np.asarray(Wb), np.asarray(Wp),
                                    rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize('m', [4, 16])  # plain and blocked-size paths
+def test_hals_w_regularizers_match_oracle(m):
+    """``sparsity_W`` / ``l2_W`` regularize the un-normalized dictionary
+    (sklearn's ``alpha_H`` side): L1 shifts the correlation, L2 joins the
+    curvature — pinned against the float64 Gauss-Seidel oracle."""
+    V, V2 = _problem(n=9, F=40, m=m, rank=4)
+    l1, l2, l1w, l2w = 0.02, 0.1, 0.3, 0.5
+    model, W0, H0 = _fit_pair(V, m=m, n_iterations=6, sparsity_H=l1,
+                              l2_H=l2, sparsity_W=l1w, l2_W=l2w,
+                              hals_inner=2)
+    W2 = W0.reshape(m, -1).astype(np.float64)
+    H2 = H0.reshape(V.shape[0], m).astype(np.float64)
+    for _ in range(6):
+        W2, H2 = engine_hals.np_hals_iteration(V2, W2, H2, l1=l1, l2=l2,
+                                               l1w=l1w, l2w=l2w, inner=2)
+    np.testing.assert_allclose(model.W.reshape(m, -1), W2, rtol=1e-8,
+                               atol=1e-11)
+    np.testing.assert_allclose(model.H.reshape(V.shape[0], m), H2,
+                               rtol=1e-8, atol=1e-11)
+
+
+def test_hals_w_regularizers_match_sklearn_alphas():
+    """Full regularized parity with sklearn CD: NMF(alpha_W, alpha_H,
+    l1_ratio) maps to this model's raw per-coordinate constants as
+    l1 = F*alpha_W*r, l2 = F*alpha_W*(1-r) (H side — sklearn's W) and
+    l1w = n*alpha_H*r, l2w = n*alpha_H*(1-r) (dictionary side)."""
+    sklearn = pytest.importorskip('sklearn.decomposition')
+    n, F, k = 10, 24, 3
+    V, V2 = _problem(n=n, F=F, m=k, seed=3)
+    aW, aH, r = 0.004, 0.002, 0.6
+    model, W0, H0 = _fit_pair(
+        V, m=k, n_iterations=6, hals_inner=1,
+        sparsity_H=F * aW * r, l2_H=F * aW * (1 - r),
+        sparsity_W=n * aH * r, l2_W=n * aH * (1 - r))
+    nmf = sklearn.NMF(n_components=k, solver='cd', init='custom', tol=0.0,
+                      max_iter=6, shuffle=False, alpha_W=aW, alpha_H=aH,
+                      l1_ratio=r)
+    Wsk = nmf.fit_transform(V2, W=H0.reshape(n, k).astype(np.float64),
+                            H=W0.reshape(k, -1).astype(np.float64))
+    np.testing.assert_allclose(model.H.reshape(n, k), Wsk, rtol=1e-7,
+                               atol=1e-10)
+    np.testing.assert_allclose(model.W.reshape(k, -1), nmf.components_,
+                               rtol=1e-7, atol=1e-10)
+
+
+def test_hals_w_regularizers_mu_rejected():
+    V, _ = _problem()
+    model = _model()
+    for kw in (dict(sparsity_W=0.1), dict(l2_W=0.1)):
+        with pytest.raises(ValueError, match='ill-posed'):
+            model.fit(V, n_iterations=2, **kw)
 
 
 def test_hals_matches_sklearn_cd():

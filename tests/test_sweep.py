@@ -313,9 +313,10 @@ def _hals_fit_one_by_hand(V, key, n_atoms, n_iter, l1, l2, inner):
         key, w_shape=(n_atoms,) + V.shape[1:],
         h_shape=(V.shape[0], n_atoms) + plan.transform_shape,
         n_shift_axes=plan.ndim, dtype=jnp.float32)
+    z = jnp.float32(0.0)
     W, H = engine_hals.fit_loop(
         jnp.asarray(V), W0, H0, n_iter, jnp.float32(l1), jnp.float32(l2),
-        inner=inner, update_H=True, update_W=True, plan=plan)
+        z, z, inner=inner, update_H=True, update_W=True, plan=plan)
     return np.asarray(W), np.asarray(H)
 
 

@@ -196,12 +196,15 @@ def _sweep_H_blocked(H, G, P, l1, l2, n_sweeps: int, block: int = _BLOCK):
     return H
 
 
-def _sweep_W(W, A, B):
+def _sweep_W(W, A, B, l1, l2):
     """One Gauss–Seidel pass over the ``m`` dictionary rows.
 
     ``W (m, F)`` in storage dtype; ``A (m, m)`` / ``B (m, F)`` in float32.
-    Row updates are contiguous sublane slices (W is carried
-    components-major so the dynamic updates never straddle lanes).
+    ``l1``/``l2`` regularize the dictionary (sklearn's ``alpha_H`` side —
+    the frozen-factor Gram absorbs L2 into the curvature, L1 shifts the
+    correlation, exactly like the H sweep).  Row updates are contiguous
+    sublane slices (W is carried components-major so the dynamic updates
+    never straddle lanes).
     """
     m = W.shape[0]
 
@@ -210,16 +213,17 @@ def _sweep_W(W, A, B):
         ajj = jnp.squeeze(jax.lax.dynamic_slice_in_dim(a, j, 1, axis=1))
         wj = jax.lax.dynamic_slice_in_dim(W, j, 1, axis=0)          # (1, F)
         bj = jax.lax.dynamic_slice_in_dim(B, j, 1, axis=0)
-        u = bj - _dot(a, W, None) + ajj * wj.astype(ajj.dtype)
-        new = jnp.maximum(u / jnp.maximum(ajj, _TINY), 0.0)
+        u = bj - _dot(a, W, None) + ajj * wj.astype(ajj.dtype) - l1
+        denom = ajj + l2
+        new = jnp.maximum(u / jnp.maximum(denom, _TINY), 0.0)
         # unused component (zero activation column): keep the old row
-        new = jnp.where(ajj > 0, new.astype(W.dtype), wj)
+        new = jnp.where(denom > 0, new.astype(W.dtype), wj)
         return jax.lax.dynamic_update_slice_in_dim(W, new, j, axis=0)
 
     return jax.lax.fori_loop(0, m, body, W, unroll=_UNROLL)
 
 
-def _sweep_W_blocked(W, A, B, n_sweeps: int, block: int = _BLOCK):
+def _sweep_W_blocked(W, A, B, l1, l2, n_sweeps: int, block: int = _BLOCK):
     """``n_sweeps`` delayed-update blocked Gauss–Seidel passes over the
     dictionary rows — same scheme as :func:`_sweep_H_blocked` with the
     running product ``C = A @ W`` carrying cross-block coupling; each
@@ -249,9 +253,11 @@ def _sweep_W_blocked(W, A, B, n_sweeps: int, block: int = _BLOCK):
             ct = jax.lax.dynamic_slice_in_dim(CB, t, 1, axis=0)
             w0t = jax.lax.dynamic_slice_in_dim(W0B, t, 1, axis=0)
             delta = WB.astype(acc) - W0B.astype(acc)                # (b, F)
-            u = bt - ct - _dot(a, delta, None) + ajj * w0t.astype(acc)
-            new = jnp.maximum(u / jnp.maximum(ajj, _TINY), 0.0)
-            new = jnp.where(ajj > 0, new.astype(WB.dtype), wt)
+            u = (bt - ct - _dot(a, delta, None)
+                 + ajj * w0t.astype(acc) - l1)
+            denom = ajj + l2
+            new = jnp.maximum(u / jnp.maximum(denom, _TINY), 0.0)
+            new = jnp.where(denom > 0, new.astype(WB.dtype), wt)
             return jax.lax.dynamic_update_slice_in_dim(WB, new, t, axis=0)
 
         WB = jax.lax.fori_loop(0, block, row_body, W0B)
@@ -268,13 +274,15 @@ def _sweep_W_blocked(W, A, B, n_sweeps: int, block: int = _BLOCK):
     return W
 
 
-def _iteration(V2, W2, H2, l1, l2, *, inner: int, update_H: bool,
+def _iteration(V2, W2, H2, l1, l2, l1w, l2w, *, inner: int, update_H: bool,
                update_W: bool, precision):
     """One outer HALS iteration: H sweeps (fresh Grams), then W sweeps.
 
     H first, then W — the MU engine's order (and sklearn's: its ``W``
-    is this module's ``H``).  ``inner`` static sweeps reuse each Gram
-    pair (Gillis & Glineur 2012 acceleration).
+    is this module's ``H``).  ``l1``/``l2`` regularize H, ``l1w``/``l2w``
+    the dictionary (sklearn's ``alpha_W`` / ``alpha_H`` sides under the
+    W<->H name swap).  ``inner`` static sweeps reuse each Gram pair
+    (Gillis & Glineur 2012 acceleration).
     """
     if update_H:
         Wt = W2.astype(_acc_dtype(W2)).T
@@ -287,8 +295,9 @@ def _iteration(V2, W2, H2, l1, l2, *, inner: int, update_H: bool,
         Ht = H2.astype(_acc_dtype(H2)).T
         A = _dot(Ht, H2, precision)                                # (m, m)
         B = _dot(Ht, V2, precision)                                # (m, F)
+        l1v, l2v = l1w.astype(A.dtype), l2w.astype(A.dtype)
         for _ in range(inner):
-            W2 = _sweep_W(W2, A, B)
+            W2 = _sweep_W(W2, A, B, l1v, l2v)
     return W2, H2
 
 
@@ -309,17 +318,17 @@ _STATICS = ('inner', 'update_H', 'update_W', 'plan')
 
 
 @partial(jax.jit, static_argnames=_STATICS, donate_argnums=(1, 2))
-def update_step(V, W, H, l1, l2, *, inner: int, update_H: bool,
+def update_step(V, W, H, l1, l2, l1w, l2w, *, inner: int, update_H: bool,
                 update_W: bool, plan: ConvPlan):
     """One outer iteration on the canonical model shapes (callback path)."""
     V2, W2, H2 = _flatten(V, W, H)
-    W2, H2 = _iteration(V2, W2, H2, l1, l2, inner=inner, update_H=update_H,
+    W2, H2 = _iteration(V2, W2, H2, l1, l2, l1w, l2w, inner=inner, update_H=update_H,
                         update_W=update_W, precision=plan.lax_precision)
     return W2.reshape(W.shape), H2.reshape(H.shape)
 
 
 @partial(jax.jit, static_argnames=_STATICS, donate_argnums=(1, 2))
-def fit_loop(V, W, H, n_iterations, l1, l2, *, inner: int, update_H: bool,
+def fit_loop(V, W, H, n_iterations, l1, l2, l1w, l2w, *, inner: int, update_H: bool,
              update_W: bool, plan: ConvPlan):
     """The no-callback fast path: the whole HALS fit as one on-device loop
     with donated factor buffers.  ``n_iterations`` is traced — varying it
@@ -327,7 +336,7 @@ def fit_loop(V, W, H, n_iterations, l1, l2, *, inner: int, update_H: bool,
     V2, W2, H2 = _flatten(V, W, H)
 
     def body(_, WH):
-        return _iteration(V2, *WH[::-1], l1, l2, inner=inner,
+        return _iteration(V2, *WH[::-1], l1, l2, l1w, l2w, inner=inner,
                           update_H=update_H, update_W=update_W,
                           precision=plan.lax_precision)[::-1]
 
@@ -342,14 +351,14 @@ ENERGY_CHUNK = 32
 
 @partial(jax.jit, static_argnames=_STATICS + ('chunk',),
          donate_argnums=(1, 2))
-def _energies_chunk(V, W, H, k, l1, l2, *, chunk: int, inner: int,
+def _energies_chunk(V, W, H, k, l1, l2, l1w, l2w, *, chunk: int, inner: int,
                     update_H: bool, update_W: bool, plan: ConvPlan):
     V2, W2, H2 = _flatten(V, W, H)
     precision = plan.lax_precision
 
     def body(WH, i):
         def active(WH):
-            W2, H2 = _iteration(V2, WH[0], WH[1], l1, l2, inner=inner,
+            W2, H2 = _iteration(V2, WH[0], WH[1], l1, l2, l1w, l2w, inner=inner,
                                 update_H=update_H, update_W=update_W,
                                 precision=precision)
             return (W2, H2), _energy(V2, W2, H2, precision)
@@ -363,7 +372,7 @@ def _energies_chunk(V, W, H, k, l1, l2, *, chunk: int, inner: int,
     return W2.reshape(W.shape), H2.reshape(H.shape), energies
 
 
-def fit_loop_energies(V, W, H, l1, l2, *, n_iterations: int, inner: int,
+def fit_loop_energies(V, W, H, l1, l2, l1w, l2w, *, n_iterations: int, inner: int,
                       update_H: bool, update_W: bool, plan: ConvPlan):
     """HALS fit with an on-device per-iteration energy trace, dispatched in
     fixed-length compiled chunks with the live count traced (changing
@@ -373,7 +382,7 @@ def fit_loop_energies(V, W, H, l1, l2, *, n_iterations: int, inner: int,
     done = 0
     while done < n:
         k = jnp.int32(min(ENERGY_CHUNK, n - done))
-        W, H, es = _energies_chunk(V, W, H, k, l1, l2, chunk=ENERGY_CHUNK,
+        W, H, es = _energies_chunk(V, W, H, k, l1, l2, l1w, l2w, chunk=ENERGY_CHUNK,
                                    inner=inner, update_H=update_H,
                                    update_W=update_W, plan=plan)
         traces.append(es)
@@ -385,7 +394,7 @@ def fit_loop_energies(V, W, H, l1, l2, *, n_iterations: int, inner: int,
 
 @partial(jax.jit, static_argnames=_STATICS + ('check_every',),
          donate_argnums=(1, 2))
-def fit_loop_tol(V, W, H, n_max, tol, l1, l2, *, check_every: int,
+def fit_loop_tol(V, W, H, n_max, tol, l1, l2, l1w, l2w, *, check_every: int,
                  inner: int, update_H: bool, update_W: bool,
                  plan: ConvPlan):
     """Adaptive HALS fit with on-device convergence detection — the same
@@ -398,7 +407,7 @@ def fit_loop_tol(V, W, H, n_max, tol, l1, l2, *, check_every: int,
     tol = tol.astype(acc)
 
     def inner_body(_, WH):
-        return _iteration(V2, *WH[::-1], l1, l2, inner=inner,
+        return _iteration(V2, *WH[::-1], l1, l2, l1w, l2w, inner=inner,
                           update_H=update_H, update_W=update_W,
                           precision=precision)[::-1]
 
@@ -474,7 +483,7 @@ def auto_inner(n_components: int, n_features: int,
 # ---------------------------------------------------------------------------
 
 def np_hals_iteration(V2, W2, H2, l1: float = 0.0, l2: float = 0.0,
-                      inner: int = 1,
+                      inner: int = 1, l1w: float = 0.0, l2w: float = 0.0,
                       update_H: bool = True, update_W: bool = True
                       ) -> Tuple['np.ndarray', 'np.ndarray']:
     """Float64 NumPy mirror of one outer iteration (Gauss–Seidel order),
@@ -496,8 +505,8 @@ def np_hals_iteration(V2, W2, H2, l1: float = 0.0, l2: float = 0.0,
         A, B = H2.T @ H2, H2.T @ V2
         for _ in range(inner):
             for j in range(W2.shape[0]):
-                if A[j, j] <= 0:
+                if A[j, j] + l2w <= 0:
                     continue  # unused component: keep the old row
-                u = B[j] - A[j] @ W2 + A[j, j] * W2[j]
-                W2[j] = np.maximum(u / max(A[j, j], tiny), 0.0)
+                u = B[j] - A[j] @ W2 + A[j, j] * W2[j] - l1w
+                W2[j] = np.maximum(u / max(A[j, j] + l2w, tiny), 0.0)
     return W2, H2

@@ -281,8 +281,9 @@ def _hals_vmap_pieces(V, keys, *, n_atoms, inner, plan):
     def iter_one(W, H, l1v, l2v):
         W2 = W.reshape(W.shape[0], -1)
         H2 = H.reshape(H.shape[0], H.shape[1])
+        zw = jnp.zeros((), l1v.dtype)
         W2, H2 = engine_hals._iteration(
-            V2, W2, H2, l1v, l2v, inner=inner, update_H=True,
+            V2, W2, H2, l1v, l2v, zw, zw, inner=inner, update_H=True,
             update_W=True, precision=precision)
         return W2.reshape(W.shape), H2.reshape(H.shape)
 

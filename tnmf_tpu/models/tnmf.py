@@ -804,6 +804,8 @@ class TransformInvariantNMF:
             extrapolate=False,
             solver: str = 'mu',
             hals_inner='auto',
+            sparsity_W: float = 0.,
+            l2_W: float = 0.,
     ):
         r"""Full-batch multiplicative-update factorization of ``V``.
 
@@ -897,6 +899,9 @@ class TransformInvariantNMF:
           Gram matrices (the accelerated variant of Gillis & Glineur
           2012); ``'auto'`` scales it with the feature/component cost
           ratio.  Composes with ``sparsity_H`` (L1), ``l2_H``,
+          ``sparsity_W``/``l2_W`` (dictionary-side L1/L2 — sklearn's
+          ``alpha_H`` under the name swap; HALS-only, since MU
+          sum-normalizes atoms which makes W penalties ill-posed),
           ``update_H/update_W``, ``keep_W/keep_H``, ``tol``,
           ``record_energies``, callbacks/checkpointing, bfloat16, and
           ``shard_axis='samples'`` meshes.  MU-only features are rejected:
@@ -925,9 +930,17 @@ class TransformInvariantNMF:
         assert cross_atom_inhibition_strength >= 0
         assert l2_H >= 0
         assert ortho_W >= 0
+        assert sparsity_W >= 0
+        assert l2_W >= 0
         assert callback_interval >= 1
         if solver not in ('mu', 'hals'):
             raise ValueError(f"solver must be 'mu' or 'hals', got {solver!r}")
+        if solver == 'mu' and (sparsity_W > 0 or l2_W > 0):
+            raise ValueError(
+                'sparsity_W / l2_W regularize the un-normalized HALS '
+                'dictionary; MU sum-normalizes atoms every update '
+                '(reference _Backend.py:75-77), which makes W penalties '
+                "ill-posed — use solver='hals'")
         if solver == 'hals':
             if (inhibition_strength > 0 or cross_atom_inhibition_strength > 0
                     or ortho_W > 0):
@@ -1039,7 +1052,8 @@ class TransformInvariantNMF:
                     'dictionary, an (m*T, m*T) operator')
             self._fit_batch_hals(
                 n_iterations, update_H=update_H, update_W=update_W,
-                l1=sparsity_H, l2=l2_H, hals_inner=hals_inner,
+                l1=sparsity_H, l2=l2_H, l1w=sparsity_W, l2w=l2_W,
+                hals_inner=hals_inner,
                 progress_callback=progress_callback,
                 callback_interval=callback_interval,
                 record_energies=record_energies,
@@ -1156,7 +1170,8 @@ class TransformInvariantNMF:
         self._logger.info('TNMF finished.')
 
     def _fit_batch_hals(self, n_iterations, *, update_H, update_W, l1, l2,
-                        hals_inner, progress_callback, callback_interval,
+                        l1w, l2w, hals_inner, progress_callback,
+                        callback_interval,
                         record_energies, tol, tol_check_every):
         """Loop dispatch for ``solver='hals'`` (:mod:`tnmf_tpu.engine_hals`),
         mirroring the MU block above: tol while_loop / fused loop /
@@ -1169,6 +1184,8 @@ class TransformInvariantNMF:
         acc = jnp.promote_types(self._W.dtype, jnp.float32)
         l1 = jnp.asarray(l1, acc)
         l2 = jnp.asarray(l2, acc)
+        l1w = jnp.asarray(l1w, acc)
+        l2w = jnp.asarray(l2w, acc)
         log_each = self._logger.isEnabledFor(logging.INFO)
         self.energies_ = None
         if tol is not None:
@@ -1181,7 +1198,7 @@ class TransformInvariantNMF:
             self._W, self._H, n_done, _ = engine_hals.fit_loop_tol(
                 self._Vd, self._W, self._H,
                 jnp.asarray(int(n_iterations), jnp.int32),
-                jnp.asarray(tol, jnp.float32), l1, l2,
+                jnp.asarray(tol, jnp.float32), l1, l2, l1w, l2w,
                 check_every=int(tol_check_every), **statics)
             self.n_iterations_ = int(n_done)
             self._logger.info('TNMF finished.')
@@ -1189,7 +1206,7 @@ class TransformInvariantNMF:
         self.n_iterations_ = int(n_iterations)
         if record_energies and progress_callback is None:
             self._W, self._H, energies = engine_hals.fit_loop_energies(
-                self._Vd, self._W, self._H, l1, l2,
+                self._Vd, self._W, self._H, l1, l2, l1w, l2w,
                 n_iterations=int(n_iterations), **statics)
             self.energies_ = np.asarray(energies)
             if log_each:
@@ -1198,7 +1215,8 @@ class TransformInvariantNMF:
                                       i, e)
         elif progress_callback is None and not log_each:
             self._W, self._H = engine_hals.fit_loop(
-                self._Vd, self._W, self._H, n_iterations, l1, l2, **statics)
+                self._Vd, self._W, self._H, n_iterations, l1, l2, l1w, l2w,
+                **statics)
         elif progress_callback is not None and callback_interval > 1:
             traces = [] if record_energies else None
             done = 0
@@ -1206,12 +1224,13 @@ class TransformInvariantNMF:
                 chunk = min(callback_interval, n_iterations - done)
                 if record_energies:
                     self._W, self._H, es = engine_hals.fit_loop_energies(
-                        self._Vd, self._W, self._H, l1, l2,
+                        self._Vd, self._W, self._H, l1, l2, l1w, l2w,
                         n_iterations=chunk, **statics)
                     traces.append(np.asarray(es))
                 else:
                     self._W, self._H = engine_hals.fit_loop(
-                        self._Vd, self._W, self._H, chunk, l1, l2, **statics)
+                        self._Vd, self._W, self._H, chunk, l1, l2, l1w, l2w,
+                        **statics)
                 done += chunk
                 if not progress_callback(self, done - 1):
                     break
@@ -1223,7 +1242,7 @@ class TransformInvariantNMF:
             energies = [] if record_energies else None
             for iteration in range(n_iterations):
                 self._W, self._H = engine_hals.update_step(
-                    self._Vd, self._W, self._H, l1, l2, **statics)
+                    self._Vd, self._W, self._H, l1, l2, l1w, l2w, **statics)
                 self.n_iterations_ = iteration + 1
                 if record_energies:
                     energies.append(self._energy_function())
