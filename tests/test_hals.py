@@ -383,6 +383,26 @@ def test_hals_rejections():
         shift.fit(V, n_iterations=2, solver='hals')
 
 
+def test_hals_checkpoint_resume(tmp_path):
+    """checkpoint_every composes with solver='hals' through the chunked
+    callback machinery: a crash-resumed fit lands on the exact trajectory
+    of the uninterrupted fit."""
+    V, _ = _problem(seed=19)
+    path = str(tmp_path / 'hals.npz')
+    np.random.seed(3)
+    full = _model()
+    full.fit(V, n_iterations=12, solver='hals')
+    np.random.seed(3)
+    crashed = _model()
+    crashed.fit(V, n_iterations=8, solver='hals', checkpoint_every=4,
+                checkpoint_path=path)  # "crashes" after 8 of 12
+    resumed = TransformInvariantNMF.load(path)
+    assert resumed.last_checkpoint_iteration_ == 8
+    resumed.fit(V, n_iterations=4, solver='hals', keep_W=True, keep_H=True)
+    np.testing.assert_allclose(resumed.W, full.W, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(resumed.H, full.H, rtol=1e-9, atol=1e-12)
+
+
 def test_hals_nndsvd_init():
     """sklearn's canonical CD pairing: deterministic NNDSVDA init +
     coordinate descent — composes through the init layer untouched."""
