@@ -80,8 +80,6 @@ def test_extrapolation_guard_rails():
     with pytest.raises(ValueError, match='extrapolate'):
         m.fit(V, extrapolate=True, progress_callback=lambda a, b: True)
     with pytest.raises(ValueError, match='extrapolate'):
-        m.fit(V, extrapolate=True, record_energies=True)
-    with pytest.raises(ValueError, match='extrapolate'):
         m.fit(V, extrapolate=True, revive_every=5)
     with pytest.raises(ValueError, match='momentum'):
         m.fit(V, extrapolate=1.5)

@@ -170,11 +170,9 @@ def test_tol_loop_matches_plain_fit_when_not_triggered():
     np.testing.assert_array_equal(np.asarray(adap._H), np.asarray(plain._H))
 
 
-def test_tol_rejects_callbacks_and_energies():
+def test_tol_rejects_callbacks():
     V = np.random.default_rng(3).random((2, 1, 8, 8)).astype(np.float32)
     nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
-    with pytest.raises(ValueError, match='tol-based'):
-        nmf.fit(V, n_iterations=5, tol=1e-3, record_energies=True)
     with pytest.raises(ValueError, match='tol-based'):
         nmf.fit(V, n_iterations=5, tol=1e-3,
                 progress_callback=lambda m, i: True)
@@ -205,3 +203,69 @@ def test_tol_rejects_periodic_checkpointing(tmp_path):
     with pytest.raises(ValueError, match='checkpoint_every'):
         nmf.fit(V, n_iterations=5, tol=1e-3,
                 checkpoint_every=2, checkpoint_path=str(tmp_path / 'c.npz'))
+
+
+def test_record_energies_composes_with_tol():
+    """record_energies + tol (previously rejected): the trace is
+    accumulated inside the same on-device while_loop, trimmed to the
+    iterations actually run, and the early-stopped trajectory is a
+    prefix of the fixed-count recording run's."""
+    V = _V()
+    np.random.seed(3)
+    a = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
+    a.fit(V, n_iterations=200, tol=1e-3, tol_check_every=5,
+          record_energies=True)
+    assert a.n_iterations_ < 200  # actually early-stopped
+    assert a.energies_.shape == (a.n_iterations_,)
+    assert np.isfinite(a.energies_).all()
+    np.testing.assert_allclose(a.energies_[-1],
+                               float(a._energy_function()), rtol=1e-10)
+
+    # identical trajectory + identical trace prefix vs the plain
+    # (no-tol) on-device recording loop run for the same count
+    np.random.seed(3)
+    b = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
+    b.fit(V, n_iterations=a.n_iterations_, record_energies=True)
+    np.testing.assert_allclose(a.energies_, b.energies_, rtol=1e-10)
+    np.testing.assert_allclose(a.W, b.W, rtol=1e-12)
+    np.testing.assert_allclose(a.H, b.H, rtol=1e-12)
+
+
+def test_record_energies_composes_with_extrapolate():
+    """record_energies + extrapolate (previously rejected): the
+    accepted-iterate energy trace comes out of the accelerated
+    while_loop without perturbing its trajectory."""
+    V = _V()
+    np.random.seed(4)
+    a = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
+    a.fit(V, n_iterations=40, tol=None, extrapolate=True,
+          record_energies=True)
+    assert a.energies_.shape == (40,)
+    assert np.isfinite(a.energies_).all()
+    np.testing.assert_allclose(a.energies_[-1],
+                               float(a._energy_function()), rtol=1e-10)
+    # the overall trend is downward even if single safeguard blocks are
+    # not (extrapolation may overshoot between restarts)
+    assert a.energies_[-1] < a.energies_[0]
+
+    # recording is read-only: same trajectory as the non-recording loop
+    np.random.seed(4)
+    b = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
+    b.fit(V, n_iterations=40, tol=None, extrapolate=True)
+    np.testing.assert_allclose(a.W, b.W, rtol=1e-12)
+    np.testing.assert_allclose(a.H, b.H, rtol=1e-12)
+    assert b.energies_ is None
+
+
+def test_record_energies_extrapolate_tol_trims_trace():
+    """All three together: early stop + acceleration + on-device trace."""
+    V = _V()
+    np.random.seed(5)
+    m = TransformInvariantNMF(n_atoms=3, atom_shape=(4, 4))
+    m.fit(V, n_iterations=2000, tol=1e-4, tol_check_every=10,
+          extrapolate=True, record_energies=True)
+    assert m.n_iterations_ < 2000
+    assert m.energies_.shape == (m.n_iterations_,)
+    assert np.isfinite(m.energies_).all()
+    np.testing.assert_allclose(m.energies_[-1],
+                               float(m._energy_function()), rtol=1e-10)

@@ -226,7 +226,7 @@ def test_sweep_tol_matches_fit_loop_tol_per_model():
             keys[s], w_shape=(3, 1, 3, 3),
             h_shape=(V.shape[0], 3) + plan.transform_shape,
             n_shift_axes=plan.ndim, dtype=Vd.dtype)
-        W, H, n_done, E = engine.fit_loop_tol(
+        W, H, n_done, E, _ = engine.fit_loop_tol(
             Vp, Vd, W0, H0, jnp.int32(40), jnp.float32(2e-3),
             jnp.float32(sp[s]), jnp.float32(0), jnp.float32(0), kernels,
             check_every=4, plan=plan, strategy=strategy)

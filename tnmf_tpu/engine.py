@@ -661,12 +661,12 @@ def fit_loop_energies(Vp, V, W, H, sparsity, inhibition, cross_inhibition,
     return W, H, energies
 
 
-@partial(jax.jit, static_argnames=_STEP_STATICS + ('check_every',),
+@partial(jax.jit, static_argnames=_STEP_STATICS + ('check_every', 'n_buf'),
          donate_argnums=(2, 3))
 def fit_loop_tol(Vp, V, W, H, n_max, tol, sparsity, inhibition,
                  cross_inhibition, kernels, mask=None, l2_H=None,
                  ortho_W=None, *,
-                 check_every: int,
+                 check_every: int, n_buf: int = 0,
                  plan: ConvPlan, strategy: str,
                  update_H: bool = True, update_W: bool = True,
                  use_inhibition: bool = False, use_cross: bool = False,
@@ -683,13 +683,18 @@ def fit_loop_tol(Vp, V, W, H, n_max, tol, sparsity, inhibition,
     (a host-polled loop would pay a tunnel round trip per check).
     ``n_max`` and ``tol`` are traced — changing them never recompiles.
 
-    Returns ``(W, H, n_done, e_final)``.
+    ``n_buf > 0`` (static, >= the largest possible ``n_max``) additionally
+    records the per-iteration energy into an on-device trace (one extra
+    reconstruction per iteration; entries past ``n_done`` stay NaN).
+
+    Returns ``(W, H, n_done, e_final, energies_or_None)``.
     """
     ops = get_ops(strategy)
     acc = jnp.promote_types(V.dtype, jnp.float32)
+    record = n_buf > 0
 
-    def inner(_, WH):
-        W, H = WH
+    def inner(j, state):
+        W, H = state[:2]
         if update_H:
             H = _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition,
                       kernels, plan=plan, use_inhibition=use_inhibition,
@@ -698,6 +703,9 @@ def fit_loop_tol(Vp, V, W, H, n_max, tol, sparsity, inhibition,
         if update_W:
             W = _mu_W(ops, Vp, W, H, plan=plan, use_pallas=use_pallas_gw,
                       beta=beta, mask=mask, ortho=ortho_W)
+        if record:
+            trace, i0 = state[2:]
+            return W, H, trace.at[i0 + j].set(e_of(W, H)), i0
         return W, H
 
     def e_of(W, H):
@@ -709,19 +717,26 @@ def fit_loop_tol(Vp, V, W, H, n_max, tol, sparsity, inhibition,
     scale = jnp.maximum(e0, jnp.asarray(jnp.finfo(acc).tiny, acc))
 
     def cond(state):
-        _, _, i, _, rel = state
+        i, rel = state[2], state[4]
         return jnp.logical_and(i < n_max, rel >= tol)
 
     def body(state):
-        W, H, i, e_prev, _ = state
+        W, H, i, e_prev, _ = state[:5]
         k = jnp.minimum(check_every, n_max - i)
-        W, H = jax.lax.fori_loop(0, k, inner, (W, H))
+        carry = (W, H) + ((state[5], i) if record else ())
+        carry = jax.lax.fori_loop(0, k, inner, carry)
+        W, H = carry[:2]
         e = e_of(W, H)
-        return W, H, i + k, e, (e_prev - e) / scale
+        out = (W, H, i + k, e, (e_prev - e) / scale)
+        return out + ((carry[2],) if record else ())
 
     state = (W, H, jnp.asarray(0, jnp.int32), e0, jnp.asarray(jnp.inf, acc))
-    W, H, n_done, e, _ = jax.lax.while_loop(cond, body, state)
-    return W, _dec_h(H, plan, strategy, W.shape[0]), n_done, e
+    if record:
+        state = state + (jnp.full((n_buf,), jnp.nan, acc),)
+    state = jax.lax.while_loop(cond, body, state)
+    W, H, n_done, e = state[0], state[1], state[2], state[3]
+    trace = state[5] if record else None
+    return W, _dec_h(H, plan, strategy, W.shape[0]), n_done, e, trace
 
 
 # extrapolation safeguard heuristics (Ang & Gillis 2019-style HER): the
@@ -731,12 +746,12 @@ def fit_loop_tol(Vp, V, W, H, n_max, tol, sparsity, inhibition,
 _XTR_GROW, _XTR_SHRINK, _XTR_MAX = 1.05, 0.5, 0.95
 
 
-@partial(jax.jit, static_argnames=_STEP_STATICS + ('check_every',),
+@partial(jax.jit, static_argnames=_STEP_STATICS + ('check_every', 'n_buf'),
          donate_argnums=(2, 3))
 def fit_loop_extrapolated(Vp, V, W, H, n_max, tol, beta0, sparsity,
                           inhibition, cross_inhibition, kernels, mask=None,
                           l2_H=None, ortho_W=None, *,
-                          check_every: int,
+                          check_every: int, n_buf: int = 0,
                           plan: ConvPlan, strategy: str,
                           update_H: bool = True, update_W: bool = True,
                           use_inhibition: bool = False, use_cross: bool = False,
@@ -762,7 +777,14 @@ def fit_loop_extrapolated(Vp, V, W, H, n_max, tol, beta0, sparsity,
     iterations or when the relative per-block energy improvement drops
     below ``tol`` (pass ``tol=0`` to always run ``n_max``).
 
-    Returns ``(W, H, n_done, e_final)``.
+    ``n_buf > 0`` (static, must be >= the largest possible ``n_max``)
+    additionally records the energy of the *accepted* iterates after every
+    iteration into an on-device trace — the accelerated counterpart of
+    :func:`fit_loop_energies` — at the cost of one extra reconstruction
+    per iteration (entries past ``n_done`` stay NaN; the extrapolation
+    trajectory itself is unchanged, the recording is read-only).
+
+    Returns ``(W, H, n_done, e_final, energies_or_None)``.
     """
     ops = get_ops(strategy)
     acc = jnp.promote_types(V.dtype, jnp.float32)
@@ -778,8 +800,10 @@ def fit_loop_extrapolated(Vp, V, W, H, n_max, tol, beta0, sparsity,
         r = jnp.clip((Xn + EPS) / (Xold + EPS), 0.125, 8.0)
         return (Xn * r ** bk.astype(Xn.dtype)).astype(Xn.dtype)
 
-    def inner(_, state):
-        W, H, Wy, Hy, bk = state
+    record = n_buf > 0
+
+    def inner(j, state):
+        W, H, Wy, Hy, bk = state[:5]
         if update_H:
             Hn = _mu_H(ops, Vp, Wy, Hy, sparsity, inhibition,
                        cross_inhibition, kernels, plan=plan,
@@ -792,6 +816,10 @@ def fit_loop_extrapolated(Vp, V, W, H, n_max, tol, beta0, sparsity,
                        beta=beta, mask=mask, ortho=ortho_W)
             Wy = _normalize_W(xtr(Wn, W, bk), plan.ndim).astype(Wn.dtype)
             W = Wn
+        if record:
+            trace, i0 = state[5:]
+            trace = trace.at[i0 + j].set(e_of(W, H))
+            return W, H, Wy, Hy, bk, trace, i0
         return W, H, Wy, Hy, bk
 
     def e_of(W, H):
@@ -803,13 +831,15 @@ def fit_loop_extrapolated(Vp, V, W, H, n_max, tol, beta0, sparsity,
     scale = jnp.maximum(e0, jnp.asarray(jnp.finfo(acc).tiny, acc))
 
     def cond(state):
-        _, _, _, _, _, i, _, rel = state
+        i, rel = state[5], state[7]
         return jnp.logical_and(i < n_max, rel >= tol)
 
     def body(state):
-        W, H, Wy, Hy, bk, i, e_prev, _ = state
+        W, H, Wy, Hy, bk, i, e_prev, _ = state[:8]
         k = jnp.minimum(check_every, n_max - i)
-        W, H, Wy, Hy, bk = jax.lax.fori_loop(0, k, inner, (W, H, Wy, Hy, bk))
+        carry = (W, H, Wy, Hy, bk) + ((state[8], i) if record else ())
+        carry = jax.lax.fori_loop(0, k, inner, carry)
+        W, H, Wy, Hy, bk = carry[:5]
         e = e_of(W, H)
         worse = e > e_prev
         bk = jnp.where(worse, bk * _XTR_SHRINK,
@@ -822,13 +852,18 @@ def fit_loop_extrapolated(Vp, V, W, H, n_max, tol, beta0, sparsity,
         # improvement stops the fit
         rel = jnp.where(worse, jnp.asarray(jnp.inf, acc),
                         (e_prev - e) / scale)
-        return W, H, Wy, Hy, bk, i + k, e, rel
+        out = (W, H, Wy, Hy, bk, i + k, e, rel)
+        return out + ((carry[5],) if record else ())
 
     bk0 = jnp.asarray(beta0, acc)
     state = (W, H, W, H, bk0, jnp.asarray(0, jnp.int32), e0,
              jnp.asarray(jnp.inf, acc))
-    W, H, _, _, _, n_done, e, _ = jax.lax.while_loop(cond, body, state)
-    return W, _dec_h(H, plan, strategy, W.shape[0]), n_done, e
+    if record:
+        state = state + (jnp.full((n_buf,), jnp.nan, acc),)
+    state = jax.lax.while_loop(cond, body, state)
+    W, H, n_done, e = state[0], state[1], state[5], state[6]
+    trace = state[8] if record else None
+    return W, _dec_h(H, plan, strategy, W.shape[0]), n_done, e, trace
 
 
 @partial(jax.jit, static_argnames=('plan', 'strategy', 'use_inhibition', 'use_cross', 'use_pallas', 'beta'))

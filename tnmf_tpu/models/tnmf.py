@@ -846,7 +846,9 @@ class TransformInvariantNMF:
           adaptive fit is one dispatch — no host round trip per check) and
           the fit stops once it drops below ``tol`` or at ``n_iterations``.
           The actual iteration count lands in ``self.n_iterations_``.
-          Incompatible with callbacks and ``record_energies``.
+          Composes with ``record_energies`` (the trace is accumulated
+          inside the same on-device loop and trimmed to the iterations
+          actually run); incompatible with callbacks.
         * ``mask`` enables masked / weighted factorization (no reference
           counterpart): an array broadcastable to ``V`` whose entries
           weight the objective per data point — zeros mark *missing*
@@ -879,11 +881,14 @@ class TransformInvariantNMF:
           typically reaching a given tolerance in substantially fewer
           iterations at ~zero extra per-iteration cost (the reference's
           plain Lee-Seung MU has no acceleration).  Composes with ``tol``
-          (recommended: that is where fewer-iterations pays off) and all
-          regularizers/masks/strategies/meshes; incompatible with
-          callbacks, ``record_energies``, ``checkpoint_every`` and
-          ``revive_every`` (the accelerated loop runs as one on-device
-          ``while_loop``).  The trajectory differs from plain MU by
+          (recommended: that is where fewer-iterations pays off), all
+          regularizers/masks/strategies/meshes, and ``record_energies``
+          (the accepted-iterate energy trace is accumulated inside the
+          on-device loop, so the acceleration is observable at the usual
+          one-extra-reconstruction-per-iteration cost); incompatible with
+          callbacks, ``checkpoint_every`` and ``revive_every`` (the
+          accelerated loop runs as one on-device ``while_loop``, no host
+          round trips).  The trajectory differs from plain MU by
           design; energies land within the same converged basin
           (``tests/test_extrapolation.py``).
         * ``solver='hals'`` replaces the multiplicative updates with exact
@@ -984,13 +989,13 @@ class TransformInvariantNMF:
                 'and cannot combine with checkpoint_every (the periodic '
                 'checkpoint needs host round trips)')
         if extrapolate:
-            if (progress_callback is not None or record_energies
+            if (progress_callback is not None
                     or checkpoint_every is not None
                     or revive_every is not None):
                 raise ValueError(
                     'extrapolate runs as one on-device while_loop and '
                     'cannot combine with progress_callback, '
-                    'record_energies, checkpoint_every or revive_every')
+                    'checkpoint_every or revive_every')
             xtr_beta0 = 0.5 if extrapolate is True else float(extrapolate)
             if not 0.0 < xtr_beta0 < 1.0:
                 raise ValueError('extrapolate must be True or an initial '
@@ -1081,31 +1086,38 @@ class TransformInvariantNMF:
         self.energies_ = None
         if extrapolate:
             acc = jnp.promote_types(self._W.dtype, jnp.float32)
-            self._W, self._H, n_done, _ = engine.fit_loop_extrapolated(
+            self._W, self._H, n_done, _, trace = engine.fit_loop_extrapolated(
                 self._Vp, self._Vd, self._W, self._H,
                 jnp.asarray(int(n_iterations), jnp.int32),
                 jnp.asarray(0.0 if tol is None else tol, acc),
                 jnp.asarray(xtr_beta0, acc), *scalars, self._kernels,
                 mask=self._mask_d, **regs,
-                check_every=int(tol_check_every), **statics)
+                check_every=int(tol_check_every),
+                n_buf=int(n_iterations) if record_energies else 0, **statics)
             self.n_iterations_ = int(n_done)
+            if record_energies:
+                # on-device accepted-iterate trace; entries past n_done are
+                # the NaN fill of early-stopped buffers — trim them
+                self.energies_ = np.asarray(trace)[:self.n_iterations_]
             self._logger.info('TNMF finished.')
             return
         if tol is not None:
-            if progress_callback is not None or record_energies:
+            if progress_callback is not None:
                 raise ValueError(
                     'tol-based early stopping runs as one on-device '
-                    'while_loop and cannot combine with progress_callback '
-                    'or record_energies')
+                    'while_loop and cannot combine with progress_callback')
             assert tol >= 0 and tol_check_every >= 1
             acc = jnp.promote_types(self._W.dtype, jnp.float32)
-            self._W, self._H, n_done, _ = engine.fit_loop_tol(
+            self._W, self._H, n_done, _, trace = engine.fit_loop_tol(
                 self._Vp, self._Vd, self._W, self._H,
                 jnp.asarray(int(n_iterations), jnp.int32),
                 jnp.asarray(tol, acc), *scalars, self._kernels,
                 mask=self._mask_d, **regs,
-                check_every=int(tol_check_every), **statics)
+                check_every=int(tol_check_every),
+                n_buf=int(n_iterations) if record_energies else 0, **statics)
             self.n_iterations_ = int(n_done)
+            if record_energies:
+                self.energies_ = np.asarray(trace)[:self.n_iterations_]
             self._logger.info('TNMF finished.')
             return
         self.n_iterations_ = int(n_iterations)  # sklearn n_iter_ semantics;
