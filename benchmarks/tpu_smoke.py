@@ -191,7 +191,11 @@ def _extrapolated():
     V = _data()
     x = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), seed=0)
     x.fit(V, n_iterations=400, tol=1e-3, tol_check_every=5,
-          extrapolate=True)
+          extrapolate=True, record_energies=True)
+    # the on-device accepted-iterate trace comes out of the same loop,
+    # trimmed to the iterations actually run
+    assert x.energies_.shape == (x.n_iterations_,)
+    assert np.isfinite(x.energies_).all()
     p = TransformInvariantNMF(n_atoms=3, atom_shape=(5, 5), seed=0)
     p.fit(V, n_iterations=int(x.n_iterations_))
     # no worse than plain MU at the same iteration count, factors sane
