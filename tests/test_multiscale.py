@@ -196,8 +196,19 @@ def test_tol_early_stopping():
     for k in range(2):
         np.testing.assert_allclose(z.W[k], full.W[k], rtol=1e-7)
 
+    # tol + record_energies: the trace comes out of the same on-device
+    # loop, trimmed to the iterations actually run, with an unchanged
+    # trajectory
+    r = MultiScaleTNMF(**kw)
+    r.fit(V, n_iterations=8, tol=0.0, record_energies=True)
+    assert r.energies_.shape == (8,)
+    assert np.isfinite(r.energies_).all()
+    for k in range(2):
+        np.testing.assert_allclose(r.W[k], full.W[k], rtol=1e-7)
+
     with pytest.raises(ValueError, match='cannot combine'):
-        MultiScaleTNMF(**kw).fit(V, tol=1e-3, record_energies=True)
+        MultiScaleTNMF(**kw).fit(V, tol=1e-3,
+                                 progress_callback=lambda m, i: True)
 
 
 def test_callback_path_matches_fused_loop():

@@ -132,10 +132,10 @@ def ms_fit_loop(Vd, Vps, Ws, Hs, n_iterations, sparsities, mask=None, *,
     return Ws, Hs
 
 
-@partial(jax.jit, static_argnames=_STATICS + ('check_every',),
+@partial(jax.jit, static_argnames=_STATICS + ('check_every', 'n_buf'),
          donate_argnums=(2, 3))
 def ms_fit_loop_tol(Vd, Vps, Ws, Hs, n_max, tol, sparsities, mask=None, *,
-                    check_every, plans, strategies, update_H=True,
+                    check_every, n_buf=0, plans, strategies, update_H=True,
                     update_W=True, beta=2.0):
     """Adaptive multi-scale fit with on-device convergence detection — the
     single-scale semantics of :func:`tnmf_tpu.engine.fit_loop_tol`: blocks
@@ -143,35 +143,49 @@ def ms_fit_loop_tol(Vd, Vps, Ws, Hs, n_max, tol, sparsities, mask=None, *,
     ``lax.while_loop``, stopping when the relative objective improvement
     over a block, ``(e_prev - e) / e_init``, drops below ``tol`` — or at
     ``n_max``.  ``n_max`` and ``tol`` are traced (no recompile when they
-    change).  Returns ``(Ws, Hs, n_done, e_final)``."""
+    change).  ``n_buf > 0`` (static, >= the largest possible ``n_max``)
+    additionally records the per-iteration objective into an on-device
+    trace (entries past ``n_done`` stay NaN).
+    Returns ``(Ws, Hs, n_done, e_final, energies_or_None)``."""
     acc = jnp.promote_types(Vd.dtype, jnp.float32)
+    record = n_buf > 0
 
     def e_of(Ws, Hs):
         R = _reconstruct(Ws, Hs, plans, strategies)
         return beta_ops.divergence(Vd, R, beta, mask).astype(acc)
 
-    def inner(_, WH):
-        return _step(Vd, Vps, WH[0], WH[1], sparsities, mask,
-                     plans=plans, strategies=strategies,
-                     update_H=update_H, update_W=update_W, beta=beta)
+    def inner(j, state):
+        Ws, Hs = _step(Vd, Vps, state[0], state[1], sparsities, mask,
+                       plans=plans, strategies=strategies,
+                       update_H=update_H, update_W=update_W, beta=beta)
+        if record:
+            trace, i0 = state[2:]
+            return Ws, Hs, trace.at[i0 + j].set(e_of(Ws, Hs)), i0
+        return Ws, Hs
 
     e0 = e_of(Ws, Hs)
     scale = jnp.maximum(e0, jnp.asarray(jnp.finfo(acc).tiny, acc))
 
     def cond(state):
-        _, _, i, _, rel = state
+        i, rel = state[2], state[4]
         return jnp.logical_and(i < n_max, rel >= tol)
 
     def body(state):
-        Ws, Hs, i, e_prev, _ = state
+        Ws, Hs, i, e_prev, _ = state[:5]
         k = jnp.minimum(check_every, n_max - i)
-        Ws, Hs = jax.lax.fori_loop(0, k, inner, (Ws, Hs))
+        carry = (Ws, Hs) + ((state[5], i) if record else ())
+        carry = jax.lax.fori_loop(0, k, inner, carry)
+        Ws, Hs = carry[:2]
         e = e_of(Ws, Hs)
-        return Ws, Hs, i + k, e, (e_prev - e) / scale
+        out = (Ws, Hs, i + k, e, (e_prev - e) / scale)
+        return out + ((carry[2],) if record else ())
 
     state = (Ws, Hs, jnp.asarray(0, jnp.int32), e0, jnp.asarray(jnp.inf, acc))
-    Ws, Hs, n_done, e, _ = jax.lax.while_loop(cond, body, state)
-    return Ws, Hs, n_done, e
+    if record:
+        state = state + (jnp.full((n_buf,), jnp.nan, acc),)
+    state = jax.lax.while_loop(cond, body, state)
+    Ws, Hs, n_done, e = state[0], state[1], state[2], state[3]
+    return Ws, Hs, n_done, e, (state[5] if record else None)
 
 
 @partial(jax.jit, static_argnames=_STATICS + ('chunk',), donate_argnums=(2, 3))
@@ -483,7 +497,8 @@ class MultiScaleTNMF:
         ``tol`` enables sklearn-style early stopping with the single-scale
         model's semantics (relative objective improvement per
         ``tol_check_every``-iteration block below ``tol`` — one on-device
-        while_loop, so it cannot combine with ``record_energies`` or
+        while_loop; composes with ``record_energies``, whose trace is
+        trimmed to the iterations run, but not with
         ``progress_callback``); ``n_iterations_`` then reports where the
         fit stopped.  ``y`` is accepted and ignored (sklearn unsupervised
         convention)."""
@@ -503,19 +518,21 @@ class MultiScaleTNMF:
         self.energies_ = None
         self.n_iterations_ = int(n_iterations)
         if tol is not None:
-            if progress_callback is not None or record_energies:
+            if progress_callback is not None:
                 raise ValueError(
                     'tol-based early stopping runs as one on-device '
-                    'while_loop and cannot combine with progress_callback '
-                    'or record_energies')
+                    'while_loop and cannot combine with progress_callback')
             assert tol >= 0 and tol_check_every >= 1
             acc = jnp.promote_types(dt, jnp.float32)
-            self._Ws, self._Hs, n_done, _ = ms_fit_loop_tol(
+            self._Ws, self._Hs, n_done, _, trace = ms_fit_loop_tol(
                 self._Vd, self._Vps, self._Ws, self._Hs,
                 jnp.asarray(int(n_iterations), jnp.int32),
                 jnp.asarray(tol, acc), sp, self._mask_d,
-                check_every=int(tol_check_every), **statics)
+                check_every=int(tol_check_every),
+                n_buf=int(n_iterations) if record_energies else 0, **statics)
             self.n_iterations_ = int(n_done)
+            if record_energies:
+                self.energies_ = np.asarray(trace)[:self.n_iterations_]
             self._logger.info('MultiScale TNMF finished.')
             return self
         if record_energies and progress_callback is None:
