@@ -458,3 +458,36 @@ def test_hals_sharded_matches_single():
     np.testing.assert_allclose(sharded.W, single.W, rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(sharded.H, single.H, rtol=1e-9, atol=1e-12)
     assert len(sharded._H.devices()) == 8
+
+
+def test_hals_tol_with_trace():
+    """tol + record_energies compose under solver='hals' (round 5: HALS
+    mirrors the MU driver's composition matrix, engine_hals.fit_loop_tol
+    n_buf trace): the recorded trace equals the plain record_energies
+    trace over the executed prefix, and the factors match the equivalent
+    fixed-length fit exactly."""
+    V, _ = _problem(seed=5)
+    np.random.seed(0)
+    model = _model()
+    model.fit(V, n_iterations=500, solver='hals', tol=1e-8,
+              tol_check_every=5, record_energies=True)
+    n_done = model.n_iterations_
+    assert 0 < n_done < 500
+    assert model.energies_.shape == (n_done,)
+    assert np.all(np.isfinite(model.energies_))
+    np.random.seed(0)
+    plain = _model()
+    plain.fit(V, n_iterations=n_done, solver='hals', record_energies=True)
+    np.testing.assert_allclose(model.energies_, plain.energies_, rtol=1e-10)
+    np.testing.assert_allclose(model.W, plain.W, rtol=1e-12)
+    np.testing.assert_allclose(model.H, plain.H, rtol=1e-12)
+
+
+def test_hals_tol_trace_zero_iterations():
+    V, _ = _problem(seed=5)
+    np.random.seed(0)
+    model = _model()
+    model.fit(V, n_iterations=0, solver='hals', tol=1e-8,
+              record_energies=True)
+    assert model.n_iterations_ == 0
+    assert model.energies_.shape == (0,)

@@ -134,3 +134,41 @@ def test_pallas_gw_flag_falls_back_off_tpu():
                               use_pallas=False)
     d.fit_minibatches(V, algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=2, n_epochs=2)
     np.testing.assert_allclose(c.W, d.W, rtol=1e-12)
+
+
+def test_negative_v_raises_valueerror():
+    """Input validation raises ValueError (not a bare assert, which
+    ``python -O`` strips — tests/test_optimized_mode.py runs this file
+    under -O)."""
+    V = _V()
+    V.flat[0] = -1.0
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    with pytest.raises(ValueError, match='non-negative'):
+        nmf.fit(V, n_iterations=1)
+    with pytest.raises(ValueError, match='non-negative'):
+        nmf.fit_minibatches(V, batch_size=2, n_epochs=1)
+
+
+def test_negative_params_raise_valueerror():
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    with pytest.raises(ValueError, match='sparsity_H'):
+        nmf.fit(_V(), n_iterations=1, sparsity_H=-0.1)
+    with pytest.raises(ValueError, match='inhibition_strength'):
+        nmf.fit(_V(), n_iterations=1, inhibition_strength=-1)
+    with pytest.raises(ValueError, match='tol must be'):
+        nmf.fit(_V(), n_iterations=1, tol=-1e-3)
+    with pytest.raises(ValueError, match='tol_check_every'):
+        nmf.fit(_V(), n_iterations=1, tol=1e-3, tol_check_every=0)
+    with pytest.raises(ValueError, match='update_H'):
+        nmf.fit(_V(), n_iterations=1, update_H=False, update_W=False)
+
+
+def test_tol_trace_zero_iterations():
+    """fit(n_iterations=0, tol=..., record_energies=True) returns an empty
+    trace instead of crashing (round-4 advisor finding: np.asarray(None)
+    on the unrecorded buffer)."""
+    np.random.seed(0)
+    nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3))
+    nmf.fit(_V(), n_iterations=0, tol=1e-6, record_energies=True)
+    assert nmf.n_iterations_ == 0
+    assert nmf.energies_.shape == (0,)

@@ -726,7 +726,10 @@ def fit_loop_tol(Vp, V, W, H, n_max, tol, sparsity, inhibition,
         carry = (W, H) + ((state[5], i) if record else ())
         carry = jax.lax.fori_loop(0, k, inner, carry)
         W, H = carry[:2]
-        e = e_of(W, H)
+        # when recording, the last in-block iteration already wrote
+        # e(W, H) to the trace — read it back instead of paying another
+        # reconstruction
+        e = carry[2][i + k - 1] if record else e_of(W, H)
         out = (W, H, i + k, e, (e_prev - e) / scale)
         return out + ((carry[2],) if record else ())
 
@@ -840,7 +843,9 @@ def fit_loop_extrapolated(Vp, V, W, H, n_max, tol, beta0, sparsity,
         carry = (W, H, Wy, Hy, bk) + ((state[8], i) if record else ())
         carry = jax.lax.fori_loop(0, k, inner, carry)
         W, H, Wy, Hy, bk = carry[:5]
-        e = e_of(W, H)
+        # the accepted-iterate energy was just written to the trace by the
+        # last in-block iteration — reuse it when recording
+        e = carry[5][i + k - 1] if record else e_of(W, H)
         worse = e > e_prev
         bk = jnp.where(worse, bk * _XTR_SHRINK,
                        jnp.minimum(bk * _XTR_GROW, _XTR_MAX))

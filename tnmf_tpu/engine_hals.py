@@ -392,43 +392,67 @@ def fit_loop_energies(V, W, H, l1, l2, l1w, l2w, *, n_iterations: int, inner: in
     return W, H, energies
 
 
-@partial(jax.jit, static_argnames=_STATICS + ('check_every',),
+@partial(jax.jit, static_argnames=_STATICS + ('check_every', 'n_buf'),
          donate_argnums=(1, 2))
 def fit_loop_tol(V, W, H, n_max, tol, l1, l2, l1w, l2w, *, check_every: int,
-                 inner: int, update_H: bool, update_W: bool,
+                 n_buf: int = 0, inner: int, update_H: bool, update_W: bool,
                  plan: ConvPlan):
     """Adaptive HALS fit with on-device convergence detection — the same
     ``(e_prev - e) / e_init < tol`` protocol as :func:`engine.fit_loop_tol`
-    (one dispatch regardless of where it stops).  Returns
-    ``(W, H, n_done, e_final)``."""
+    (one dispatch regardless of where it stops).
+
+    ``n_buf > 0`` (static, >= the largest possible ``n_max``) additionally
+    records the per-iteration energy into an on-device trace (entries past
+    ``n_done`` stay NaN) — the HALS counterpart of the MU engine's
+    ``tol`` + ``record_energies`` composition.
+
+    Returns ``(W, H, n_done, e_final, energies_or_None)``."""
     V2, W2, H2 = _flatten(V, W, H)
     precision = plan.lax_precision
     acc = _acc_dtype(V2)
     tol = tol.astype(acc)
+    record = n_buf > 0
 
-    def inner_body(_, WH):
-        return _iteration(V2, *WH[::-1], l1, l2, l1w, l2w, inner=inner,
-                          update_H=update_H, update_W=update_W,
-                          precision=precision)[::-1]
+    def inner_body(j, state):
+        H2, W2 = state[:2]
+        W2, H2 = _iteration(V2, W2, H2, l1, l2, l1w, l2w, inner=inner,
+                            update_H=update_H, update_W=update_W,
+                            precision=precision)
+        if record:
+            trace, i0 = state[2:]
+            trace = trace.at[i0 + j].set(_energy(V2, W2, H2, precision))
+            return H2, W2, trace, i0
+        return H2, W2
 
     e0 = _energy(V2, W2, H2, precision)
     scale = jnp.maximum(e0, jnp.asarray(jnp.finfo(acc).tiny, acc))
 
     def cond(state):
-        _, _, i, _, rel = state
+        i, rel = state[2], state[4]
         return jnp.logical_and(i < n_max, rel >= tol)
 
     def body(state):
-        H2, W2, i, e_prev, _ = state
+        H2, W2, i, e_prev, _ = state[:5]
         k = jnp.minimum(check_every, n_max - i)
-        H2, W2 = jax.lax.fori_loop(0, k, inner_body, (H2, W2))
-        e = _energy(V2, W2, H2, precision)
-        return H2, W2, i + k, e, (e_prev - e) / scale
+        carry = (H2, W2) + ((state[5], i) if record else ())
+        carry = jax.lax.fori_loop(0, k, inner_body, carry)
+        H2, W2 = carry[:2]
+        # when recording, the last in-block iteration already wrote
+        # e(W, H) to the trace — read it back instead of paying another
+        # reconstruction
+        e = (carry[2][i + k - 1] if record
+             else _energy(V2, W2, H2, precision))
+        out = (H2, W2, i + k, e, (e_prev - e) / scale)
+        return out + ((carry[2],) if record else ())
 
     state = (H2, W2, jnp.asarray(0, jnp.int32), e0,
              jnp.asarray(jnp.inf, acc))
-    H2, W2, n_done, e, _ = jax.lax.while_loop(cond, body, state)
-    return W2.reshape(W.shape), H2.reshape(H.shape), n_done, e
+    if record:
+        state = state + (jnp.full((n_buf,), jnp.nan, acc),)
+    state = jax.lax.while_loop(cond, body, state)
+    H2, W2, n_done, e = state[0], state[1], state[2], state[3]
+    trace = state[5] if record else None
+    return W2.reshape(W.shape), H2.reshape(H.shape), n_done, e, trace
 
 
 #: crude accelerator cost model behind ``auto_inner`` (v5e-calibrated):

@@ -47,6 +47,8 @@ import jax
 import jax.numpy as jnp
 
 from .. import engine
+from ..utils.validation import require as _require
+from .tnmf import _trace_buf as _ms_trace_buf
 from ..ops import beta as beta_ops
 from ..ops.modes import ConvPlan
 
@@ -176,7 +178,9 @@ def ms_fit_loop_tol(Vd, Vps, Ws, Hs, n_max, tol, sparsities, mask=None, *,
         carry = (Ws, Hs) + ((state[5], i) if record else ())
         carry = jax.lax.fori_loop(0, k, inner, carry)
         Ws, Hs = carry[:2]
-        e = e_of(Ws, Hs)
+        # when recording, the last in-block iteration already wrote this
+        # objective value to the trace — reuse it
+        e = carry[2][i + k - 1] if record else e_of(Ws, Hs)
         out = (Ws, Hs, i + k, e, (e_prev - e) / scale)
         return out + ((carry[2],) if record else ())
 
@@ -351,7 +355,8 @@ class MultiScaleTNMF:
 
     def _initialize(self, V, keep_W, mask):
         V = np.asarray(V)
-        assert np.all(V >= 0)
+        _require(bool(np.all(V >= 0)),
+                 'The input data V must be non-negative.')
         sample_shape = V.shape[2:]
         self._plans = tuple(
             ConvPlan.create(self._mode, sample_shape, a, precision=self._precision)
@@ -503,12 +508,14 @@ class MultiScaleTNMF:
         fit stopped.  ``y`` is accepted and ignored (sklearn unsupervised
         convention)."""
         del y
-        assert update_H or update_W
+        _require(update_H or update_W,
+                 'at least one of update_H / update_W must be True')
         self._sag_stat_ = None  # fresh optimization: drop partial_fit state
         if np.isscalar(sparsity_H):
             sparsity_H = (float(sparsity_H),) * self.n_scales
         sparsity_H = tuple(float(s) for s in sparsity_H)
-        assert len(sparsity_H) == self.n_scales and min(sparsity_H) >= 0
+        _require(len(sparsity_H) == self.n_scales and min(sparsity_H) >= 0,
+                 'sparsity_H must give one value >= 0 per scale')
         self._initialize(V, keep_W, mask)
         dt = self._Vd.dtype
         sp = tuple(jnp.asarray(s, dt) for s in sparsity_H)
@@ -522,14 +529,17 @@ class MultiScaleTNMF:
                 raise ValueError(
                     'tol-based early stopping runs as one on-device '
                     'while_loop and cannot combine with progress_callback')
-            assert tol >= 0 and tol_check_every >= 1
+            _require(tol >= 0, f'tol must be >= 0, got {tol!r}')
+            _require(int(tol_check_every) >= 1,
+                     'tol_check_every must be >= 1')
             acc = jnp.promote_types(dt, jnp.float32)
             self._Ws, self._Hs, n_done, _, trace = ms_fit_loop_tol(
                 self._Vd, self._Vps, self._Ws, self._Hs,
                 jnp.asarray(int(n_iterations), jnp.int32),
                 jnp.asarray(tol, acc), sp, self._mask_d,
                 check_every=int(tol_check_every),
-                n_buf=int(n_iterations) if record_energies else 0, **statics)
+                n_buf=(_ms_trace_buf(n_iterations) if record_energies
+                       else 0), **statics)
             self.n_iterations_ = int(n_done)
             if record_energies:
                 self.energies_ = np.asarray(trace)[:self.n_iterations_]
@@ -599,7 +609,8 @@ class MultiScaleTNMF:
         if np.isscalar(sparsity_H):
             sparsity_H = (float(sparsity_H),) * self.n_scales
         sparsity_H = tuple(float(s) for s in sparsity_H)
-        assert len(sparsity_H) == self.n_scales and min(sparsity_H) >= 0
+        _require(len(sparsity_H) == self.n_scales and min(sparsity_H) >= 0,
+                 'sparsity_H must give one value >= 0 per scale')
         self._initialize(V, keep_W, mask)
         dt = self._Vd.dtype
         sp = tuple(jnp.asarray(s, dt) for s in sparsity_H)
@@ -734,7 +745,8 @@ class MultiScaleTNMF:
         if np.isscalar(sparsity_H):
             sparsity_H = (float(sparsity_H),) * self.n_scales
         sparsity_H = tuple(float(s) for s in sparsity_H)
-        assert len(sparsity_H) == self.n_scales and min(sparsity_H) >= 0
+        _require(len(sparsity_H) == self.n_scales and min(sparsity_H) >= 0,
+                 'sparsity_H must give one value >= 0 per scale')
         self._initialize(V, keep_W=True, mask=mask)
         dt = self._Vd.dtype
         sp = tuple(jnp.asarray(s, dt) for s in sparsity_H)

@@ -51,6 +51,7 @@ from .. import engine_hals
 from ..ops import beta as beta_ops
 from ..ops.inhibition import inhibition_kernels, resolve_inhibition_range
 from ..ops.modes import ConvPlan
+from ..utils.validation import require as _require, require_nonneg as _require_nonneg
 
 sliceNone = slice(None)
 
@@ -64,11 +65,36 @@ _SEEN_PROGRAM_GEOMETRIES = set()
 def _assert_nonnegative(V):
     """Reference precondition (TransformInvariantNMF.py:326); checked on
     device for jax arrays (one scalar transfer instead of copying V to
-    host — device-resident inputs, e.g. prefetched batches, stay put)."""
+    host — device-resident inputs, e.g. prefetched batches, stay put).
+    Raises ``ValueError`` (not a bare ``assert``, which would vanish under
+    ``python -O``)."""
     if isinstance(V, jax.Array):
-        assert bool(jnp.all(V >= 0))
+        ok = bool(jnp.all(V >= 0))
     else:
-        assert np.all(np.asarray(V) >= 0)
+        ok = bool(np.all(np.asarray(V) >= 0))
+    if not ok:
+        raise ValueError('The input data V must be non-negative.')
+
+
+def _trace_buf(n_iterations: int) -> int:
+    """Static trace-buffer length for the ``tol``/``extrapolate`` +
+    ``record_energies`` composition: the next power of two (min 64), so
+    nearby ``n_iterations`` values share ONE compiled program instead of
+    every distinct count triggering a fresh compile (compiles here cost
+    30s-5min).  Entries past ``n_done`` stay NaN and are trimmed before
+    they reach ``energies_``, so the padding is free of correctness
+    impact."""
+    return max(64, 1 << max(int(n_iterations) - 1, 0).bit_length())
+
+
+def _validate_tol(tol, tol_check_every):
+    """Public-API validation (``ValueError``, not ``assert`` — survives
+    ``python -O``)."""
+    if not tol >= 0:
+        raise ValueError(f'tol must be >= 0, got {tol!r}')
+    if not int(tol_check_every) >= 1:
+        raise ValueError(
+            f'tol_check_every must be >= 1, got {tol_check_every!r}')
 
 
 def _compute_sequential_minibatches(length: int, batch_size: Optional[int]) -> Iterable[slice]:
@@ -929,15 +955,14 @@ class TransformInvariantNMF:
         _assert_nonnegative(V)
         self._assert_beta_domain(V, mask)
         self._sag_stat_ = None  # fresh optimization: drop partial_fit state
-        assert update_H or update_W
-        assert sparsity_H >= 0
-        assert inhibition_strength >= 0
-        assert cross_atom_inhibition_strength >= 0
-        assert l2_H >= 0
-        assert ortho_W >= 0
-        assert sparsity_W >= 0
-        assert l2_W >= 0
-        assert callback_interval >= 1
+        _require(update_H or update_W,
+                 'at least one of update_H / update_W must be True')
+        _require_nonneg(sparsity_H=sparsity_H,
+                        inhibition_strength=inhibition_strength,
+                        cross_atom_inhibition_strength=cross_atom_inhibition_strength,
+                        l2_H=l2_H, ortho_W=ortho_W, sparsity_W=sparsity_W,
+                        l2_W=l2_W)
+        _require(callback_interval >= 1, 'callback_interval must be >= 1')
         if solver not in ('mu', 'hals'):
             raise ValueError(f"solver must be 'mu' or 'hals', got {solver!r}")
         if solver == 'mu' and (sparsity_W > 0 or l2_W > 0):
@@ -1001,7 +1026,7 @@ class TransformInvariantNMF:
                 raise ValueError('extrapolate must be True or an initial '
                                  'momentum weight in (0, 1)')
         if checkpoint_every is not None:
-            assert checkpoint_every >= 1
+            _require(checkpoint_every >= 1, 'checkpoint_every must be >= 1')
             if progress_callback is not None:
                 raise ValueError(
                     'checkpoint_every uses the chunked fused loop and cannot '
@@ -1016,7 +1041,7 @@ class TransformInvariantNMF:
 
             callback_interval = int(checkpoint_every)
         if revive_every is not None:
-            assert revive_every >= 1
+            _require(revive_every >= 1, 'revive_every must be >= 1')
             if progress_callback is not None or tol is not None:
                 raise ValueError(
                     'revive_every uses the chunked fused loop and cannot '
@@ -1093,7 +1118,8 @@ class TransformInvariantNMF:
                 jnp.asarray(xtr_beta0, acc), *scalars, self._kernels,
                 mask=self._mask_d, **regs,
                 check_every=int(tol_check_every),
-                n_buf=int(n_iterations) if record_energies else 0, **statics)
+                n_buf=_trace_buf(n_iterations) if record_energies else 0,
+                **statics)
             self.n_iterations_ = int(n_done)
             if record_energies:
                 # on-device accepted-iterate trace; entries past n_done are
@@ -1106,7 +1132,7 @@ class TransformInvariantNMF:
                 raise ValueError(
                     'tol-based early stopping runs as one on-device '
                     'while_loop and cannot combine with progress_callback')
-            assert tol >= 0 and tol_check_every >= 1
+            _validate_tol(tol, tol_check_every)
             acc = jnp.promote_types(self._W.dtype, jnp.float32)
             self._W, self._H, n_done, _, trace = engine.fit_loop_tol(
                 self._Vp, self._Vd, self._W, self._H,
@@ -1114,7 +1140,8 @@ class TransformInvariantNMF:
                 jnp.asarray(tol, acc), *scalars, self._kernels,
                 mask=self._mask_d, **regs,
                 check_every=int(tol_check_every),
-                n_buf=int(n_iterations) if record_energies else 0, **statics)
+                n_buf=_trace_buf(n_iterations) if record_energies else 0,
+                **statics)
             self.n_iterations_ = int(n_done)
             if record_energies:
                 self.energies_ = np.asarray(trace)[:self.n_iterations_]
@@ -1201,18 +1228,21 @@ class TransformInvariantNMF:
         log_each = self._logger.isEnabledFor(logging.INFO)
         self.energies_ = None
         if tol is not None:
-            if progress_callback is not None or record_energies:
+            if progress_callback is not None:
                 raise ValueError(
                     'tol-based early stopping runs as one on-device '
-                    'while_loop and cannot combine with progress_callback '
-                    'or record_energies')
-            assert tol >= 0 and tol_check_every >= 1
-            self._W, self._H, n_done, _ = engine_hals.fit_loop_tol(
+                    'while_loop and cannot combine with progress_callback')
+            _validate_tol(tol, tol_check_every)
+            self._W, self._H, n_done, _, trace = engine_hals.fit_loop_tol(
                 self._Vd, self._W, self._H,
                 jnp.asarray(int(n_iterations), jnp.int32),
                 jnp.asarray(tol, jnp.float32), l1, l2, l1w, l2w,
-                check_every=int(tol_check_every), **statics)
+                check_every=int(tol_check_every),
+                n_buf=_trace_buf(n_iterations) if record_energies else 0,
+                **statics)
             self.n_iterations_ = int(n_done)
+            if record_energies:
+                self.energies_ = np.asarray(trace)[:self.n_iterations_]
             self._logger.info('TNMF finished.')
             return
         self.n_iterations_ = int(n_iterations)
@@ -1292,12 +1322,12 @@ class TransformInvariantNMF:
         _assert_nonnegative(V)
         self._assert_beta_domain(V, mask)
         self._sag_stat_ = None  # fresh optimization: drop partial_fit state
-        assert sparsity_H >= 0
-        assert inhibition_strength >= 0
-        assert cross_atom_inhibition_strength >= 0
-        assert l2_H >= 0
-        assert ortho_W >= 0
-        assert isinstance(algorithm, MiniBatchAlgorithm)
+        _require_nonneg(sparsity_H=sparsity_H,
+                        inhibition_strength=inhibition_strength,
+                        cross_atom_inhibition_strength=cross_atom_inhibition_strength,
+                        l2_H=l2_H, ortho_W=ortho_W)
+        _require(isinstance(algorithm, MiniBatchAlgorithm),
+                 f'algorithm must be a MiniBatchAlgorithm, got {algorithm!r}')
 
         # NOTE: the reference computes `algorithm in (5, 6, 7, 8)` which is
         # always False for an Enum (TransformInvariantNMF.py:410), so input
@@ -1625,11 +1655,10 @@ class TransformInvariantNMF:
         del y
         _assert_nonnegative(V)
         self._assert_beta_domain(V, mask)
-        assert sparsity_H >= 0
-        assert inhibition_strength >= 0
-        assert cross_atom_inhibition_strength >= 0
-        assert l2_H >= 0
-        assert ortho_W >= 0
+        _require_nonneg(sparsity_H=sparsity_H,
+                        inhibition_strength=inhibition_strength,
+                        cross_atom_inhibition_strength=cross_atom_inhibition_strength,
+                        l2_H=l2_H, ortho_W=ortho_W)
         # the phased lowering applies here too (see fit_minibatches for the
         # per-batch measurements); SAG statistics are W-shaped and W is
         # never phase-encoded, so they stay canonical across calls under
@@ -2095,7 +2124,8 @@ class MiniBatchTransformInvariantNMF(TransformInvariantNMF):
         super().__init__(n_atoms, atom_shape, **kwargs)
         if isinstance(algorithm, str):
             algorithm = MiniBatchAlgorithm[algorithm]
-        assert isinstance(algorithm, MiniBatchAlgorithm)
+        _require(isinstance(algorithm, MiniBatchAlgorithm),
+                 f'algorithm must be a MiniBatchAlgorithm, got {algorithm!r}')
         self.batch_size = None if batch_size is None else int(batch_size)
         self.algorithm = algorithm
         self.n_epochs = int(n_epochs)

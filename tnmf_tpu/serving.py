@@ -41,6 +41,8 @@ from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 
+from .utils.validation import require, require_nonneg
+
 _MAGIC = b'TNMFSRV1'
 
 
@@ -136,9 +138,10 @@ def export_serving(model, *,
             'export_serving() produces a single-device artifact; export '
             'from a mesh-free model (the dictionary transfers via '
             'set_dictionary())')
-    assert sparsity_H >= 0 and inhibition_strength >= 0
-    assert cross_atom_inhibition_strength >= 0
-    assert l2_H >= 0
+    require_nonneg(sparsity_H=sparsity_H,
+                   inhibition_strength=inhibition_strength,
+                   cross_atom_inhibition_strength=cross_atom_inhibition_strength,
+                   l2_H=l2_H)
 
     from .ops.modes import ConvPlan
 
@@ -363,7 +366,8 @@ def _export_serving_multiscale(model, *, n_iterations, sparsity_H,
     if np.isscalar(sparsity_H):
         sparsity_H = (float(sparsity_H),) * model.n_scales
     sparsity_H = tuple(float(s) for s in sparsity_H)
-    assert len(sparsity_H) == model.n_scales and min(sparsity_H) >= 0
+    require(len(sparsity_H) == model.n_scales and min(sparsity_H) >= 0,
+            'sparsity_H must give one value >= 0 per scale')
     sp = tuple(jnp.asarray(s, dt) for s in sparsity_H)
 
     def serve(V, n_iters):
