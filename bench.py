@@ -497,7 +497,7 @@ def pallas_check():
     if result['platform'] != 'tpu':
         result.update(value=None, detail='no TPU: compiled Mosaic path unavailable')
         print(json.dumps(result), flush=True)
-        return
+        return result
 
     rng = np.random.default_rng(0)
     plan = ConvPlan.create('valid', (24, 20), (5, 5))
@@ -551,6 +551,26 @@ def pallas_check():
 
     result.update(value=bool(ok), detail=' '.join(detail))
     print(json.dumps(result), flush=True)
+    # persist the record next to the benchmarks (auto-written by every
+    # run — incl. via the tpu_smoke gate — so the recorded compiled-path
+    # status always carries the current round's date)
+    import datetime
+    record = dict(result)
+    record['date'] = datetime.date.today().isoformat()
+    record['command'] = 'python bench.py --pallas-check'
+    record['note'] = ('compiled (Mosaic) execution of the experimental '
+                      'Pallas kernels verified against the XLA paths on a '
+                      'real chip; the CPU test suite runs them '
+                      'interpret-mode only; file auto-written by each run '
+                      '(also refreshed by bench.py --tpu-smoke)')
+    try:
+        with open(os.path.join(HERE, 'benchmarks', 'PALLAS_CHECK.json'),
+                  'w', encoding='utf-8') as f:
+            json.dump(record, f)
+            f.write('\n')
+    except OSError as e:
+        print(f'record write failed: {e!r}', file=sys.stderr)
+    return result
 
 
 def main():

@@ -284,6 +284,59 @@ def _memory():
     return est.strategy
 
 
+@check('hals_conv_solver')
+def _hals_conv():
+    """Shift-invariant exact CD (round 5): monotone on-chip, tol stops,
+    and dominates MU at a matched iteration count from the same start."""
+    from tnmf_tpu import TransformInvariantNMF
+    V = _data(shape=(24, 24), seed=6)
+    np.random.seed(0)
+    m = TransformInvariantNMF(n_atoms=4, atom_shape=(5, 5), seed=0,
+                              reconstruction_mode='full', dtype='float32')
+    m.fit(V, solver='hals', n_iterations=20, record_energies=True)
+    es = m.energies_
+    assert np.all(np.isfinite(es))
+    assert np.all(np.diff(es) <= 1e-4 * es[0])  # monotone to f32 noise
+    mu = TransformInvariantNMF(n_atoms=4, atom_shape=(5, 5), seed=0,
+                               reconstruction_mode='full', dtype='float32')
+    mu.fit(V, n_iterations=20, record_energies=True)
+    assert es[-1] < mu.energies_[-1]
+    t = TransformInvariantNMF(n_atoms=4, atom_shape=(5, 5), seed=0,
+                              reconstruction_mode='full', dtype='float32')
+    t.fit(V, solver='hals', n_iterations=500, tol=1e-6, tol_check_every=5)
+    assert 0 < t.n_iterations_ <= 500
+    return f'cd_e={es[-1]:.3g} mu_e={mu.energies_[-1]:.3g} tol_stop={t.n_iterations_}'
+
+
+@check('multiscale_phased')
+def _multiscale_phased():
+    """MultiScaleTNMF resolves the phased lowering natively on TPU
+    (round 5) and matches the forced-conv trajectory."""
+    from tnmf_tpu import MultiScaleTNMF
+    V = _data(shape=(24, 24), seed=7)
+    kw = dict(n_atoms=(3, 2), atom_shapes=((9, 9), (5, 5)), seed=1,
+              dtype='float32')
+    ph = MultiScaleTNMF(backend='auto', **kw)
+    ph.fit(V, n_iterations=5)
+    assert 'phased' in ph._strategies, ph._strategies
+    cv = MultiScaleTNMF(backend='jax_conv', **kw)
+    cv.fit(V, n_iterations=5)
+    for k in range(2):
+        np.testing.assert_allclose(ph.W[k], cv.W[k], rtol=5e-2, atol=1e-5)
+    return f'strategies={"+".join(ph._strategies)}'
+
+
+@check('pallas_compiled_parity')
+def _pallas_gate():
+    """Compiled-Mosaic parity of the experimental Pallas kernels — the
+    bench.py --pallas-check gate, folded in so its PALLAS_CHECK.json
+    record refreshes with every smoke run (round-4 verdict weak #2)."""
+    import bench
+    r = bench.pallas_check()
+    assert r['value'] is True, r
+    return r['detail']
+
+
 def main():
     import jax
 

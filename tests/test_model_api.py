@@ -80,7 +80,7 @@ def test_torch_tensor_input_accepted():
 
 def test_negative_input_rejected():
     nmf = TransformInvariantNMF(n_atoms=2, atom_shape=(3,))
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match='non-negative'):
         nmf.fit(-_V((2, 1, 10)), n_iterations=1)
 
 
@@ -93,7 +93,7 @@ def test_update_flags():
     nmf.fit(V, n_iterations=2, keep_W=True, update_W=False)
     np.testing.assert_array_equal(nmf.W, W0)
     assert not np.allclose(nmf.H, H0)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match='update_H'):
         nmf.fit(V, update_H=False, update_W=False)
 
 

@@ -414,3 +414,115 @@ def test_multiscale_sharded_checkpoint_roundtrip(tmp_path):
     with pytest.raises(ValueError, match='has not been fit'):
         MultiScaleTNMF(n_atoms=(2,), atom_shapes=((3,),)).save_sharded(
             str(tmp_path / 'nope'))
+
+
+# ---------------------------------------------------------------------------
+# phased lowering (round 5: strategies resolve per scale like single-scale)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def force_phased(monkeypatch):
+    """Force the TPU-only platform gate on (the compiled program is the
+    same one TPU runs; CPU float64 pins the numerics)."""
+    from tnmf_tpu import engine
+    monkeypatch.setattr(engine, '_phased_platform_ok', lambda: True)
+
+
+def _phased_pair(force=True, **fit_kw):
+    """Same seeded problem fit under 'auto' (-> phased when forced) and
+    under the explicit conv strategy."""
+    V = _data(seed=3, n=2, c=1, sample=(24, 24))
+    kw = dict(n_atoms=(3, 2), atom_shapes=((9, 9), (5, 5)), seed=7,
+              precision='highest')
+    ph = MultiScaleTNMF(backend='auto', **kw)
+    ph.fit(V, n_iterations=5, sparsity_H=(0.02, 0.01), **fit_kw)
+    cv = MultiScaleTNMF(backend='jax_conv', **kw)
+    cv.fit(V, n_iterations=5, sparsity_H=(0.02, 0.01), **fit_kw)
+    return V, ph, cv
+
+
+def test_multiscale_phased_resolves_and_matches_conv(force_phased):
+    V, ph, cv = _phased_pair()
+    assert 'phased' in ph._strategies, ph._strategies
+    for k in range(2):
+        np.testing.assert_allclose(ph.W[k], cv.W[k], rtol=1e-9)
+        np.testing.assert_allclose(ph.H[k], cv.H[k], rtol=1e-9)
+    np.testing.assert_allclose(ph.R, cv.R, rtol=1e-9)
+    np.testing.assert_allclose(ph.R_scale(0), cv.R_scale(0), rtol=1e-9)
+
+
+def test_multiscale_phased_tol_trace_matches_conv(force_phased):
+    V, ph, cv = _phased_pair(record_energies=True, tol=0.0,
+                             tol_check_every=2)
+    assert 'phased' in ph._strategies
+    assert ph.energies_.shape == (5,)
+    np.testing.assert_allclose(ph.energies_, cv.energies_, rtol=1e-9)
+
+
+def test_multiscale_phased_energy_trace(force_phased):
+    V, ph, cv = _phased_pair(record_energies=True)
+    assert 'phased' in ph._strategies
+    np.testing.assert_allclose(ph.energies_, cv.energies_, rtol=1e-9)
+
+
+def test_multiscale_phased_minibatch_and_partial_fit(force_phased):
+    V = _data(seed=4, n=6, c=1, sample=(24, 24))
+    kw = dict(n_atoms=(2, 2), atom_shapes=((9, 9), (5, 5)), seed=5,
+              precision='highest')
+    ph = MultiScaleTNMF(backend='auto', **kw)
+    ph.fit_minibatches(V, algorithm=MiniBatchAlgorithm.Cyclic_MU,
+                       batch_size=3, n_epochs=2)
+    assert 'phased' in ph._strategies
+    cv = MultiScaleTNMF(backend='jax_conv', **kw)
+    cv.fit_minibatches(V, algorithm=MiniBatchAlgorithm.Cyclic_MU,
+                       batch_size=3, n_epochs=2)
+    for k in range(2):
+        np.testing.assert_allclose(ph.W[k], cv.W[k], rtol=1e-8)
+        np.testing.assert_allclose(ph.H[k], cv.H[k], rtol=1e-8)
+
+    ph2 = MultiScaleTNMF(backend='auto', **kw)
+    cv2 = MultiScaleTNMF(backend='jax_conv', **kw)
+    for m in (ph2, cv2):
+        m.partial_fit(V[:3])
+        m.partial_fit(V[3:])
+    assert 'phased' in ph2._strategies
+    for k in range(2):
+        np.testing.assert_allclose(ph2.W[k], cv2.W[k], rtol=1e-8)
+
+
+def test_multiscale_phased_mesh_parity(force_phased):
+    """Sample-sharded phased multiscale matches single-device (the encode
+    happens inside jit; GSPMD shards the phase-blocked carry's sample
+    axis)."""
+    from tnmf_tpu.parallel import make_mesh
+    V = _data(seed=16, n=8, c=1, sample=(24, 24))
+    kw = dict(n_atoms=(2, 2), atom_shapes=((9, 9), (5, 5)), seed=9,
+              precision='highest')
+    m1 = MultiScaleTNMF(**kw)
+    m1.fit(V, n_iterations=4)
+    assert 'phased' in m1._strategies
+    m2 = MultiScaleTNMF(mesh=make_mesh(), **kw)
+    m2.fit(V, n_iterations=4)
+    for k in range(2):
+        np.testing.assert_allclose(m1.W[k], m2.W[k], rtol=1e-7)
+        np.testing.assert_allclose(m1.H[k], m2.H[k], rtol=1e-7)
+
+
+def test_multiscale_phased_serving_roundtrip(force_phased, tmp_path):
+    """Artifacts exported from a phased-strategy model serve the same
+    encodings as the conv-strategy export."""
+    from tnmf_tpu.serving import load_serving
+    V, ph, cv = _phased_pair()
+    assert 'phased' in ph._strategies
+    pa = tmp_path / 'ph.tnmfsrv'
+    ca = tmp_path / 'cv.tnmfsrv'
+    ph.export_serving(str(pa), n_iterations=3, include_decoder=True)
+    cv.export_serving(str(ca), n_iterations=3, include_decoder=True)
+    sp, sc = load_serving(str(pa)), load_serving(str(ca))
+    Hp, Hc = sp.transform(V), sc.transform(V)
+    for k in range(2):
+        np.testing.assert_allclose(np.asarray(Hp[k]), np.asarray(Hc[k]),
+                                   rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(sp.inverse_transform(Hp)),
+                               np.asarray(sc.inverse_transform(Hc)),
+                               rtol=1e-9)

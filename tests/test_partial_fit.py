@@ -125,7 +125,7 @@ def test_composes_with_beta_loss_and_transform_group():
 
 def test_negative_input_rejected():
     m = TransformInvariantNMF(n_atoms=2, atom_shape=(3, 3), seed=1)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match='non-negative'):
         m.partial_fit(-_batches(2))
 
 

@@ -183,9 +183,9 @@ def test_tol_loop_composes():
 def test_negative_strength_rejected():
     V = _toy().astype(np.float32)
     nmf = TransformInvariantNMF(3, (4,))
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match='l2_H'):
         nmf.fit_batch(V, n_iterations=1, l2_H=-1.0)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match='ortho_W'):
         nmf.fit_batch(V, n_iterations=1, ortho_W=-0.5)
 
 

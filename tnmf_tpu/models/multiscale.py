@@ -31,8 +31,14 @@ one jitted graph over the (W_1..W_K, H_1..H_K) pytree, run as a fused
 beta-divergences compose through the same ``(A, B)`` factor slots as in
 :mod:`tnmf_tpu.engine`.
 
-Strategies are restricted to 'conv' / 'fft' (the phased lowering keeps its
-phase-blocked H carry out of the multi-scale pytree for now).
+Strategies: each scale independently resolves to 'conv' / 'fft' / 'phased'
+exactly like the single-scale model (``engine.resolve_strategy``) — the
+phased lowering's phase-blocked H carry lives per scale inside the
+multi-scale pytree: the public kernels encode canonical H tuples on entry
+and decode on exit (:func:`_enc_hs` / :func:`_dec_hs`), so the model state
+and every accessor stay canonical.  The degenerate plain-NMF corner keeps
+the 'conv' lowering (the 'dot' strategy's flattened views are validated
+single-scale only).
 """
 
 from __future__ import annotations
@@ -61,11 +67,31 @@ EPS = engine.EPS
 # ---------------------------------------------------------------------------
 
 def _reconstruct(Ws, Hs, plans, strategies):
+    """Total reconstruction from *strategy-encoded* per-scale Hs."""
     R = None
     for W, H, plan, strat in zip(Ws, Hs, plans, strategies):
         r = engine.get_ops(strat).reconstruct(W, H, plan)
         R = r if R is None else R + r
     return R
+
+
+def _enc_hs(Hs, plans, strategies):
+    """Canonical per-scale Hs -> each strategy's loop-carried layout (the
+    phase-blocked form for 'phased' scales, identity otherwise)."""
+    return tuple(engine._enc_h(H, p, s)
+                 for H, p, s in zip(Hs, plans, strategies))
+
+
+def _dec_hs(Hs, Ws, plans, strategies):
+    """Inverse of :func:`_enc_hs` (back to canonical layouts)."""
+    return tuple(engine._dec_h(H, p, s, W.shape[0])
+                 for H, W, p, s in zip(Hs, Ws, plans, strategies))
+
+
+@partial(jax.jit, static_argnames=('plans', 'strategies'))
+def ms_reconstruct(Ws, Hs, *, plans, strategies):
+    """Total reconstruction from *canonical* per-scale Hs (accessor path)."""
+    return _reconstruct(Ws, _enc_hs(Hs, plans, strategies), plans, strategies)
 
 
 def _grad_inputs(Vd, Vps, R, mask, beta, plans, strategies):
@@ -115,9 +141,10 @@ _STATICS = ('plans', 'strategies', 'update_H', 'update_W', 'beta')
 @partial(jax.jit, static_argnames=_STATICS)
 def ms_update_step(Vd, Vps, Ws, Hs, sparsities, mask=None, *,
                    plans, strategies, update_H=True, update_W=True, beta=2.0):
-    return _step(Vd, Vps, Ws, Hs, sparsities, mask,
-                 plans=plans, strategies=strategies,
-                 update_H=update_H, update_W=update_W, beta=beta)
+    Ws, Hs = _step(Vd, Vps, Ws, _enc_hs(Hs, plans, strategies), sparsities,
+                   mask, plans=plans, strategies=strategies,
+                   update_H=update_H, update_W=update_W, beta=beta)
+    return Ws, _dec_hs(Hs, Ws, plans, strategies)
 
 
 @partial(jax.jit, static_argnames=_STATICS, donate_argnums=(2, 3))
@@ -130,8 +157,9 @@ def ms_fit_loop(Vd, Vps, Ws, Hs, n_iterations, sparsities, mask=None, *,
                      plans=plans, strategies=strategies,
                      update_H=update_H, update_W=update_W, beta=beta)
 
-    Ws, Hs = jax.lax.fori_loop(0, n_iterations, body, (Ws, Hs))
-    return Ws, Hs
+    Ws, Hs = jax.lax.fori_loop(0, n_iterations, body,
+                               (Ws, _enc_hs(Hs, plans, strategies)))
+    return Ws, _dec_hs(Hs, Ws, plans, strategies)
 
 
 @partial(jax.jit, static_argnames=_STATICS + ('check_every', 'n_buf'),
@@ -165,6 +193,7 @@ def ms_fit_loop_tol(Vd, Vps, Ws, Hs, n_max, tol, sparsities, mask=None, *,
             return Ws, Hs, trace.at[i0 + j].set(e_of(Ws, Hs)), i0
         return Ws, Hs
 
+    Hs = _enc_hs(Hs, plans, strategies)
     e0 = e_of(Ws, Hs)
     scale = jnp.maximum(e0, jnp.asarray(jnp.finfo(acc).tiny, acc))
 
@@ -189,7 +218,8 @@ def ms_fit_loop_tol(Vd, Vps, Ws, Hs, n_max, tol, sparsities, mask=None, *,
         state = state + (jnp.full((n_buf,), jnp.nan, acc),)
     state = jax.lax.while_loop(cond, body, state)
     Ws, Hs, n_done, e = state[0], state[1], state[2], state[3]
-    return Ws, Hs, n_done, e, (state[5] if record else None)
+    return (Ws, _dec_hs(Hs, Ws, plans, strategies), n_done, e,
+            (state[5] if record else None))
 
 
 @partial(jax.jit, static_argnames=_STATICS + ('chunk',), donate_argnums=(2, 3))
@@ -211,8 +241,9 @@ def _ms_energies_chunk(Vd, Vps, Ws, Hs, k, sparsities, mask=None, *,
     def body(WH, i):
         return jax.lax.cond(i < k, active, idle, WH)
 
-    (Ws, Hs), es = jax.lax.scan(body, (Ws, Hs), jnp.arange(chunk))
-    return Ws, Hs, es
+    (Ws, Hs), es = jax.lax.scan(body, (Ws, _enc_hs(Hs, plans, strategies)),
+                                jnp.arange(chunk))
+    return Ws, _dec_hs(Hs, Ws, plans, strategies), es
 
 
 @partial(jax.jit, static_argnames=('plans', 'strategies', 'beta'))
@@ -221,6 +252,7 @@ def ms_grad_W_stats(Vd, Vps, Ws, Hs, mask=None, *, plans, strategies,
     """Per-scale W-gradient ``(neg, pos)`` pairs against the current total
     reconstruction (the minibatch accumulation unit — single-scale
     counterpart: :func:`tnmf_tpu.engine.grad_W_stats`)."""
+    Hs = _enc_hs(Hs, plans, strategies)
     R = _reconstruct(Ws, Hs, plans, strategies)
     nums, dens = _grad_inputs(Vd, Vps, R, mask, beta, plans, strategies)
     stats = []
@@ -253,7 +285,9 @@ class MultiScaleTNMF:
         share the same rank.
     reconstruction_mode, backend, dtype, seed, verbose, beta_loss, precision
         As in :class:`tnmf_tpu.models.tnmf.TransformInvariantNMF` (backend
-        'auto' resolves per scale; the phased lowering is not used here).
+        'auto' resolves per scale, including the phased lowering —
+        measured 4.5x faster than plain conv at the channel-poor
+        64x256x256 two-scale config, ``benchmarks/large_scale.py``).
     mesh : jax.sharding.Mesh, optional
         Data parallelism over the sample axis: V and every per-scale H
         shard along mesh axis 0, the W banks replicate, and each scale's
@@ -338,7 +372,8 @@ class MultiScaleTNMF:
 
     @property
     def R(self) -> np.ndarray:
-        R = _reconstruct(self._Ws, self._Hs, self._plans, self._strategies)
+        R = ms_reconstruct(self._Ws, self._Hs, plans=self._plans,
+                           strategies=self._strategies)
         return np.asarray(R.astype(jnp.float32) if R.dtype == jnp.bfloat16 else R)
 
     def R_scale(self, k: int) -> np.ndarray:
@@ -348,7 +383,8 @@ class MultiScaleTNMF:
             strategy=self._strategies[k]))
 
     def _energy_function(self) -> float:
-        R = _reconstruct(self._Ws, self._Hs, self._plans, self._strategies)
+        R = ms_reconstruct(self._Ws, self._Hs, plans=self._plans,
+                           strategies=self._strategies)
         return float(beta_ops.divergence(self._Vd, R, self._beta, self._mask_d))
 
     # -- fitting --------------------------------------------------------
@@ -362,8 +398,11 @@ class MultiScaleTNMF:
             ConvPlan.create(self._mode, sample_shape, a, precision=self._precision)
             for a in self.atom_shapes)
         if self._backend in ('auto', 'jax'):
-            strategies = tuple(engine.choose_strategy(p, m, V.shape[1])
-                               for p, m in zip(self._plans, self.n_atoms))
+            strategies = tuple(
+                engine.resolve_strategy(
+                    engine.choose_strategy(p, m, V.shape[1]), p, m,
+                    V.shape[1], allow_dot=False)
+                for p, m in zip(self._plans, self.n_atoms))
         else:
             from .tnmf import _BACKEND_STRATEGY
             # 'auto'/'jax' are handled above; every other valid name maps to
@@ -854,7 +893,9 @@ class MultiScaleTNMF:
             for a in self.atom_shapes)
         n_channels = int(self._Ws[0].shape[1])
         self._strategies = tuple(
-            engine.choose_strategy(p, m, n_channels)
+            engine.resolve_strategy(
+                engine.choose_strategy(p, m, n_channels), p, m,
+                n_channels, allow_dot=False)
             for p, m in zip(self._plans, self.n_atoms))
 
     def save_sharded(self, path: str, include_H: bool = True,

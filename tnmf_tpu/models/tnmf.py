@@ -920,12 +920,20 @@ class TransformInvariantNMF:
         * ``solver='hals'`` replaces the multiplicative updates with exact
           block coordinate descent (fast HALS, Cichocki & Phan 2009 — the
           algorithm behind sklearn's ``NMF(solver='cd')``; no reference
-          counterpart, the reference is MU-only) for the degenerate
-          plain-NMF geometry (mode ``'full'`` with ``atom_shape ==
-          sample_shape``): each component is solved exactly per pass, so
-          a given tolerance is typically reached in far fewer iterations,
-          and zero is *not* absorbing (collapsed atoms re-enter on their
-          own — ``revive_every`` is unnecessary and rejected).
+          counterpart, the reference is MU-only): each component is
+          solved exactly per pass, so a given tolerance is typically
+          reached in far fewer iterations, and zero is *not* absorbing
+          (collapsed atoms re-enter on their own — ``revive_every`` is
+          unnecessary and rejected).  Two geometries apply: the
+          degenerate plain-NMF corner (``prod(transform_shape) == 1``,
+          any mode — :mod:`tnmf_tpu.engine_hals`), and the full
+          shift-invariant problem under ``reconstruction_mode='full'``,
+          where exact H coordinate descent runs via phase-blocked sweeps
+          (activations spaced one atom apart have disjoint footprints,
+          so each phase solves independent shared-Gram HALS problems;
+          W steps stay multiplicative — :mod:`tnmf_tpu.engine_hals_conv`;
+          ``sparsity_W``/``l2_W`` are plain-NMF-only there).  Other
+          modes' boundary-clipped footprints are rejected.
           ``hals_inner`` sets how many component sweeps reuse each pair of
           Gram matrices (the accelerated variant of Gillis & Glineur
           2012); ``'auto'`` scales it with the feature/component cost
@@ -1073,13 +1081,30 @@ class TransformInvariantNMF:
         self._initialize_matrices(V, keep_W, keep_H=keep_H, mask=mask)
         if solver == 'hals':
             if math.prod(self._plan.transform_shape) != 1:
-                raise ValueError(
-                    "solver='hals' requires the degenerate plain-NMF "
-                    "geometry (mode 'full' with atom_shape == sample_shape"
-                    ', so prod(transform_shape) == 1); shift-invariant '
-                    'problems use the MU solver — the exact coordinate '
-                    'minimizer would need the Gram of the full shifted '
-                    'dictionary, an (m*T, m*T) operator')
+                if self._plan.mode != 'full':
+                    raise ValueError(
+                        "solver='hals' requires the degenerate plain-NMF "
+                        "geometry (prod(transform_shape) == 1, any mode) "
+                        "or reconstruction_mode='full' (shift-invariant "
+                        'exact CD via phase-blocked sweeps, '
+                        ':mod:`tnmf_tpu.engine_hals_conv`); other modes '
+                        'have boundary-clipped atom footprints whose '
+                        'position-dependent Grams break the shared-Gram '
+                        'phase blocks — use the MU solver there')
+                if sparsity_W > 0 or l2_W > 0:
+                    raise ValueError(
+                        'sparsity_W / l2_W apply to the plain-NMF HALS '
+                        'W sweeps; the shift-invariant solver updates W '
+                        'multiplicatively (engine_hals_conv) where W '
+                        'penalties are ill-posed')
+                self._fit_batch_hals_conv(
+                    n_iterations, update_H=update_H, update_W=update_W,
+                    l1=sparsity_H, l2=l2_H, hals_inner=hals_inner,
+                    progress_callback=progress_callback,
+                    callback_interval=callback_interval,
+                    record_energies=record_energies,
+                    tol=tol, tol_check_every=tol_check_every)
+                return
             self._fit_batch_hals(
                 n_iterations, update_H=update_H, update_W=update_W,
                 l1=sparsity_H, l2=l2_H, l1w=sparsity_W, l2w=l2_W,
@@ -1195,6 +1220,99 @@ class TransformInvariantNMF:
                 self._W, self._H = engine.update_step(
                     self._Vp, self._W, self._H, *scalars, self._kernels,
                     self._mask_d, **regs, **statics)
+                self.n_iterations_ = iteration + 1
+                if record_energies:
+                    energies.append(self._energy_function())
+                if progress_callback is not None:
+                    if not progress_callback(self, iteration):
+                        break
+                else:
+                    self._logger.info('Iteration: %d\tEnergy function: %s',
+                                      iteration, self._energy_function())
+            if record_energies:
+                self.energies_ = np.asarray(energies)
+        self._logger.info('TNMF finished.')
+
+    def _fit_batch_hals_conv(self, n_iterations, *, update_H, update_W,
+                             l1, l2, hals_inner, progress_callback,
+                             callback_interval, record_energies, tol,
+                             tol_check_every):
+        """Loop dispatch for the shift-invariant HALS solver
+        (:mod:`tnmf_tpu.engine_hals_conv`: exact phase-blocked H
+        coordinate descent + multiplicative W steps), mirroring the
+        plain-NMF HALS block below."""
+        from .. import engine_hals_conv as ehc
+        # inner = Gauss-Seidel passes per phase block; the Gram is shared
+        # across all positions of a phase, so extra passes are cheap
+        # matvecs — but fresh phases see fresher residuals, so 1 is the
+        # measured default (benchmarks/hals_conv.py)
+        inner = 1 if hals_inner in (None, 'auto') else int(hals_inner)
+        if inner < 1:
+            raise ValueError('hals_inner must be >= 1 or "auto"')
+        statics = dict(inner=inner, update_H=update_H, update_W=update_W,
+                       plan=self._plan)
+        acc = jnp.promote_types(self._W.dtype, jnp.float32)
+        l1 = jnp.asarray(l1, acc)
+        l2 = jnp.asarray(l2, acc)
+        log_each = self._logger.isEnabledFor(logging.INFO)
+        self.energies_ = None
+        if tol is not None:
+            if progress_callback is not None:
+                raise ValueError(
+                    'tol-based early stopping runs as one on-device '
+                    'while_loop and cannot combine with progress_callback')
+            _validate_tol(tol, tol_check_every)
+            self._W, self._H, n_done, _, trace = ehc.fit_loop_tol(
+                self._Vd, self._W, self._H,
+                jnp.asarray(int(n_iterations), jnp.int32),
+                jnp.asarray(tol, acc), l1, l2,
+                check_every=int(tol_check_every),
+                n_buf=_trace_buf(n_iterations) if record_energies else 0,
+                **statics)
+            self.n_iterations_ = int(n_done)
+            if record_energies:
+                self.energies_ = np.asarray(trace)[:self.n_iterations_]
+            self._logger.info('TNMF finished.')
+            return
+        self.n_iterations_ = int(n_iterations)
+        if record_energies and progress_callback is None:
+            self._W, self._H, energies = ehc.fit_loop_energies(
+                self._Vd, self._W, self._H, l1, l2,
+                n_iterations=int(n_iterations), **statics)
+            self.energies_ = np.asarray(energies)
+            if log_each:
+                for i, e in enumerate(self.energies_):
+                    self._logger.info('Iteration: %d\tEnergy function: %s',
+                                      i, e)
+        elif progress_callback is None and not log_each:
+            self._W, self._H = ehc.fit_loop(
+                self._Vd, self._W, self._H, n_iterations, l1, l2, **statics)
+        elif progress_callback is not None and callback_interval > 1:
+            traces = [] if record_energies else None
+            done = 0
+            while done < n_iterations:
+                chunk = min(callback_interval, n_iterations - done)
+                if record_energies:
+                    self._W, self._H, es = ehc.fit_loop_energies(
+                        self._Vd, self._W, self._H, l1, l2,
+                        n_iterations=chunk, **statics)
+                    traces.append(np.asarray(es))
+                else:
+                    self._W, self._H = ehc.fit_loop(
+                        self._Vd, self._W, self._H, chunk, l1, l2,
+                        **statics)
+                done += chunk
+                if not progress_callback(self, done - 1):
+                    break
+            self.n_iterations_ = done
+            if record_energies:
+                self.energies_ = (np.concatenate(traces) if traces
+                                  else np.zeros((0,)))
+        else:
+            energies = [] if record_energies else None
+            for iteration in range(n_iterations):
+                self._W, self._H = ehc.update_step(
+                    self._Vd, self._W, self._H, l1, l2, **statics)
                 self.n_iterations_ = iteration + 1
                 if record_energies:
                     energies.append(self._energy_function())

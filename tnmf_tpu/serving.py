@@ -387,7 +387,9 @@ def _export_serving_multiscale(model, *, n_iterations, sparsity_H,
                             strategies=strategies, update_H=True,
                             update_W=False, beta=beta)[1]
 
-        return lax.fori_loop(0, n_iters, body, Hs0)
+        Hs = lax.fori_loop(0, n_iters, body,
+                           ms._enc_hs(Hs0, plans, strategies))
+        return ms._dec_hs(Hs, Ws, plans, strategies)
 
     if input_dtype is not None:
         in_dtype = jnp.dtype(input_dtype)
@@ -408,9 +410,9 @@ def _export_serving_multiscale(model, *, n_iterations, sparsity_H,
 
     if include_decoder:
         def decode(Hs):
-            R = ms._reconstruct(Ws, tuple(h.astype(dt) for h in Hs),
-                                plans, strategies)
-            return R.astype(in_dtype)
+            Hd = ms._enc_hs(tuple(h.astype(dt) for h in Hs),
+                            plans, strategies)
+            return ms._reconstruct(Ws, Hd, plans, strategies).astype(in_dtype)
 
         bd = b if batch_size is not None else jax_export.symbolic_shape('b')[0]
         h_specs = tuple(
