@@ -394,3 +394,65 @@ def test_phased_spatial_mesh_replicates():
     # conv stays spatially partitioned; phased collapses to replication
     assert any(s is not None for s in shardings['conv'])
     assert all(s is None for s in shardings['phased'])
+
+
+# ---------------------------------------------------------------------------
+# fused reconstruction -> gradient path (round 5)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('geom', [
+    ((16, 16), (9, 9), 1, 3),   # t_pad == t (the flagship congruence)
+    ((16, 16), (9, 9), 2, 4),   # multi-channel
+    ((320,), (9,), 1, 3),       # 1-D: s=64 congruence, T=328 % 4 == 0
+])
+def test_fused_rec_grad_pairs_match_plain(geom):
+    """grad_{H,W}_pair_fused (raw s=r rec blocks + border-as-conv-padding)
+    reproduce the canonical reconstruct->extend->phase path exactly."""
+    S, A, C, M = geom
+    plan = ConvPlan.create('valid', S, A, precision='highest')
+    if not phased.fused_rec_supported(plan):
+        pytest.skip('geometry not fused-supported')
+    rng = np.random.default_rng(sum(S))
+    V = rng.random((2, C) + S)
+    W = rng.random((M, C) + A)
+    H = rng.random((2, M) + plan.transform_shape)
+    Hph = phased.encode_h(jnp.asarray(H), plan)
+    Vs = phased.prepare_data(jnp.asarray(V), plan)
+    R = phased.reconstruct(jnp.asarray(W), Hph, plan)
+
+    # the raw blocks ARE the phased extended R minus its zero border
+    g = phased.geometry(plan)
+    Rext = phased._extend_phased(R, plan)
+    Rb = phased.rec_blocks(jnp.asarray(W), Hph, plan)
+    L = phased._ext_border(g)
+    core = Rext[(slice(None),) + tuple(
+        slice(l, l + b) for l, b in zip(L, Rb.shape[1:-1])) + (slice(None),)]
+    np.testing.assert_allclose(np.asarray(Rb), np.asarray(core),
+                               rtol=1e-10, atol=1e-12)
+    # and the border really is zero (the padding-as-extension claim)
+    total = np.asarray(Rext).copy()
+    total[(slice(None),) + tuple(slice(l, l + b) for l, b in
+                                 zip(L, Rb.shape[1:-1]))] = 0.0
+    assert np.max(np.abs(total)) == 0.0
+
+    ng, pg = phased.grad_H_pair(Vs, R, jnp.asarray(W), plan)
+    nf, pf = phased.grad_H_pair_fused(Vs, jnp.asarray(W), Hph, plan)
+    np.testing.assert_allclose(np.asarray(nf), np.asarray(ng),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pf), np.asarray(pg),
+                               rtol=1e-10, atol=1e-12)
+
+    ngw, pgw = phased.grad_W_pair(Vs, R, Hph, plan)
+    nfw, pfw = phased.grad_W_pair_fused(Vs, jnp.asarray(W), Hph, plan)
+    np.testing.assert_allclose(np.asarray(nfw), np.asarray(ngw),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pfw), np.asarray(pgw),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_fused_rec_gate_rejects_padded_geometries():
+    # absorbing transform padding -> raw overhang carries real activations
+    plan = ConvPlan.create('valid', (20, 20), (9, 9))
+    assert not phased.fused_rec_supported(plan)
+    # non-valid modes keep the canonical path
+    assert not phased.fused_rec_supported(ConvPlan.create('full', (16, 16), (9, 9)))

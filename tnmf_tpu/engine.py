@@ -413,6 +413,21 @@ def _mu_H(ops, Vp, W, H, sparsity, inhibition, cross_inhibition, kernels, *,
     loop-invariant) and R is masked here — the exact MU rule for the
     masked/weighted Euclidean objective, since both gradient halves are
     correlations of V-shaped streams."""
+    if (beta == 2.0 and mask is None and not use_pallas
+            and getattr(ops, 'grad_H_pair_fused', None) is not None
+            and ops.fused_rec_supported(plan, H.dtype)):
+        # phased fast path: the reconstruction's raw blocked output feeds
+        # the positive gradient conv directly (ops.phased round-5 notes) —
+        # the R stream is written once and read once, nothing else
+        neg, pos = ops.grad_H_pair_fused(Vp, W, H, plan)
+        if use_inhibition or use_cross:
+            pos = pos + ops.inhibition_positive_term_phased(
+                H.astype(pos.dtype), kernels, plan, W.shape[0],
+                inhibition, cross_inhibition,
+                with_same_atom=use_inhibition, with_cross_atom=use_cross)
+        if l2 is not None:
+            pos = pos + jnp.asarray(l2, pos.dtype) * H.astype(pos.dtype)
+        return (H * neg / (pos + (EPS + sparsity))).astype(H.dtype)
     R = ops.reconstruct(W, H, plan)
     if beta == 2.0:
         Rm = R if mask is None else R * mask.astype(R.dtype)
@@ -498,6 +513,15 @@ def _mu_W(ops, Vp, W, H, *, plan, use_pallas=False, beta=2.0, mask=None,
 
     ``ortho`` (None = absent) adds the cross-atom orthogonality penalty's
     gradient to the positive part (:func:`_ortho_positive_term`)."""
+    if (beta == 2.0 and mask is None and not use_pallas
+            and getattr(ops, 'grad_W_pair_fused', None) is not None
+            and ops.fused_rec_supported(plan, H.dtype)):
+        # phased fast path (see _mu_H): no canonical R round trip
+        neg, pos = ops.grad_W_pair_fused(Vp, W, H, plan)
+        if ortho is not None:
+            pos = pos + _ortho_positive_term(W, ortho).astype(pos.dtype)
+        Wn = W * neg / (pos + EPS)
+        return _normalize_W(Wn, plan.ndim).astype(W.dtype)
     R = ops.reconstruct(W, H, plan)
     if beta != 2.0:
         neg, pos = _beta_grad_W(ops, Vp, R, H, plan, beta, mask,

@@ -537,6 +537,96 @@ def grad_H_pair(Vs: jnp.ndarray, R: jnp.ndarray, W: jnp.ndarray,
     return grad_H_pair_prepared(Vs, _extend_phased(R, plan), W, plan)
 
 
+# ---------------------------------------------------------------------------
+# fused reconstruction -> gradient path (round 5: the roofline's R streams)
+#
+# The MU gradients consume the *phased extended* reconstruction; computing
+# it via the canonical ``reconstruct`` costs a pixel-unshuffle, a crop, a
+# zero-extension and a re-phase — up to four R-sized memory passes per
+# reconstruction, twice per iteration.  At ``s = r`` the reconstruction
+# conv's raw blocked output (N, *blocks, C*pp, channel order (c, phase))
+# IS the phased layout of R on the grid-aligned core, and in 'valid' mode
+# the zero extension is block-aligned (r | a-1), so it can be expressed as
+# *conv input padding* of the downstream gradient conv: (a-1)/r zero
+# blocks on each side.  The R stream then materializes exactly once (the
+# rec conv's write) and is read exactly once (the grad conv) — the
+# minimum any schedule can do.  (The s = r rec conv itself was measured a
+# wash vs the lane-blocked default in the unfused loop, so the round-trip
+# savings are pure gain.)
+#
+# Exactness gate: ``t_pad == t``.  With absorbing transform padding the
+# raw output's overhang (canonical positions >= S) is computed from REAL
+# right-edge activations, where the extended R must be zero — those
+# configurations keep the canonical path.
+# ---------------------------------------------------------------------------
+
+def fused_rec_supported(plan: ConvPlan, dtype=jnp.float32) -> bool:
+    """Measured on v5e at the 64x256x256/16x9x9/C=1 flagship: f32 FULL
+    iteration 3.38 -> 3.02 ms (66 -> 76% of the HBM roofline) — the byte
+    savings dominate.  bf16 measured the other way (1.85 -> 2.21 ms, 69 ->
+    51%): the narrow iteration is lane-occupancy-bound, and the s = r rec
+    conv drives only C*pp of 128 lanes while giving up the doubled
+    lane-filling blocking — so narrow dtypes keep the canonical path."""
+    g = geometry(plan)
+    return (g is not None and plan.mode == 'valid'
+            and tuple(g['t_pad']) == tuple(g['t'])
+            and jnp.dtype(dtype).itemsize >= 4)
+
+
+def _rec_kernel_r(W: jnp.ndarray, g) -> jnp.ndarray:
+    """The ``s = r`` reconstruction kernel: raw conv output lands directly
+    in the r-blocked phased layout the gradient convs consume."""
+    M, C = W.shape[:2]
+    A, r = g['a'], g['r']
+    Wf = jnp.flip(W, axis=tuple(range(2, 2 + len(A))))
+    P, T = _rec_placement(A, r, r)
+    Kk = jnp.einsum('mca,sqta->csmqt', Wf.reshape(M, C, -1),
+                    jnp.asarray(P, W.dtype), precision=conv_ops._EXACT)
+    pp = math.prod(r)
+    return Kk.reshape((C * pp, M * pp) + T)
+
+
+def rec_blocks(W: jnp.ndarray, Hph: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
+    """Raw phased reconstruction: (N, *(t-a+1)/r blocks, C*pp), canonical
+    position ``b*r + p`` at block b, channel (c, p) — the phased extended
+    R minus its (a-1)/r zero border blocks (conv padding downstream)."""
+    g = geometry(plan)
+    K3 = _rec_kernel_r(W, g)
+    return _conv(Hph, K3, _dn(plan.ndim, 'std'), W.dtype,
+                 plan.lax_precision, keep_low=True)
+
+
+def _ext_border(g) -> Tuple[int, ...]:
+    return tuple((a - 1) // rr for a, rr in zip(g['a'], g['r']))
+
+
+def grad_H_pair_fused(Vs: jnp.ndarray, W: jnp.ndarray, Hph: jnp.ndarray,
+                      plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(neg, pos) of dE/dH with the reconstruction fused into the positive
+    gradient conv's input — no canonical R, no extend/phase round trip."""
+    g = geometry(plan)
+    Rb = rec_blocks(W, Hph, plan)
+    K2 = _grad_kernel(W, g)
+    dn = _dn(plan.ndim, 'std')
+    neg = _conv(Vs, K2, dn, W.dtype, plan.lax_precision, keep_low=True)
+    L = _ext_border(g)
+    pos = _conv(Rb, K2, dn, W.dtype, plan.lax_precision, keep_low=True,
+                padding=[(l, l) for l in L])
+    return neg, pos
+
+
+def grad_W_pair_fused(Vs: jnp.ndarray, W: jnp.ndarray, Hph: jnp.ndarray,
+                      plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(neg, pos) of dE/dW from the raw phased reconstruction: the zero
+    border becomes a pad of the stacked stream (the stacked conv's concat
+    materializes either way; the unshuffle/re-phase round trip is gone)."""
+    g = geometry(plan)
+    Rb = rec_blocks(W, Hph, plan)
+    L = _ext_border(g)
+    pads = [(0, 0)] + [(l, l) for l in L] + [(0, 0)]
+    return grad_W_pair_prepared(Vs, jnp.pad(Rb, pads), Hph, plan)
+
+
 @lru_cache(maxsize=None)
 def _band_placement(taps: int, r: Tuple[int, ...], axis: int):
     """One-hot P[p, q, t, d] mapping the canonical 1-D kernel tap
