@@ -404,6 +404,8 @@ def test_phased_spatial_mesh_replicates():
     ((16, 16), (9, 9), 1, 3),   # t_pad == t (the flagship congruence)
     ((16, 16), (9, 9), 2, 4),   # multi-channel
     ((320,), (9,), 1, 3),       # 1-D: s=64 congruence, T=328 % 4 == 0
+    ((20, 20), (9, 9), 1, 3),   # ragged (t_pad > t) but r | S: slice path
+    ((76, 102), (7, 7), 3, 10),  # the 2-D driver fixture geometry
 ])
 def test_fused_rec_grad_pairs_match_plain(geom):
     """grad_{H,W}_pair_fused (raw s=r rec blocks + border-as-conv-padding)
@@ -420,16 +422,17 @@ def test_fused_rec_grad_pairs_match_plain(geom):
     Vs = phased.prepare_data(jnp.asarray(V), plan)
     R = phased.reconstruct(jnp.asarray(W), Hph, plan)
 
-    # the raw blocks ARE the phased extended R minus its zero border
+    # the clean raw blocks ARE the phased extended R minus its zero border
     g = phased.geometry(plan)
     Rext = phased._extend_phased(R, plan)
-    Rb = phased.rec_blocks(jnp.asarray(W), Hph, plan)
-    L = phased._ext_border(g)
+    Rb0 = phased.rec_blocks(jnp.asarray(W), Hph, plan)
+    Rb, L, right = phased._clean_blocks(Rb0, plan, g)
     core = Rext[(slice(None),) + tuple(
         slice(l, l + b) for l, b in zip(L, Rb.shape[1:-1])) + (slice(None),)]
     np.testing.assert_allclose(np.asarray(Rb), np.asarray(core),
                                rtol=1e-10, atol=1e-12)
-    # and the border really is zero (the padding-as-extension claim)
+    # and the rest of the extended stream really is zero (the
+    # padding-as-extension claim)
     total = np.asarray(Rext).copy()
     total[(slice(None),) + tuple(slice(l, l + b) for l, b in
                                  zip(L, Rb.shape[1:-1]))] = 0.0
@@ -450,9 +453,15 @@ def test_fused_rec_grad_pairs_match_plain(geom):
                                rtol=1e-10, atol=1e-12)
 
 
-def test_fused_rec_gate_rejects_padded_geometries():
-    # absorbing transform padding -> raw overhang carries real activations
-    plan = ConvPlan.create('valid', (20, 20), (9, 9))
-    assert not phased.fused_rec_supported(plan)
+def test_fused_rec_gate():
+    # ragged t_pad with r | S: the whole-block slice path applies
+    assert phased.fused_rec_supported(ConvPlan.create('valid', (20, 20), (9, 9)))
+    # r does not divide S and t_pad > t: raw overhang would leak real
+    # right-edge activations mid-block -> canonical path
+    assert not phased.fused_rec_supported(ConvPlan.create('valid', (21, 21), (9, 9)))
     # non-valid modes keep the canonical path
     assert not phased.fused_rec_supported(ConvPlan.create('full', (16, 16), (9, 9)))
+    # narrow dtypes keep the lane-filling doubled blocking
+    import jax.numpy as _jnp
+    assert not phased.fused_rec_supported(
+        ConvPlan.create('valid', (16, 16), (9, 9)), _jnp.bfloat16)

@@ -566,11 +566,19 @@ def fused_rec_supported(plan: ConvPlan, dtype=jnp.float32) -> bool:
     savings dominate.  bf16 measured the other way (1.85 -> 2.21 ms, 69 ->
     51%): the narrow iteration is lane-occupancy-bound, and the s = r rec
     conv drives only C*pp of 128 lanes while giving up the doubled
-    lane-filling blocking — so narrow dtypes keep the canonical path."""
+    lane-filling blocking — so narrow dtypes keep the canonical path.
+
+    Geometry: exact either when ``t_pad == t`` (no absorbing padding —
+    nothing to clean) or when ``r | S`` per axis (the raw overhang beyond
+    the sample, which carries real right-edge activations where the
+    extended R needs zeros, occupies *whole* blocks and is dropped by one
+    static slice before the gradient conv)."""
     g = geometry(plan)
-    return (g is not None and plan.mode == 'valid'
-            and tuple(g['t_pad']) == tuple(g['t'])
-            and jnp.dtype(dtype).itemsize >= 4)
+    if g is None or plan.mode != 'valid' or jnp.dtype(dtype).itemsize < 4:
+        return False
+    return (tuple(g['t_pad']) == tuple(g['t'])
+            or all(s % rr == 0
+                   for s, rr in zip(plan.sample_shape, g['r'])))
 
 
 def _rec_kernel_r(W: jnp.ndarray, g) -> jnp.ndarray:
@@ -600,6 +608,23 @@ def _ext_border(g) -> Tuple[int, ...]:
     return tuple((a - 1) // rr for a, rr in zip(g['a'], g['r']))
 
 
+def _clean_blocks(Rb: jnp.ndarray, plan: ConvPlan, g):
+    """The sample-covering prefix of the raw blocks plus the (left, right)
+    zero-block counts completing the ``e_pad`` grid.  With absorbing
+    transform padding (``t_pad > t``) the raw overhang beyond the sample
+    carries real right-edge activations where the extended R needs zeros;
+    the gate guarantees ``r | S`` there, so the overhang is whole blocks
+    and one static slice drops it."""
+    L = _ext_border(g)
+    if tuple(g['t_pad']) != tuple(g['t']):
+        clean = tuple(s // rr for s, rr in zip(plan.sample_shape, g['r']))
+        Rb = Rb[(slice(None),) + tuple(slice(0, c) for c in clean)]
+    e_blocks = tuple(e // rr for e, rr in zip(g['e_pad'], g['r']))
+    right = tuple(e - l - b
+                  for e, l, b in zip(e_blocks, L, Rb.shape[1:-1]))
+    return Rb, L, right
+
+
 def grad_H_pair_fused(Vs: jnp.ndarray, W: jnp.ndarray, Hph: jnp.ndarray,
                       plan: ConvPlan) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(neg, pos) of dE/dH with the reconstruction fused into the positive
@@ -609,9 +634,9 @@ def grad_H_pair_fused(Vs: jnp.ndarray, W: jnp.ndarray, Hph: jnp.ndarray,
     K2 = _grad_kernel(W, g)
     dn = _dn(plan.ndim, 'std')
     neg = _conv(Vs, K2, dn, W.dtype, plan.lax_precision, keep_low=True)
-    L = _ext_border(g)
+    Rb, L, right = _clean_blocks(Rb, plan, g)
     pos = _conv(Rb, K2, dn, W.dtype, plan.lax_precision, keep_low=True,
-                padding=[(l, l) for l in L])
+                padding=list(zip(L, right)))
     return neg, pos
 
 
@@ -622,8 +647,8 @@ def grad_W_pair_fused(Vs: jnp.ndarray, W: jnp.ndarray, Hph: jnp.ndarray,
     materializes either way; the unshuffle/re-phase round trip is gone)."""
     g = geometry(plan)
     Rb = rec_blocks(W, Hph, plan)
-    L = _ext_border(g)
-    pads = [(0, 0)] + [(l, l) for l in L] + [(0, 0)]
+    Rb, L, right = _clean_blocks(Rb, plan, g)
+    pads = [(0, 0)] + list(zip(L, right)) + [(0, 0)]
     return grad_W_pair_prepared(Vs, jnp.pad(Rb, pads), Hph, plan)
 
 
