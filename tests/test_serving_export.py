@@ -404,3 +404,34 @@ def test_hals_solver_artifact():
     shift.fit(_data(), n_iterations=2)
     with pytest.raises(ValueError, match='degenerate'):
         shift.export_serving(solver='hals')
+
+
+def test_conv_hals_solver_artifact():
+    """solver='hals' on the shift-invariant 'full' geometry (round 5)
+    bakes exact phase-blocked H sweeps against the frozen dictionary:
+    matches model.transform(solver='hals') from the same matched-filter
+    init and beats the MU artifact's residual at equal iteration counts."""
+    rng = np.random.default_rng(1)
+    V = rng.random((4, 1, 20)).astype(np.float32)
+    m = TransformInvariantNMF(n_atoms=3, atom_shape=(4,), seed=0,
+                              reconstruction_mode='full',
+                              h_init='correlate')
+    m.fit(V, n_iterations=25, solver='hals')
+    V_new = rng.random((3, 1, 20)).astype(np.float32)
+
+    srv = load_serving(m.export_serving(n_iterations=6, sparsity_H=0.02,
+                                        solver='hals'))
+    H_art = np.asarray(srv.transform(V_new))
+    H_ref = m.transform(V_new, n_iterations=6, solver='hals',
+                        sparsity_H=0.02)
+    np.testing.assert_allclose(H_art, H_ref, rtol=1e-5, atol=1e-7)
+
+    from tnmf_tpu.ops import oracle
+
+    def residual(H):
+        R = oracle.reconstruct(np.asarray(m.W, np.float64),
+                               np.asarray(H, np.float64), 'full')
+        return float(np.sum((V_new - R) ** 2))
+
+    srv_mu = load_serving(m.export_serving(n_iterations=6))
+    assert residual(srv.transform(V_new)) < residual(srv_mu.transform(V_new))

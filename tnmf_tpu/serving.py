@@ -100,9 +100,12 @@ def export_serving(model, *,
         exact H coordinate sweeps (:mod:`tnmf_tpu.engine_hals` — the
         Gram of the frozen dictionary folds into the artifact, each
         "iteration" is one Gauss–Seidel pass) for the plain-NMF
-        geometry, starting from the same matched-filter init as the MU
-        path.  HALS artifacts reject inhibition (MU-only) and reach a
-        given residual in far fewer iterations.
+        geometry — or, on the shift-invariant ``'full'`` geometry, one
+        exact phase-blocked sweep per iteration
+        (:mod:`tnmf_tpu.engine_hals_conv`) — starting from the same
+        matched-filter init as the MU path.  HALS artifacts reject
+        inhibition (MU-only) and reach a given residual in far fewer
+        iterations.
 
     Returns the artifact bytes.
     """
@@ -182,11 +185,6 @@ def export_serving(model, *,
         raise ValueError(f"solver must be 'mu' or 'hals', got {solver!r}")
     if solver == 'hals':
         from . import engine_hals
-        if int(np.prod(plan.transform_shape)) != 1:
-            raise ValueError(
-                "export_serving(solver='hals') requires the degenerate "
-                "plain-NMF geometry (mode 'full' with atom_shape == "
-                'sample_shape)')
         if use_inh or use_cross:
             raise ValueError('inhibition regularizers are MU-only under '
                              "solver='hals'")
@@ -194,28 +192,59 @@ def export_serving(model, *,
             raise ValueError("solver='hals' artifacts require beta_loss=2 "
                              'and no transform group')
         acc = jnp.promote_types(W.dtype, jnp.float32)
-        W2 = W.reshape(W.shape[0], -1)
-        G = jnp.matmul(W2, W2.astype(acc).T,
-                       precision=plan.lax_precision,
-                       preferred_element_type=acc)     # baked (m, m) Gram
         l1_h = jnp.asarray(sparsity_H, acc)
         l2_h = jnp.asarray(l2_H, acc)
+        if int(np.prod(plan.transform_shape)) != 1:
+            # shift-invariant geometry: bake exact phase-blocked H sweeps
+            # against the frozen dictionary (engine_hals_conv); each
+            # "iteration" of the artifact is one full exact sweep
+            if plan.mode != 'full':
+                raise ValueError(
+                    "export_serving(solver='hals') requires the "
+                    "degenerate plain-NMF geometry or "
+                    "reconstruction_mode='full' (shift-invariant exact "
+                    'CD); other modes have boundary-clipped footprints')
+            from . import engine_hals_conv as ehc
+            G = ehc.gram_W(W, plan.lax_precision)
 
-        def serve(V, n_iters):
-            V = V.astype(W.dtype)
-            Vp = engine.prepare_data(V, plan=plan, strategy=strategy)
-            H0 = engine.correlate_init_H(Vp, V, W, plan=plan,
-                                         strategy=strategy, n_atoms=n_atoms)
-            H2 = H0.reshape(H0.shape[0], H0.shape[1])
-            P = jnp.matmul(V.reshape(V.shape[0], -1), W2.astype(acc).T,
+            def serve(V, n_iters):
+                V = V.astype(W.dtype)
+                Vp = engine.prepare_data(V, plan=plan, strategy=strategy)
+                H0 = engine.correlate_init_H(Vp, V, W, plan=plan,
+                                             strategy=strategy,
+                                             n_atoms=n_atoms)
+                E_pad, H_pm = ehc._encode(V, W, H0, plan)
+
+                def body(_, carry):
+                    return ehc.h_phase_sweep(carry[0], carry[1], W, G,
+                                             l1_h, l2_h, plan=plan,
+                                             inner=1)
+
+                E_pad, H_pm = lax.fori_loop(0, n_iters, body,
+                                            (E_pad, H_pm))
+                return ehc._decode_h(H_pm, plan)
+        else:
+            W2 = W.reshape(W.shape[0], -1)
+            G = jnp.matmul(W2, W2.astype(acc).T,
                            precision=plan.lax_precision,
-                           preferred_element_type=acc)
+                           preferred_element_type=acc)  # baked (m, m) Gram
 
-            def body(_, H2):
-                return engine_hals._sweep_H(H2, G, P, l1_h, l2_h)
+            def serve(V, n_iters):
+                V = V.astype(W.dtype)
+                Vp = engine.prepare_data(V, plan=plan, strategy=strategy)
+                H0 = engine.correlate_init_H(Vp, V, W, plan=plan,
+                                             strategy=strategy,
+                                             n_atoms=n_atoms)
+                H2 = H0.reshape(H0.shape[0], H0.shape[1])
+                P = jnp.matmul(V.reshape(V.shape[0], -1), W2.astype(acc).T,
+                               precision=plan.lax_precision,
+                               preferred_element_type=acc)
 
-            H2 = lax.fori_loop(0, n_iters, body, H2)
-            return H2.reshape(H0.shape)
+                def body(_, H2):
+                    return engine_hals._sweep_H(H2, G, P, l1_h, l2_h)
+
+                H2 = lax.fori_loop(0, n_iters, body, H2)
+                return H2.reshape(H0.shape)
     else:
         def serve(V, n_iters):
             V = V.astype(W.dtype)
