@@ -343,9 +343,38 @@ def test_stream_carries_dictionary_and_mesh_minibatch_guard():
         from tnmf_tpu.parallel import make_mesh
         msm = MultiScaleTNMF(n_atoms=(2,), atom_shapes=((3,),), seed=4,
                              mesh=make_mesh(2))
-        with pytest.raises(ValueError, match='does not support mesh'):
-            msm.fit_minibatches(_data(seed=8, n=4, c=1), batch_size=2,
+        # shard-aligned batches are required under a mesh
+        with pytest.raises(ValueError, match='multiple of the mesh'):
+            msm.fit_minibatches(_data(seed=8, n=4, c=1), batch_size=3,
                                 n_epochs=1)
+
+
+def test_mesh_minibatch_parity():
+    """Sample-sharded multi-scale minibatch fits equal single-device
+    (round 5: the mesh guard became a shard-alignment requirement)."""
+    import jax
+    if jax.device_count() < 8:
+        pytest.skip('needs 8 (virtual) devices')
+    from tnmf_tpu.parallel import make_mesh
+    V = _data(seed=21, n=16, c=1)
+    kw = dict(n_atoms=(2, 1), atom_shapes=((3,), (6,)), seed=9)
+    fit_kw = dict(algorithm=MiniBatchAlgorithm.ASG_MU, batch_size=8,
+                  n_epochs=2, sparsity_H=0.05)
+    m1 = MultiScaleTNMF(**kw)
+    m1.fit_minibatches(V, **fit_kw)
+    m2 = MultiScaleTNMF(mesh=make_mesh(8), **kw)
+    m2.fit_minibatches(V, **fit_kw)
+    for k in range(2):
+        np.testing.assert_allclose(m1.W[k], m2.W[k], rtol=1e-7)
+        np.testing.assert_allclose(m1.H[k], m2.H[k], rtol=1e-7)
+    # partial_fit (online) under the mesh matches too
+    p1 = MultiScaleTNMF(**kw)
+    p2 = MultiScaleTNMF(mesh=make_mesh(8), **kw)
+    for m in (p1, p2):
+        m.partial_fit(V[:8])
+        m.partial_fit(V[8:])
+    for k in range(2):
+        np.testing.assert_allclose(p1.W[k], p2.W[k], rtol=1e-7)
 
 
 def test_mesh_parity():

@@ -637,11 +637,15 @@ class MultiScaleTNMF:
         from .tnmf import (MiniBatchAlgorithm,
                            _compute_sequential_minibatches)
         if self._mesh is not None:
-            raise ValueError(
-                'MultiScaleTNMF.fit_minibatches does not support mesh= yet '
-                '(per-batch H slicing across a sample-sharded mesh is '
-                'unvalidated); use the full-batch fit under a mesh, or the '
-                'single-scale model for sharded minibatch fits')
+            # per-batch sample slices must stay shard-aligned, or every
+            # step pays a resharding gather (same constraint as the
+            # single-scale scan path, models/tnmf.py)
+            _require(batch_size is not None
+                     and batch_size % self._mesh.devices.size == 0,
+                     'under a mesh, fit_minibatches requires batch_size '
+                     'to be a multiple of the mesh size (shard-aligned '
+                     'batch slices); sharded ≡ single-device is pinned in '
+                     'tests/test_multiscale.py')
         if algorithm is None:
             algorithm = MiniBatchAlgorithm.ASG_MU
         self._sag_stat_ = None  # fresh optimization: drop partial_fit state
