@@ -407,11 +407,11 @@ def test_phased_spatial_mesh_replicates():
     ((20, 20), (9, 9), 1, 3),   # ragged (t_pad > t) but r | S: slice path
     ((76, 102), (7, 7), 3, 10),  # the 2-D driver fixture geometry
 ])
-def test_fused_rec_grad_pairs_match_plain(geom):
+def test_fused_rec_grad_pairs_match_plain(geom, mode='valid'):
     """grad_{H,W}_pair_fused (raw s=r rec blocks + border-as-conv-padding)
     reproduce the canonical reconstruct->extend->phase path exactly."""
     S, A, C, M = geom
-    plan = ConvPlan.create('valid', S, A, precision='highest')
+    plan = ConvPlan.create(mode, S, A, precision='highest')
     if not phased.fused_rec_supported(plan):
         pytest.skip('geometry not fused-supported')
     rng = np.random.default_rng(sum(S))
@@ -453,14 +453,27 @@ def test_fused_rec_grad_pairs_match_plain(geom):
                                rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.parametrize('geom', [
+    ((16, 16), (5, 5), 1, 3),    # T=(12,12); t_pad ragged is fine in full
+    ((21, 19), (9, 9), 2, 3),    # ragged everything
+    ((330,), (9,), 1, 3),        # 1-D
+])
+def test_fused_rec_grad_pairs_match_plain_full_mode(geom):
+    """Mode 'full' is unconditionally fused-exact: the raw overhang reads
+    only absorbing H zeros (no slicing needed)."""
+    test_fused_rec_grad_pairs_match_plain(geom, mode='full')
+
+
 def test_fused_rec_gate():
     # ragged t_pad with r | S: the whole-block slice path applies
     assert phased.fused_rec_supported(ConvPlan.create('valid', (20, 20), (9, 9)))
     # r does not divide S and t_pad > t: raw overhang would leak real
     # right-edge activations mid-block -> canonical path
     assert not phased.fused_rec_supported(ConvPlan.create('valid', (21, 21), (9, 9)))
-    # non-valid modes keep the canonical path
-    assert not phased.fused_rec_supported(ConvPlan.create('full', (16, 16), (9, 9)))
+    # mode 'full' is unconditionally supported; circular/reflect are not
+    assert phased.fused_rec_supported(ConvPlan.create('full', (16, 16), (9, 9)))
+    assert not phased.fused_rec_supported(
+        ConvPlan.create('circular', (16, 16), (9, 9)))
     # narrow dtypes keep the lane-filling doubled blocking
     import jax.numpy as _jnp
     assert not phased.fused_rec_supported(

@@ -568,13 +568,21 @@ def fused_rec_supported(plan: ConvPlan, dtype=jnp.float32) -> bool:
     conv drives only C*pp of 128 lanes while giving up the doubled
     lane-filling blocking — so narrow dtypes keep the canonical path.
 
-    Geometry: exact either when ``t_pad == t`` (no absorbing padding —
-    nothing to clean) or when ``r | S`` per axis (the raw overhang beyond
-    the sample, which carries real right-edge activations where the
-    extended R needs zeros, occupies *whole* blocks and is dropped by one
-    static slice before the gradient conv)."""
+    Geometry: mode 'full' is unconditionally exact (positions past the
+    sample read only absorbing H zeros, so the raw overhang already *is*
+    the zero fill the extended stream needs).  Mode 'valid' is exact when
+    ``t_pad == t`` (no absorbing padding — nothing to clean) or when
+    ``r | S`` per axis (the raw overhang beyond the sample, which carries
+    real right-edge activations where the extended R needs zeros,
+    occupies *whole* blocks and is dropped by one static slice before the
+    gradient conv).  circular/reflect wrap real data into the extension
+    and keep the canonical path."""
     g = geometry(plan)
-    if g is None or plan.mode != 'valid' or jnp.dtype(dtype).itemsize < 4:
+    if g is None or jnp.dtype(dtype).itemsize < 4:
+        return False
+    if plan.mode == 'full':
+        return True
+    if plan.mode != 'valid':
         return False
     return (tuple(g['t_pad']) == tuple(g['t'])
             or all(s % rr == 0
@@ -597,14 +605,28 @@ def _rec_kernel_r(W: jnp.ndarray, g) -> jnp.ndarray:
 def rec_blocks(W: jnp.ndarray, Hph: jnp.ndarray, plan: ConvPlan) -> jnp.ndarray:
     """Raw phased reconstruction: (N, *(t-a+1)/r blocks, C*pp), canonical
     position ``b*r + p`` at block b, channel (c, p) — the phased extended
-    R minus its (a-1)/r zero border blocks (conv padding downstream)."""
+    R minus its zero border blocks (conv padding downstream).  Mode
+    'full' left-extends H by (a-1) zeros exactly like :func:`reconstruct`
+    — block-aligned conv padding."""
     g = geometry(plan)
     K3 = _rec_kernel_r(W, g)
+    # 'full': H is zero-extended by (a-1) on BOTH sides (reconstruct's
+    # left conv padding, plus a right extension so the raw grid reaches
+    # R's tail at canonical [t_pad, S) — those outputs read real H taps;
+    # positions past S read only absorbing zeros and stay zero)
+    ext = (tuple((a - 1) // rr for a, rr in zip(g['a'], g['r']))
+           if plan.mode == 'full' else (0,) * plan.ndim)
     return _conv(Hph, K3, _dn(plan.ndim, 'std'), W.dtype,
-                 plan.lax_precision, keep_low=True)
+                 plan.lax_precision, keep_low=True,
+                 padding=[(e, e) for e in ext])
 
 
-def _ext_border(g) -> Tuple[int, ...]:
+def _ext_border(plan: ConvPlan, g) -> Tuple[int, ...]:
+    """Left zero-block count of the phased extended stream: (a-1)/r in
+    'valid' mode (the grad reads X extended on both sides), zero in
+    'full' (the grad reads X unextended)."""
+    if plan.mode == 'full':
+        return (0,) * len(g['r'])
     return tuple((a - 1) // rr for a, rr in zip(g['a'], g['r']))
 
 
@@ -615,8 +637,8 @@ def _clean_blocks(Rb: jnp.ndarray, plan: ConvPlan, g):
     carries real right-edge activations where the extended R needs zeros;
     the gate guarantees ``r | S`` there, so the overhang is whole blocks
     and one static slice drops it."""
-    L = _ext_border(g)
-    if tuple(g['t_pad']) != tuple(g['t']):
+    L = _ext_border(plan, g)
+    if plan.mode == 'valid' and tuple(g['t_pad']) != tuple(g['t']):
         clean = tuple(s // rr for s, rr in zip(plan.sample_shape, g['r']))
         Rb = Rb[(slice(None),) + tuple(slice(0, c) for c in clean)]
     e_blocks = tuple(e // rr for e, rr in zip(g['e_pad'], g['r']))
