@@ -71,7 +71,11 @@ sys.path.insert(0, HERE)
 _START = time.monotonic()
 _DEADLINE_S = float(os.environ.get('BENCH_DEADLINE_S', '240'))
 _HEADLINE_DONE = threading.Event()
-_FALLBACK = {}  # headline metric dict, best-so-far; owned by the main thread
+# best-so-far headline metric dict, single-slot so the watchdog thread
+# always reads a complete snapshot (a clear()-then-update() dict would
+# race: the watchdog could observe it empty mid-refresh and emit the
+# null line despite a real measurement)
+_FALLBACK = [None]
 
 
 def budget_left():
@@ -81,15 +85,16 @@ def budget_left():
 
 def register_fallback(metric, value, unit, ref, detail=None):
     """Record the best-so-far headline so the watchdog can emit it."""
-    if _FALLBACK and _FALLBACK.get('value') is not None and \
-            value is not None and value <= _FALLBACK['value']:
+    cur = _FALLBACK[0]
+    if cur is not None and cur.get('value') is not None and \
+            value is not None and value <= cur['value']:
         return
-    _FALLBACK.clear()
-    _FALLBACK.update({'metric': metric, 'value': round(value, 3) if value else value,
-                      'unit': unit,
-                      'vs_baseline': round(value / ref, 3) if (value and ref) else None})
+    out = {'metric': metric, 'value': round(value, 3) if value else value,
+           'unit': unit,
+           'vs_baseline': round(value / ref, 3) if (value and ref) else None}
     if detail:
-        _FALLBACK['detail'] = detail
+        out['detail'] = detail
+    _FALLBACK[0] = out  # atomic slot swap
 
 
 def _watchdog(headline_metric):
@@ -102,7 +107,8 @@ def _watchdog(headline_metric):
         time.sleep(min(left, 1.0))
     if _HEADLINE_DONE.is_set():
         return
-    out = dict(_FALLBACK) if _FALLBACK else {
+    fb = _FALLBACK[0]
+    out = dict(fb) if fb is not None else {
         'metric': headline_metric, 'value': None, 'unit': 'iter/s',
         'vs_baseline': None,
         'detail': f'deadline {_DEADLINE_S:.0f}s hit before the first '
@@ -596,10 +602,6 @@ def main():
         return
     rm = args.remeasure_reference
 
-    global _DEADLINE_S
-    if args.all and 'BENCH_DEADLINE_S' not in os.environ:
-        _DEADLINE_S *= 4  # four metrics instead of one
-
     selftest = os.environ.get('BENCH_SELFTEST')
     if selftest == 'hang':
         # deadline-robustness selftest (tests/test_bench_deadline.py): a
@@ -632,6 +634,13 @@ def main():
 
     emit(metric_2d(remeasure=rm))
     _HEADLINE_DONE.set()  # driver contract satisfied; watchdog stands down
+    if args.all and 'BENCH_DEADLINE_S' not in os.environ:
+        # the headline kept its full hard deadline; the three extra
+        # metrics get additional SOFT budget (subtractive_rate/best_of
+        # cap their work by budget_left()) — --all is a manual run, not
+        # the driver contract, so no watchdog re-arm
+        global _DEADLINE_S
+        _DEADLINE_S += 3 * 240
     if args.all:
         emit(metric_1d(remeasure=rm))
         emit(metric_time_to_tolerance(remeasure=rm))

@@ -31,13 +31,15 @@ def race(n=16, sample=(128, 128), atom=(8, 8), m=16, c=1, tol=1e-5,
          n_max=2000, check=10, dtype='float32'):
     dt = jnp.dtype(dtype)
     plan = ConvPlan.create('full', sample, atom)
-    key = jax.random.PRNGKey(0)
-    kv, ki = jax.random.split(key)
+    kv, km, kh = jax.random.split(jax.random.PRNGKey(0), 3)
     # planted structure so "converged" is meaningful (pure noise converges
-    # almost immediately at high energy)
+    # almost immediately at high energy); mask and values use DISTINCT
+    # keys — an earlier draft reused one key, which makes both uniforms
+    # identical so every surviving activation equals its own >0.95 mask
+    # draw (5%-dense but values only in (0.95, 1], not uniform)
     Wt = jax.random.uniform(kv, (m, c) + atom, dt)
-    Ht = jnp.where(jax.random.uniform(ki, (n, m) + plan.transform_shape) > 0.95,
-                   jax.random.uniform(ki, (n, m) + plan.transform_shape, dt), 0)
+    Ht = jnp.where(jax.random.uniform(km, (n, m) + plan.transform_shape) > 0.95,
+                   jax.random.uniform(kh, (n, m) + plan.transform_shape, dt), 0)
     from tnmf_tpu.ops import conv
     V = conv.reconstruct(Wt, Ht, plan) + 0.01 * jax.random.uniform(
         jax.random.PRNGKey(2), (n, c) + plan.sample_shape, dt)
@@ -105,10 +107,26 @@ def race(n=16, sample=(128, 128), atom=(8, 8), m=16, c=1, tol=1e-5,
         np.asarray(ehc.fit_loop(V, W0 + 0, H0 + 0, k, z, z, **hstat)[0].sum())
         return (time.perf_counter() - t0) / k * 1e3
 
+    def xtr_probe(k=200):
+        # per-iteration cost of the extrapolated loop itself (tol=0 runs
+        # exactly k iterations); an earlier draft reported mu_probe here,
+        # i.e. plain MU's timing, for the extrapolated row
+        def go(kk):
+            W, H, n_done, e, _ = engine.fit_loop_extrapolated(
+                Vp, V, W0 + 0, H0 + 0, jnp.asarray(kk, jnp.int32),
+                jnp.asarray(0.0, jnp.float32),
+                jnp.asarray(0.5, jnp.float32), z, z, z, (),
+                check_every=check, **statics)
+            np.asarray(W.sum())
+        go(2)
+        t0 = time.perf_counter()
+        go(k)
+        return (time.perf_counter() - t0) / k * 1e3
+
     print(f'race: n={n} {sample}x{atom} m={m} c={c} strategy={strategy} '
           f'tol={tol} [{dtype}]', flush=True)
     timed('mu', mu, mu_probe)
-    timed('mu+extrapolate', xtr, mu_probe)
+    timed('mu+extrapolate', xtr, xtr_probe)
     timed('hals-conv (exact)', hals, hals_probe)
     return results
 

@@ -115,12 +115,13 @@ def test_best_of_still_retries_with_ample_budget(monkeypatch):
 
 
 def test_register_fallback_keeps_best():
-    bench._FALLBACK.clear()
+    bench._FALLBACK[0] = None
     bench.register_fallback('m', 10.0, 'iter/s', 5.0)
-    assert bench._FALLBACK['value'] == 10.0
-    assert bench._FALLBACK['vs_baseline'] == 2.0
+    assert bench._FALLBACK[0]['value'] == 10.0
+    assert bench._FALLBACK[0]['vs_baseline'] == 2.0
     bench.register_fallback('m', 8.0, 'iter/s', 5.0)   # worse: ignored
-    assert bench._FALLBACK['value'] == 10.0
+    assert bench._FALLBACK[0]['value'] == 10.0
     bench.register_fallback('m', 12.0, 'iter/s', 5.0)  # better: replaces
-    assert bench._FALLBACK['value'] == 12.0
-    bench._FALLBACK.clear()
+    # the slot is swapped atomically (a whole new dict), never mutated
+    assert bench._FALLBACK[0]['value'] == 12.0
+    bench._FALLBACK[0] = None

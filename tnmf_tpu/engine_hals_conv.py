@@ -71,14 +71,14 @@ objective ``0.5 * ||E||^2`` needs no reconstruction (the MU engine pays
 one reconstruction per recorded energy, ``engine.fit_loop_energies``).
 
 **Measured verdict (v5e, benchmarks/hals_conv.py, 16x128x128 / 16 atoms
-8x8, tol=1e-5 from the same seeded start):** 8.42 ms/iter vs MU's 1.78
-(the P*M ~ 1000 sequential chain steps per sweep are latency-bound by
-construction), converging to E=802 in 100 iterations where plain MU
-reaches only E=3291 in 340 — exact CD's per-iteration progress is 4x
-better, but extrapolated MU still wins wall-clock (E=708 in 0.37 s vs
-0.85 s).  Recommendation unchanged: ``extrapolate=True`` for speed;
-``solver='hals'`` when exactness/guaranteed monotone descent per block
-matters or MU stalls.
+8x8, 5%-dense planted data, tol=1e-5 from the same seeded start):**
+8.5 ms/iter vs plain MU's 1.9 and extrapolated MU's 2.3 (the P*M ~ 1000
+sequential chain steps per sweep are latency-bound by construction).
+Exact CD converges to E=122 in 110 iterations where plain MU stalls at
+E=538 after 440; extrapolated MU reaches the same basin (E=121.6) in
+180 iterations and wins wall-clock 2.1x (0.44 s vs 0.93 s).
+Recommendation: ``extrapolate=True`` for speed; ``solver='hals'`` when
+exactness/guaranteed monotone descent per block matters or MU stalls.
 """
 
 from __future__ import annotations
@@ -96,10 +96,10 @@ from .ops.modes import ConvPlan
 def applicable(plan: ConvPlan) -> bool:
     """Shift-invariant exact CD applies to the non-degenerate 'full'
     geometry (interior-only footprints).  The degenerate case belongs to
-    the cheaper plain-NMF solver (:mod:`tnmf_tpu.engine_hals`)."""
-    return (plan.mode == 'full'
-            and math.prod(plan.transform_shape) > 1
-            and all(t >= 1 for t in plan.transform_shape))
+    the cheaper plain-NMF solver (:mod:`tnmf_tpu.engine_hals`).  This is
+    THE gate — the model driver and the serving export both route their
+    solver='hals' geometry decisions through it."""
+    return plan.mode == 'full' and math.prod(plan.transform_shape) > 1
 
 
 def _geom(plan: ConvPlan):

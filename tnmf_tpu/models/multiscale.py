@@ -636,16 +636,13 @@ class MultiScaleTNMF:
         """
         from .tnmf import (MiniBatchAlgorithm,
                            _compute_sequential_minibatches)
-        if self._mesh is not None:
-            # per-batch sample slices must stay shard-aligned, or every
-            # step pays a resharding gather (same constraint as the
-            # single-scale scan path, models/tnmf.py)
-            _require(batch_size is not None
-                     and batch_size % self._mesh.devices.size == 0,
-                     'under a mesh, fit_minibatches requires batch_size '
-                     'to be a multiple of the mesh size (shard-aligned '
-                     'batch slices); sharded ≡ single-device is pinned in '
-                     'tests/test_multiscale.py')
+        # mesh: correctness is GSPMD's (per-batch slices of the sharded
+        # arrays are resharded as needed; sharded == single-device is
+        # pinned in tests/test_multiscale.py).  Throughput caveat: a
+        # contiguous batch slice of a block-sharded sample axis lands on
+        # a device subset, so every step pays a gather — mesh minibatch
+        # buys memory capacity, not speed; prefer the full-batch fit (or
+        # the single-scale model's on-device scan) for throughput.
         if algorithm is None:
             algorithm = MiniBatchAlgorithm.ASG_MU
         self._sag_stat_ = None  # fresh optimization: drop partial_fit state

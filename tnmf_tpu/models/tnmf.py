@@ -1081,7 +1081,8 @@ class TransformInvariantNMF:
         self._initialize_matrices(V, keep_W, keep_H=keep_H, mask=mask)
         if solver == 'hals':
             if math.prod(self._plan.transform_shape) != 1:
-                if self._plan.mode != 'full':
+                from .. import engine_hals_conv
+                if not engine_hals_conv.applicable(self._plan):
                     raise ValueError(
                         "solver='hals' requires the degenerate plain-NMF "
                         "geometry (prod(transform_shape) == 1, any mode) "

@@ -198,13 +198,13 @@ def export_serving(model, *,
             # shift-invariant geometry: bake exact phase-blocked H sweeps
             # against the frozen dictionary (engine_hals_conv); each
             # "iteration" of the artifact is one full exact sweep
-            if plan.mode != 'full':
+            from . import engine_hals_conv as ehc
+            if not ehc.applicable(plan):
                 raise ValueError(
                     "export_serving(solver='hals') requires the "
                     "degenerate plain-NMF geometry or "
                     "reconstruction_mode='full' (shift-invariant exact "
                     'CD); other modes have boundary-clipped footprints')
-            from . import engine_hals_conv as ehc
             G = ehc.gram_W(W, plan.lax_precision)
 
             def serve(V, n_iters):
