@@ -152,3 +152,36 @@ def test_multiscale_estimate_matches_live_fit():
     n = suggest_batch_size(m, (14, 12), n_channels=1,
                            budget_bytes=8 * 2 ** 20, safety=1.0)
     assert estimate_fit_memory(m, (n, 1, 14, 12)).peak_bytes <= 8 * 2 ** 20
+
+
+def test_hals_estimates():
+    """solver='hals' accounting: the degenerate engine's flat views and
+    the shift-invariant engine's padded residual + phase-major carrier
+    match the real loop-state shapes."""
+    from tnmf_tpu import engine_hals_conv as ehc
+    from tnmf_tpu.ops.modes import ConvPlan
+    from tnmf_tpu.utils.memory import estimate_fit_memory
+    import jax.numpy as jnp
+
+    flat = TransformInvariantNMF(n_atoms=3, atom_shape=(24,),
+                                 reconstruction_mode='full')
+    e = estimate_fit_memory(flat, (6, 1, 24), solver='hals')
+    assert e.strategy == 'hals'
+    assert e.tensors['H (n, m)'][0] == (6, 3)
+    assert e.tensors['W (m, F)'][0] == (3, 24)
+
+    conv = TransformInvariantNMF(n_atoms=3, atom_shape=(4,),
+                                 reconstruction_mode='full')
+    e = estimate_fit_memory(conv, (6, 1, 20), solver='hals')
+    assert e.strategy == 'hals-conv'
+    plan = ConvPlan.create('full', (20,), (4,))
+    E_pad, H_pm = ehc._encode(jnp.zeros((6, 1, 20)), jnp.zeros((3, 1, 4)),
+                              jnp.zeros((6, 3) + plan.transform_shape), plan)
+    assert e.tensors['E residual (padded carrier)'][0] == E_pad.shape
+    assert e.tensors['H (phase-major carrier)'][0] == H_pm.shape
+
+    with pytest.raises(ValueError, match='mu.*hals|hals'):
+        estimate_fit_memory(flat, (6, 1, 24), solver='nope')
+    shift = TransformInvariantNMF(n_atoms=2, atom_shape=(3,))
+    with pytest.raises(ValueError, match="reconstruction_mode='full'"):
+        estimate_fit_memory(shift, (6, 1, 20), solver='hals')

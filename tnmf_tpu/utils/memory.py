@@ -70,7 +70,7 @@ class MemoryEstimate:
 
 
 def estimate_fit_memory(model, V_shape: Tuple[int, ...],
-                        dtype=None) -> MemoryEstimate:
+                        dtype=None, solver: str = 'mu') -> MemoryEstimate:
     """Predict the device-memory footprint of ``model.fit_batch(V)`` for a
     data tensor of shape ``V_shape = (n_samples, n_channels,
     *sample_shape)`` — without allocating anything.
@@ -79,6 +79,9 @@ def estimate_fit_memory(model, V_shape: Tuple[int, ...],
     request, transform group, dtype) and the engine's own operators under
     ``jax.eval_shape``.  Under a sample-sharded mesh the sample-scaled
     tensors are divided by the data-axis extent (per-device bytes).
+    ``solver='hals'`` accounts the coordinate-descent loop state instead
+    (the shift-invariant engine carries the padded residual and the
+    phase-major H, :mod:`tnmf_tpu.engine_hals_conv`).
     """
     import jax
     import jax.numpy as jnp
@@ -99,6 +102,10 @@ def estimate_fit_memory(model, V_shape: Tuple[int, ...],
     plan = ConvPlan.create(model._reconstruction_mode, sample_shape,
                            model.atom_shape, model._fft_policy,
                            precision=model._precision)
+    if solver == 'hals':
+        return _estimate_hals(model, plan, n, c, sample_shape, dt)
+    if solver != 'mu':
+        raise ValueError(f"solver must be 'mu' or 'hals', got {solver!r}")
     n_maps = model.n_atoms * model.n_transforms
     # same resolution chain as _initialize_matrices (models/tnmf.py)
     strategy = model._strategy_request
@@ -143,6 +150,60 @@ def estimate_fit_memory(model, V_shape: Tuple[int, ...],
     return est
 
 
+def _estimate_hals(model, plan, n, c, sample_shape, dt) -> MemoryEstimate:
+    """Loop-state accounting for ``solver='hals'``: the degenerate
+    plain-NMF engine carries flat factor views plus the Gram/cross pair;
+    the shift-invariant engine carries the padded residual and the
+    phase-major H (:mod:`tnmf_tpu.engine_hals_conv`)."""
+    import math as _math
+
+    import jax
+    import jax.numpy as jnp
+
+    m = model.n_atoms
+    acc = jnp.promote_types(dt, jnp.float32)
+    div = 1
+    if getattr(model, '_mesh', None) is not None and model._shard_axis == 'samples':
+        div = int(model._mesh.size)
+
+    def add(est, name, shape, dtype, scale_by_samples=True):
+        sds = jax.ShapeDtypeStruct(shape, dtype)
+        b = _nbytes(sds)
+        if scale_by_samples:
+            b = -(-b // div)
+        est.tensors[name] = (tuple(int(x) for x in shape),
+                             np.dtype(dtype).name, b)
+
+    if _math.prod(plan.transform_shape) == 1:  # plain-NMF engine
+        F = c * _math.prod(sample_shape)
+        est = MemoryEstimate(strategy='hals')
+        add(est, 'V (device copy, flat view)', (n, F), dt)
+        add(est, 'H (n, m)', (n, m), dt)
+        add(est, 'W (m, F)', (m, F), dt, scale_by_samples=False)
+        add(est, 'Gram G / A (m, m)', (m, m), acc, scale_by_samples=False)
+        add(est, 'cross P (n, m)', (n, m), acc)
+        add(est, 'cross B (m, F)', (m, F), acc, scale_by_samples=False)
+        return est
+
+    from .. import engine_hals_conv as ehc
+    if not ehc.applicable(plan):
+        raise ValueError("solver='hals' requires the degenerate plain-NMF "
+                         "geometry or reconstruction_mode='full'")
+    A, T, K, Tp = ehc._geom(plan)
+    est = MemoryEstimate(strategy='hals-conv')
+    add(est, 'V (device copy)', (n, c) + sample_shape, dt)
+    add(est, 'E residual (padded carrier)',
+        (n, c) + tuple(t + a - 1 for t, a in zip(Tp, A)), dt)
+    add(est, 'H (phase-major carrier)',
+        (_math.prod(A), n, m, _math.prod(K)), dt)
+    add(est, 'W (dictionary)', (m, c) + A, dt, scale_by_samples=False)
+    add(est, 'Gram G (m, m)', (m, m), acc, scale_by_samples=False)
+    # per-phase transients: the sliced residual window and the NNLS rows
+    add(est, 'phase patch slice (transient)', (n, c) + Tp, dt)
+    add(est, 'phase rows (transient)', (n * _math.prod(K), m), acc)
+    return est
+
+
 def _estimate_multiscale(model, n, c, sample_shape, dt) -> MemoryEstimate:
     """Per-scale accounting for :class:`MultiScaleTNMF` (same resolution
     chain as its ``_initialize``)."""
@@ -155,8 +216,13 @@ def _estimate_multiscale(model, n, c, sample_shape, dt) -> MemoryEstimate:
                                   precision=model._precision)
                   for a in model.atom_shapes)
     if model._backend in ('auto', 'jax'):
-        strategies = tuple(engine.choose_strategy(p, m, c)
-                           for p, m in zip(plans, model.n_atoms))
+        # same resolution chain as MultiScaleTNMF._initialize (round 5:
+        # per-scale strategies resolve like the single-scale model,
+        # including the phased lowering)
+        strategies = tuple(
+            engine.resolve_strategy(engine.choose_strategy(p, m, c), p, m,
+                                    c, allow_dot=False)
+            for p, m in zip(plans, model.n_atoms))
     else:
         from ..models.tnmf import _BACKEND_STRATEGY
         strategies = (_BACKEND_STRATEGY[model._backend.lower()],) * model.n_scales
