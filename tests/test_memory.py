@@ -144,9 +144,16 @@ def test_multiscale_estimate_matches_live_fit():
     est = estimate_fit_memory(m, V.shape)
     m.fit(V, n_iterations=2)
     assert est.tensors['V (device copy)'][2] == m._Vd.nbytes
+    import jax
+    from tnmf_tpu import engine
     for k in range(2):
         assert est.tensors[f'V prepared, scale {k}'][2] == m._Vps[k].nbytes
-        assert est.tensors[f'H, scale {k}'][2] == m._Hs[k].nbytes
+        # the carrier row reports the strategy-encoded (possibly
+        # phase-blocked) H the kernels actually loop over
+        carrier = jax.eval_shape(
+            lambda h: engine._enc_h(h, m._plans[k], m._strategies[k]),
+            m._Hs[k])
+        assert est.tensors[f'H, scale {k} (loop carrier)'][0] == carrier.shape
         assert est.tensors[f'W, scale {k}'][2] == m._Ws[k].nbytes
     assert est.peak_bytes > est.persistent_bytes
     n = suggest_batch_size(m, (14, 12), n_channels=1,

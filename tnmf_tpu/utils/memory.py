@@ -243,14 +243,18 @@ def _estimate_multiscale(model, n, c, sample_shape, dt) -> MemoryEstimate:
         Vp_s = jax.eval_shape(
             lambda v, p=p, s=s: engine.prepare_data(v, plan=p, strategy=s), V_s)
         add(f'V prepared, scale {k}', Vp_s)
-        add(f'H, scale {k}',
+        # the loop carrier is the strategy-encoded H (phase-blocked and
+        # padded for 'phased' scales — multiscale encodes canonical H
+        # tuples at the kernel boundary, models/multiscale.py)
+        Hc_s = jax.eval_shape(
+            lambda h, p=p, s=s: engine._enc_h(h, p, s),
             jax.ShapeDtypeStruct((n, m) + p.transform_shape, dt))
+        add(f'H, scale {k} (loop carrier)', Hc_s)
         add(f'W, scale {k}',
             jax.ShapeDtypeStruct((m, c) + model.atom_shapes[k], dt),
             scale_by_samples=False)
         add(f'R prepared, scale {k} (transient)', Vp_s)
-        add(f'H update out, scale {k} (transient)',
-            jax.ShapeDtypeStruct((n, m) + p.transform_shape, dt))
+        add(f'H update out, scale {k} (transient)', Hc_s)
     add('R (transient)', jax.ShapeDtypeStruct((n, c) + sample_shape, dt))
     return est
 
