@@ -284,6 +284,42 @@ def _memory():
     return est.strategy
 
 
+@check('fused_rec_grad')
+def _fused_rec_grad():
+    """The fused reconstruction->gradient path (round 5, the f32 flagship
+    production path) against the canonical extend/phase path, compiled on
+    the real chip (f32 matmuls run bf16 passes by default, hence the
+    loose-ish band; precision='highest' pins it tight)."""
+    import jax.numpy as jnp
+    from tnmf_tpu.ops import phased
+    from tnmf_tpu.ops.modes import ConvPlan
+
+    worst = 0.0
+    for mode, S, A in (('valid', (24, 24), (9, 9)),    # t_pad == t
+                       ('valid', (20, 20), (9, 9)),    # ragged, r | S
+                       ('full', (24, 24), (9, 9))):    # unconditional
+        plan = ConvPlan.create(mode, S, A, precision='highest')
+        assert phased.fused_rec_supported(plan, jnp.float32), (mode, S)
+        rng = np.random.default_rng(sum(S))
+        V = jnp.asarray(rng.random((2, 1) + S), jnp.float32)
+        W = jnp.asarray(rng.random((3, 1) + A), jnp.float32)
+        H = jnp.asarray(rng.random((2, 3) + plan.transform_shape),
+                        jnp.float32)
+        Hph = phased.encode_h(H, plan)
+        Vs = phased.prepare_data(V, plan)
+        R = phased.reconstruct(W, Hph, plan)
+        for got, want in zip(phased.grad_H_pair_fused(Vs, W, Hph, plan),
+                             phased.grad_H_pair(Vs, R, W, plan)):
+            err = float(jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want)))
+            worst = max(worst, err)
+        for got, want in zip(phased.grad_W_pair_fused(Vs, W, Hph, plan),
+                             phased.grad_W_pair(Vs, R, Hph, plan)):
+            err = float(jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want)))
+            worst = max(worst, err)
+        assert worst < 1e-4, (mode, S, worst)
+    return f'worst_relerr={worst:.2e} (valid/ragged/full)'
+
+
 @check('hals_conv_solver')
 def _hals_conv():
     """Shift-invariant exact CD (round 5): monotone on-chip, tol stops,
