@@ -171,7 +171,7 @@ def pinned(name):
 
 
 def subtractive_rate(run, n_small, target_seconds=2.0, floor=30,
-                     fallback=None, warm=True):
+                     fallback=None):
     """Iterations/sec of ``run(n)`` with the fixed overhead cancelled by
     subtracting a small run from a large one.  Guards against nonpositive
     deltas from scheduler noise.  The adaptive large-run size is capped by
@@ -179,8 +179,7 @@ def subtractive_rate(run, n_small, target_seconds=2.0, floor=30,
     plus emission), so one congested dispatch cannot eat the deadline.  If
     ``fallback`` is given, the crude single-shot rate from the small run is
     reported to it immediately — before the large run starts."""
-    if warm:
-        run(2)  # compile
+    run(2)  # compile
     t0 = time.perf_counter()
     run(n_small)
     base = time.perf_counter() - t0

@@ -1234,14 +1234,91 @@ class TransformInvariantNMF:
                 self.energies_ = np.asarray(energies)
         self._logger.info('TNMF finished.')
 
+    def _run_cd_loops(self, n_iterations, *, loop_tol, loop_energies,
+                      loop_plain, step, progress_callback,
+                      callback_interval, record_energies, tol,
+                      tol_check_every):
+        """Shared loop dispatch for the coordinate-descent solvers
+        (plain-NMF and shift-invariant HALS): tol while_loop / fused loop
+        / on-device energy trace / chunked or per-iteration callbacks —
+        the same matrix as the MU block in fit_batch.  The callables
+        close over their engine module, the data tensor and the
+        regularizer scalars, and read ``self._W`` / ``self._H`` at call
+        time (the chunked paths reassign them between calls):
+
+        * ``loop_tol(n_max, tol, check_every, n_buf)``
+          -> ``(W, H, n_done, e, trace_or_None)``
+        * ``loop_energies(n)`` -> ``(W, H, energies)``
+        * ``loop_plain(n)`` -> ``(W, H)``
+        * ``step()`` -> ``(W, H)``
+        """
+        log_each = self._logger.isEnabledFor(logging.INFO)
+        self.energies_ = None
+        if tol is not None:
+            if progress_callback is not None:
+                raise ValueError(
+                    'tol-based early stopping runs as one on-device '
+                    'while_loop and cannot combine with progress_callback')
+            _validate_tol(tol, tol_check_every)
+            self._W, self._H, n_done, _, trace = loop_tol(
+                int(n_iterations), tol, int(tol_check_every),
+                _trace_buf(n_iterations) if record_energies else 0)
+            self.n_iterations_ = int(n_done)
+            if record_energies:
+                self.energies_ = np.asarray(trace)[:self.n_iterations_]
+            self._logger.info('TNMF finished.')
+            return
+        self.n_iterations_ = int(n_iterations)
+        if record_energies and progress_callback is None:
+            self._W, self._H, energies = loop_energies(int(n_iterations))
+            self.energies_ = np.asarray(energies)
+            if log_each:
+                for i, e in enumerate(self.energies_):
+                    self._logger.info('Iteration: %d\tEnergy function: %s',
+                                      i, e)
+        elif progress_callback is None and not log_each:
+            self._W, self._H = loop_plain(n_iterations)
+        elif progress_callback is not None and callback_interval > 1:
+            traces = [] if record_energies else None
+            done = 0
+            while done < n_iterations:
+                chunk = min(callback_interval, n_iterations - done)
+                if record_energies:
+                    self._W, self._H, es = loop_energies(chunk)
+                    traces.append(np.asarray(es))
+                else:
+                    self._W, self._H = loop_plain(chunk)
+                done += chunk
+                if not progress_callback(self, done - 1):
+                    break
+            self.n_iterations_ = done
+            if record_energies:
+                self.energies_ = (np.concatenate(traces) if traces
+                                  else np.zeros((0,)))
+        else:
+            energies = [] if record_energies else None
+            for iteration in range(n_iterations):
+                self._W, self._H = step()
+                self.n_iterations_ = iteration + 1
+                if record_energies:
+                    energies.append(self._energy_function())
+                if progress_callback is not None:
+                    if not progress_callback(self, iteration):
+                        break
+                else:
+                    self._logger.info('Iteration: %d\tEnergy function: %s',
+                                      iteration, self._energy_function())
+            if record_energies:
+                self.energies_ = np.asarray(energies)
+        self._logger.info('TNMF finished.')
+
     def _fit_batch_hals_conv(self, n_iterations, *, update_H, update_W,
                              l1, l2, hals_inner, progress_callback,
                              callback_interval, record_energies, tol,
                              tol_check_every):
         """Loop dispatch for the shift-invariant HALS solver
         (:mod:`tnmf_tpu.engine_hals_conv`: exact phase-blocked H
-        coordinate descent + multiplicative W steps), mirroring the
-        plain-NMF HALS block below."""
+        coordinate descent + multiplicative W steps)."""
         from .. import engine_hals_conv as ehc
         # inner = Gauss-Seidel passes per phase block; the Gram is shared
         # across all positions of a phase, so extra passes are cheap
@@ -1255,85 +1332,30 @@ class TransformInvariantNMF:
         acc = jnp.promote_types(self._W.dtype, jnp.float32)
         l1 = jnp.asarray(l1, acc)
         l2 = jnp.asarray(l2, acc)
-        log_each = self._logger.isEnabledFor(logging.INFO)
-        self.energies_ = None
-        if tol is not None:
-            if progress_callback is not None:
-                raise ValueError(
-                    'tol-based early stopping runs as one on-device '
-                    'while_loop and cannot combine with progress_callback')
-            _validate_tol(tol, tol_check_every)
-            self._W, self._H, n_done, _, trace = ehc.fit_loop_tol(
-                self._Vd, self._W, self._H,
-                jnp.asarray(int(n_iterations), jnp.int32),
-                jnp.asarray(tol, acc), l1, l2,
-                check_every=int(tol_check_every),
-                n_buf=_trace_buf(n_iterations) if record_energies else 0,
-                **statics)
-            self.n_iterations_ = int(n_done)
-            if record_energies:
-                self.energies_ = np.asarray(trace)[:self.n_iterations_]
-            self._logger.info('TNMF finished.')
-            return
-        self.n_iterations_ = int(n_iterations)
-        if record_energies and progress_callback is None:
-            self._W, self._H, energies = ehc.fit_loop_energies(
-                self._Vd, self._W, self._H, l1, l2,
-                n_iterations=int(n_iterations), **statics)
-            self.energies_ = np.asarray(energies)
-            if log_each:
-                for i, e in enumerate(self.energies_):
-                    self._logger.info('Iteration: %d\tEnergy function: %s',
-                                      i, e)
-        elif progress_callback is None and not log_each:
-            self._W, self._H = ehc.fit_loop(
-                self._Vd, self._W, self._H, n_iterations, l1, l2, **statics)
-        elif progress_callback is not None and callback_interval > 1:
-            traces = [] if record_energies else None
-            done = 0
-            while done < n_iterations:
-                chunk = min(callback_interval, n_iterations - done)
-                if record_energies:
-                    self._W, self._H, es = ehc.fit_loop_energies(
-                        self._Vd, self._W, self._H, l1, l2,
-                        n_iterations=chunk, **statics)
-                    traces.append(np.asarray(es))
-                else:
-                    self._W, self._H = ehc.fit_loop(
-                        self._Vd, self._W, self._H, chunk, l1, l2,
-                        **statics)
-                done += chunk
-                if not progress_callback(self, done - 1):
-                    break
-            self.n_iterations_ = done
-            if record_energies:
-                self.energies_ = (np.concatenate(traces) if traces
-                                  else np.zeros((0,)))
-        else:
-            energies = [] if record_energies else None
-            for iteration in range(n_iterations):
-                self._W, self._H = ehc.update_step(
-                    self._Vd, self._W, self._H, l1, l2, **statics)
-                self.n_iterations_ = iteration + 1
-                if record_energies:
-                    energies.append(self._energy_function())
-                if progress_callback is not None:
-                    if not progress_callback(self, iteration):
-                        break
-                else:
-                    self._logger.info('Iteration: %d\tEnergy function: %s',
-                                      iteration, self._energy_function())
-            if record_energies:
-                self.energies_ = np.asarray(energies)
-        self._logger.info('TNMF finished.')
+        self._run_cd_loops(
+            n_iterations,
+            loop_tol=lambda n, t, ce, nb: ehc.fit_loop_tol(
+                self._Vd, self._W, self._H, jnp.asarray(n, jnp.int32),
+                jnp.asarray(t, acc), l1, l2, check_every=ce, n_buf=nb,
+                **statics),
+            loop_energies=lambda n: ehc.fit_loop_energies(
+                self._Vd, self._W, self._H, l1, l2, n_iterations=n,
+                **statics),
+            loop_plain=lambda n: ehc.fit_loop(
+                self._Vd, self._W, self._H, n, l1, l2, **statics),
+            step=lambda: ehc.update_step(
+                self._Vd, self._W, self._H, l1, l2, **statics),
+            progress_callback=progress_callback,
+            callback_interval=callback_interval,
+            record_energies=record_energies, tol=tol,
+            tol_check_every=tol_check_every)
 
     def _fit_batch_hals(self, n_iterations, *, update_H, update_W, l1, l2,
                         l1w, l2w, hals_inner, progress_callback,
                         callback_interval,
                         record_energies, tol, tol_check_every):
-        """Loop dispatch for ``solver='hals'`` (:mod:`tnmf_tpu.engine_hals`),
-        mirroring the MU block above: tol while_loop / fused loop /
-        on-device energy trace / chunked or per-iteration callbacks."""
+        """Loop dispatch for ``solver='hals'`` on the degenerate plain-NMF
+        geometry (:mod:`tnmf_tpu.engine_hals`)."""
         inner = engine_hals.auto_inner(
             self._W.shape[0], int(np.prod(self._W.shape[1:])), hals_inner,
             n_samples=int(self._H.shape[0]))
@@ -1344,82 +1366,23 @@ class TransformInvariantNMF:
         l2 = jnp.asarray(l2, acc)
         l1w = jnp.asarray(l1w, acc)
         l2w = jnp.asarray(l2w, acc)
-        log_each = self._logger.isEnabledFor(logging.INFO)
-        self.energies_ = None
-        if tol is not None:
-            if progress_callback is not None:
-                raise ValueError(
-                    'tol-based early stopping runs as one on-device '
-                    'while_loop and cannot combine with progress_callback')
-            _validate_tol(tol, tol_check_every)
-            self._W, self._H, n_done, _, trace = engine_hals.fit_loop_tol(
-                self._Vd, self._W, self._H,
-                jnp.asarray(int(n_iterations), jnp.int32),
-                jnp.asarray(tol, jnp.float32), l1, l2, l1w, l2w,
-                check_every=int(tol_check_every),
-                n_buf=_trace_buf(n_iterations) if record_energies else 0,
-                **statics)
-            self.n_iterations_ = int(n_done)
-            if record_energies:
-                self.energies_ = np.asarray(trace)[:self.n_iterations_]
-            self._logger.info('TNMF finished.')
-            return
-        self.n_iterations_ = int(n_iterations)
-        if record_energies and progress_callback is None:
-            self._W, self._H, energies = engine_hals.fit_loop_energies(
+        self._run_cd_loops(
+            n_iterations,
+            loop_tol=lambda n, t, ce, nb: engine_hals.fit_loop_tol(
+                self._Vd, self._W, self._H, jnp.asarray(n, jnp.int32),
+                jnp.asarray(t, jnp.float32), l1, l2, l1w, l2w,
+                check_every=ce, n_buf=nb, **statics),
+            loop_energies=lambda n: engine_hals.fit_loop_energies(
                 self._Vd, self._W, self._H, l1, l2, l1w, l2w,
-                n_iterations=int(n_iterations), **statics)
-            self.energies_ = np.asarray(energies)
-            if log_each:
-                for i, e in enumerate(self.energies_):
-                    self._logger.info('Iteration: %d\tEnergy function: %s',
-                                      i, e)
-        elif progress_callback is None and not log_each:
-            self._W, self._H = engine_hals.fit_loop(
-                self._Vd, self._W, self._H, n_iterations, l1, l2, l1w, l2w,
-                **statics)
-        elif progress_callback is not None and callback_interval > 1:
-            traces = [] if record_energies else None
-            done = 0
-            while done < n_iterations:
-                chunk = min(callback_interval, n_iterations - done)
-                if record_energies:
-                    self._W, self._H, es = engine_hals.fit_loop_energies(
-                        self._Vd, self._W, self._H, l1, l2, l1w, l2w,
-                        n_iterations=chunk, **statics)
-                    traces.append(np.asarray(es))
-                else:
-                    self._W, self._H = engine_hals.fit_loop(
-                        self._Vd, self._W, self._H, chunk, l1, l2, l1w, l2w,
-                        **statics)
-                done += chunk
-                if not progress_callback(self, done - 1):
-                    break
-            self.n_iterations_ = done
-            if record_energies:
-                self.energies_ = (np.concatenate(traces) if traces
-                                  else np.zeros((0,)))
-        else:
-            energies = [] if record_energies else None
-            for iteration in range(n_iterations):
-                self._W, self._H = engine_hals.update_step(
-                    self._Vd, self._W, self._H, l1, l2, l1w, l2w, **statics)
-                self.n_iterations_ = iteration + 1
-                if record_energies:
-                    energies.append(self._energy_function())
-                if progress_callback is not None:
-                    if not progress_callback(self, iteration):
-                        break
-                else:
-                    self._logger.info('Iteration: %d\tEnergy function: %s',
-                                      iteration, self._energy_function())
-            if record_energies:
-                self.energies_ = np.asarray(energies)
-        self._logger.info('TNMF finished.')
-
-    # ------------------------------------------------------------------
-    # minibatch fitting (reference fit_minibatches, :350-504)
-    # ------------------------------------------------------------------
+                n_iterations=n, **statics),
+            loop_plain=lambda n: engine_hals.fit_loop(
+                self._Vd, self._W, self._H, n, l1, l2, l1w, l2w, **statics),
+            step=lambda: engine_hals.update_step(
+                self._Vd, self._W, self._H, l1, l2, l1w, l2w, **statics),
+            progress_callback=progress_callback,
+            callback_interval=callback_interval,
+            record_energies=record_energies, tol=tol,
+            tol_check_every=tol_check_every)
 
     def fit_minibatches(
             self,

@@ -224,10 +224,9 @@ def export_serving(model, *,
                                             (E_pad, H_pm))
                 return ehc._decode_h(H_pm, plan)
         else:
+            from . import engine_hals_conv as ehc
             W2 = W.reshape(W.shape[0], -1)
-            G = jnp.matmul(W2, W2.astype(acc).T,
-                           precision=plan.lax_precision,
-                           preferred_element_type=acc)  # baked (m, m) Gram
+            G = ehc.gram_W(W, plan.lax_precision)      # baked (m, m) Gram
 
             def serve(V, n_iters):
                 V = V.astype(W.dtype)

@@ -69,6 +69,16 @@ class MemoryEstimate:
         return '\n'.join(rows)
 
 
+def _add_tensor(est, name, sds, div, scale_by_samples=True):
+    """Record one tensor row in a :class:`MemoryEstimate` (bytes divided
+    by the sample-shard extent ``div`` for sample-scaled tensors)."""
+    b = _nbytes(sds)
+    if scale_by_samples:
+        b = -(-b // div)
+    est.tensors[name] = (tuple(int(x) for x in sds.shape),
+                         np.dtype(sds.dtype).name, b)
+
+
 def estimate_fit_memory(model, V_shape: Tuple[int, ...],
                         dtype=None, solver: str = 'mu') -> MemoryEstimate:
     """Predict the device-memory footprint of ``model.fit_batch(V)`` for a
@@ -130,11 +140,7 @@ def estimate_fit_memory(model, V_shape: Tuple[int, ...],
     est = MemoryEstimate(strategy=str(strategy))
 
     def add(name, sds, scale_by_samples=True):
-        b = _nbytes(sds)
-        if scale_by_samples:
-            b = -(-b // div)
-        est.tensors[name] = (tuple(int(x) for x in sds.shape),
-                             np.dtype(sds.dtype).name, b)
+        _add_tensor(est, name, sds, div, scale_by_samples)
 
     add('V (device copy)', V_s)
     add('V prepared (loop-invariant)', Vp_s)
@@ -167,12 +173,8 @@ def _estimate_hals(model, plan, n, c, sample_shape, dt) -> MemoryEstimate:
         div = int(model._mesh.size)
 
     def add(est, name, shape, dtype, scale_by_samples=True):
-        sds = jax.ShapeDtypeStruct(shape, dtype)
-        b = _nbytes(sds)
-        if scale_by_samples:
-            b = -(-b // div)
-        est.tensors[name] = (tuple(int(x) for x in shape),
-                             np.dtype(dtype).name, b)
+        _add_tensor(est, name, jax.ShapeDtypeStruct(shape, dtype), div,
+                    scale_by_samples)
 
     if _math.prod(plan.transform_shape) == 1:  # plain-NMF engine
         F = c * _math.prod(sample_shape)
@@ -231,11 +233,7 @@ def _estimate_multiscale(model, n, c, sample_shape, dt) -> MemoryEstimate:
     est = MemoryEstimate(strategy=str(tuple(strategies)))
 
     def add(name, sds, scale_by_samples=True):
-        b = _nbytes(sds)
-        if scale_by_samples:
-            b = -(-b // div)
-        est.tensors[name] = (tuple(int(x) for x in sds.shape),
-                             np.dtype(sds.dtype).name, b)
+        _add_tensor(est, name, sds, div, scale_by_samples)
 
     V_s = jax.ShapeDtypeStruct((n, c) + sample_shape, dt)
     add('V (device copy)', V_s)
