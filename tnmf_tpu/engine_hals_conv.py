@@ -72,11 +72,12 @@ one reconstruction per recorded energy, ``engine.fit_loop_energies``).
 
 **Measured verdict (v5e, benchmarks/hals_conv.py, 16x128x128 / 16 atoms
 8x8, 5%-dense planted data, tol=1e-5 from the same seeded start):**
-8.5 ms/iter vs plain MU's 1.9 and extrapolated MU's 2.3 (the P*M ~ 1000
-sequential chain steps per sweep are latency-bound by construction).
-Exact CD converges to E=122 in 110 iterations where plain MU stalls at
-E=538 after 440; extrapolated MU reaches the same basin (E=121.6) in
-180 iterations and wins wall-clock 2.1x (0.44 s vs 0.93 s).
+6.7 ms/iter vs plain MU's 1.8 and extrapolated MU's 2.2 (the P*M ~ 1000
+sequential chain steps per sweep are latency-bound by construction; the
+phase fori_loop runs unroll=2, worth ~20%).  Exact CD converges to
+E=122 in 110 iterations where plain MU stalls at E=538 after 440;
+extrapolated MU reaches the same basin (E=121.6) in 180 iterations and
+wins wall-clock 1.7x (0.43 s vs 0.74 s).
 Recommendation: ``extrapolate=True`` for speed; ``solver='hals'`` when
 exactness/guaranteed monotone descent per block matters or MU stalls.
 """
@@ -219,7 +220,12 @@ def h_phase_sweep(E_pad, H_pm, W, G, l1, l2, *, plan: ConvPlan, inner: int):
             H_pm, new_pm.astype(H_pm.dtype), p, axis=0)
         return E_pad, H_pm
 
-    return jax.lax.fori_loop(0, math.prod(A), body, (E_pad, H_pm))
+    # unroll=2 overlaps consecutive phases' slicing/addressing work
+    # (the phases stay sequentially dependent through E — unrolling is
+    # semantically identity): measured 8.5 -> 6.8 ms/iter at the
+    # 16x128x128/16x8x8 race config on v5e; unroll=4 plateaus (6.8)
+    return jax.lax.fori_loop(0, math.prod(A), body, (E_pad, H_pm),
+                             unroll=2)
 
 
 def _pad_to(x, spatial, ndim):
